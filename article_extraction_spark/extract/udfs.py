@@ -1,0 +1,77 @@
+"""Vectorized (Arrow-batched) Spark surface of the extraction kernels.
+
+Per BASELINE.json ``input_hint``: pandas/Arrow UDFs only, no per-row Python
+UDFs. Classification stays entirely JVM-side (native column expressions);
+only the genuinely-custom kernels (HTML state machine, PDF parse,
+utf-8-ignore decode) cross into Python, and they do so one Arrow batch at a
+time through a single struct-returning pandas UDF (one Arrow pass for text +
+spans, E4's single-dispatch shape).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .core import to_text
+
+_EXTRACT_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("start", T.IntegerType(), False),
+                        T.StructField("end", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACT_RESULT_TYPE)
+def to_text_udf(doc_kind: pd.Series, payload: pd.Series) -> pd.DataFrame:
+    """E1-E4 in one Arrow pass: (kind, payload) → (extracted_text, spans)."""
+    texts: list[str] = []
+    spans: list[list[dict[str, int]]] = []
+    for kind, data in zip(doc_kind, payload):
+        try:
+            text, sp = to_text(kind, data)
+        except Exception:
+            # conversion failure ⇒ row skipped downstream (reference
+            # tables/paper_text_table.py:150-152 logs and continues)
+            text, sp = "", []
+        texts.append(text)
+        spans.append([{"start": s, "end": e} for s, e in sp])
+    return pd.DataFrame({"extracted_text": texts, "spans": spans})
+
+
+def classify_payload_col(text: Column) -> Column:
+    """Native-expression payload-kind sniffing (S2 analog, reference
+    tables/paper_document_table.py:60-70) — whole-stage-codegen friendly,
+    no Python boundary. Must agree with core.classify_payload.
+    """
+    stripped = F.ltrim(text)
+    return (
+        F.when(text.isNull(), F.lit("txt"))
+        .when(
+            text.startswith("%PDF-") | text.startswith("JVBERi0"),
+            F.lit("pdf"),
+        )
+        .when(
+            stripped.startswith("{") | stripped.startswith("["),
+            F.lit("json"),
+        )
+        .when(
+            text.rlike(r"(?is)<(?:!doctype\s+html|/?[a-z][a-z0-9]*)[\s>/]"),
+            F.lit("html"),
+        )
+        .otherwise(F.lit("txt"))
+    )

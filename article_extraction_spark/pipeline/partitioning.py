@@ -1,0 +1,58 @@
+"""Partitioning & skew handling (north rule: salted-hash partition on conv_id,
+explicit skew handling for mega-conversations).
+
+The extraction map is row-local, so the *finest* safe salt is per-turn: a
+mega-conversation with 10^6 turns spreads across every partition instead of
+stragglering one task. When an operator needs conv-locality (per-conv
+aggregation), salt at conv level and two-phase aggregate instead.
+
+At 100 TB these helpers are what keeps task sizes bounded:
+  * salted_repartition — hash(conv_id, turn_idx, salt) → uniform spread.
+  * byte-balanced partition count — partitions sized by *byte volume*, not
+    row count, so multi-megabyte turns don't blow task memory.
+AQE (enabled in session.py) re-splits residual skew at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# target bytes of text payload per task — small enough that a full Arrow
+# batch of payloads plus extraction output fits executor memory comfortably
+TARGET_PARTITION_BYTES = 64 * 1024 * 1024
+
+
+def bucket_col(key: Column, n_buckets: int, salt: int = 0) -> Column:
+    """Deterministic salted hash bucket: pmod(xxhash64(key, salt), n)."""
+    return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(n_buckets)).cast("int")
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    *keys: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Repartition on a salted hash of ``keys`` (turn-level by default)."""
+    cols = [F.col(k) for k in keys] or [F.col("conv_id"), F.col("turn_idx")]
+    return df.repartition(num_partitions, F.xxhash64(*cols, F.lit(salt)))
+
+
+def byte_balanced_partitions(
+    df: DataFrame,
+    text_col: str = "text",
+    target_bytes: int = TARGET_PARTITION_BYTES,
+    min_partitions: int = 8,
+    max_partitions: int = 100_000,
+) -> int:
+    """Choose a partition count from the *byte volume* of the payload column.
+
+    One lightweight aggregate (column-pruned scan of just the payload column)
+    — at 100 TB you'd take this from table statistics / Iceberg manifests
+    instead of a scan; the decision logic is identical.
+    """
+    total = df.select(
+        F.sum(F.octet_length(F.col(text_col))).alias("b")
+    ).first()["b"] or 0
+    return max(min_partitions, min(max_partitions, int(total // target_bytes) + 1))

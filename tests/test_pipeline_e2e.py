@@ -1,0 +1,70 @@
+"""End-to-end: synthetic transcripts → pipeline → per-turn equality rate 1.0
+vs independently-constructed goldens, under stable (conv_id, turn_idx) keys
+(FIXTURES.md §1-2; BASELINE.md per-turn text-equality target)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from article_extraction_spark.fixtures.synth import (
+    golden_df,
+    synth_transcripts,
+    transcripts_df,
+)
+from article_extraction_spark.pipeline.convert import convert_transcripts, ordered_output
+
+
+def test_per_turn_equality_rate_is_one(spark):
+    rows, golden = synth_transcripts(n_convs=30, turns_per_conv=12, seed=42, mega_conv=False)
+    tdf = transcripts_df(spark, rows)
+    gdf = golden_df(spark, golden)
+
+    out = convert_transcripts(tdf, num_partitions=8)
+
+    joined = out.join(gdf, ["conv_id", "turn_idx"], "full_outer")
+    stats = joined.select(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("extracted_text") == F.col("expected_text"), 1).otherwise(0)).alias("eq"),
+        F.sum(F.col("extracted_text").isNull().cast("int")).alias("missing"),
+        F.sum(F.col("expected_text").isNull().cast("int")).alias("extra"),
+    ).first()
+    assert stats["missing"] == 0, "pipeline dropped turns the golden expects"
+    assert stats["extra"] == 0, "pipeline emitted turns the golden drops (empty conversions)"
+    assert stats["eq"] == stats["n"] == len(golden)
+
+
+def test_stable_ordering(spark):
+    rows, _ = synth_transcripts(n_convs=10, turns_per_conv=8, seed=7, mega_conv=False)
+    out = ordered_output(convert_transcripts(transcripts_df(spark, rows), num_partitions=4), 4)
+    collected = out.select("conv_id", "turn_idx").collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in collected]
+    assert keys == sorted(keys)
+
+
+def test_mega_conversation_skew_completes_and_spreads(spark):
+    rows, golden = synth_transcripts(n_convs=5, turns_per_conv=10, seed=13, mega_conv=True)
+    tdf = transcripts_df(spark, rows)
+    out = convert_transcripts(tdf, num_partitions=8)
+    # turn-level salting must spread the mega-conv across all partitions
+    per_part = (
+        out.withColumn("pid", F.spark_partition_id())
+        .where(F.col("conv_id").endswith("-mega"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert len(per_part) == 8, f"mega-conv concentrated in {len(per_part)} partitions"
+    counts = [r["count"] for r in per_part]
+    assert max(counts) < 3 * min(counts), f"unbalanced: {counts}"
+    assert out.count() == len(golden)
+
+
+def test_doc_kind_classification_matches_python(spark):
+    rows, _ = synth_transcripts(n_convs=20, turns_per_conv=10, seed=99, mega_conv=False)
+    from article_extraction_spark.extract.core import classify_payload
+    from article_extraction_spark.extract.udfs import classify_payload_col
+
+    tdf = transcripts_df(spark, rows)
+    got = tdf.select("text", classify_payload_col(F.col("text")).alias("k")).collect()
+    for r in got:
+        assert r["k"] == classify_payload(r["text"])
