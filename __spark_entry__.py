@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship extraction pipeline on sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2 + the
+                 training-data ops); each callable: (spark, sf_dir) → DataFrame.
+oracle_sql()   — DuckDB-runnable ANSI SQL twins keyed identically. Non-SQL-
+                 expressible ops (LSH/minhash/simhash pair generation, fuzzy
+                 JW argmax UDF internals beyond identity cases) omit the
+                 oracle → rows-only check.
+
+Column names are aliased identically on both sides (driver hashes values
+after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +17,540 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → synthetic transcripts → convert_to_txt pipeline
+    (classify → Arrow-batched extraction → drop-empty → stable order)."""
+    from article_extraction_spark.fixtures import transcripts_from_documents
+    from article_extraction_spark.pipeline import convert_transcripts, ordered_output
+
+    t = transcripts_from_documents(spark, "/root/testdata/sf0.001", convs=50)
+    return ordered_output(convert_transcripts(t, num_partitions=8), 8)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_convert_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 via the real pipeline UDF: deterministic HTML wrapping of documents
+    rows, extracted back out; oracle reconstructs the expected text."""
+    from article_extraction_spark.extract.udfs import to_text_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("<header>nav</header><p>"),
+        F.col("text"),
+        F.lit("</p>\n<p>lang: "),
+        F.col("lang"),
+        F.lit("</p><footer>x</footer>"),
+    )
+    res = docs.select(
+        "doc_id", to_text_udf(F.lit("html"), payload).alias("_r")
+    ).select("doc_id", F.col("_r.extracted_text").alias("extracted_text"))
+    return res.where(F.length("extracted_text") > 0)
+
+
+def q_classify_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 analog: payload-kind sniffing over a deterministic html/txt/json
+    mix keyed by doc_id % 3."""
+    from article_extraction_spark.extract.udfs import classify_payload_col
+
+    docs = _t(spark, sf_dir, "documents")
+    kind = F.col("doc_id") % 3
+    payload = (
+        F.when(kind == 0, F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")))
+        .when(kind == 1, F.col("text"))
+        .otherwise(F.concat(F.lit('{"t":"'), F.col("text"), F.lit('"}')))
+    )
+    return (
+        docs.select(classify_payload_col(payload).alias("doc_kind"))
+        .groupBy("doc_kind")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/P3: customers with no orders (left_anti — the resume primitive)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left equi-join + per-key counts (split ⟕ epoch analog)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: last-per-group via max_by struct (latest-year-per-country analog)."""
+    from article_extraction_spark.operators import latest_per_group
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    latest = latest_per_group(o.select("o_custkey", "o_orderdate"), "o_custkey", "o_orderdate")
+    return latest.select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_date")
+    )
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 + exact-dedup: distinct-content counting via content hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct"),
+    )
+
+
+def q_desc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: descriptive stats over l_quantity (integral doubles → exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.agg(
+        F.count(q).alias("n"),
+        F.round(F.avg(q), 6).alias("mean_qty"),
+        F.median(q).alias("median_qty"),
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: global top-k (TakeOrderedAndProject, no global sort)."""
+    from article_extraction_spark.operators import top_k
+
+    o = _t(spark, sf_dir, "orders")
+    return top_k(o.select("o_orderkey", "o_totalprice"), F.col("o_totalprice"), 10)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (engine-portable form): deterministic md5-rank split of customers;
+    exact same assignment in any engine — the reproducible-split contract."""
+    c = _t(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string").cast("binary"))
+    split = (
+        F.when(F.substring(h, 1, 2) < "0d", F.lit("train"))  # ~5%
+        .when(F.substring(h, 1, 2) < "f3", F.lit("test"))  # ~90%
+        .otherwise(F.lit("dev"))
+    )
+    return c.select(split.alias("split")).groupBy("split").agg(F.count("*").alias("n"))
+
+
+def q_cumulative_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: expanding mean in event order (running-average metric)."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    # engine-portable expanding mean: floor to integer cents first so the
+    # running sum is exact (window-sum FP association differs across engines)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    cm = F.floor(F.sum(cents).over(w).cast("double") / F.count(cents).over(w) * 1e4) / 1e6
+    return e.select("event_id", cm.alias("cum_mean"))
+
+
+def q_union_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: unionByName (concat analog)."""
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    return r.unionByName(n)
+
+
+def q_parse_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: numeric-suffix parsing ('123k' → 123000.0)."""
+    from article_extraction_spark.functions import parse_numeric_col
+
+    li = _t(spark, sf_dir, "lineitem").limit(5000)
+    raw = F.concat(F.col("l_quantity").cast("int").cast("string"), F.lit("k"))
+    return li.select(
+        "l_orderkey", "l_linenumber", parse_numeric_col(raw).alias("parsed_qty")
+    )
+
+
+def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F6: coerce-to-NULL year + boolean word-map."""
+    from article_extraction_spark.functions import to_boolean_col, to_year_col
+
+    o = _t(spark, sf_dir, "orders").limit(5000)
+    flag_raw = F.when(F.col("o_orderkey") % 2 == 0, F.lit("Yes")).otherwise(F.lit("junk"))
+    return o.select(
+        "o_orderkey",
+        to_year_col(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("order_year"),
+        to_boolean_col(flag_raw).alias("flag"),
+    )
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: alnum normalization of part types."""
+    from article_extraction_spark.functions import normalize_alnum_col
+
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", normalize_alnum_col(F.col("p_type")).alias("norm_type"))
+
+
+def q_first_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: URL extraction + trailing-punct strip from free text."""
+    from article_extraction_spark.functions import first_url_col
+
+    s = _t(spark, sf_dir, "supplier")
+    text = F.concat(
+        F.lit("ref: https://example.org/doc/"),
+        F.col("s_suppkey").cast("string"),
+        F.lit(".pdf), then more text"),
+    )
+    return s.select("s_suppkey", first_url_col(text).alias("url"))
+
+
+def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: levenshtein + normalized over nation×region names."""
+    from article_extraction_spark.functions import levenshtein_normalized_col
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    x = n.crossJoin(r)
+    return x.select(
+        "n_name",
+        "r_name",
+        F.levenshtein("n_name", "r_name").alias("lev"),
+        F.round(levenshtein_normalized_col(F.col("n_name"), F.col("r_name")), 6).alias("lev_norm"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace token counting per document."""
+    from article_extraction_spark.operators.textstats import token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: punct + stopword ratios (quality-score components)."""
+    from article_extraction_spark.operators.textstats import punct_ratio_col, stopword_ratio_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio_col(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_col(F.col("text"), ["the", "a", "and"]), 6).alias("stopword_ratio"),
+    )
+
+
+def q_lang_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: language-ID marker-hit counts (argmax tested in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def hits(markers: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    return docs.select(
+        "doc_id",
+        hits(["the", "and", "of"]).alias("en_hits"),
+        hits(["el", "la", "de"]).alias("es_hits"),
+        hits(["der", "die", "und"]).alias("de_hits"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: normalized md5 document fingerprint."""
+    from article_extraction_spark.operators.textstats import fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: exact brute-force cosine top-20 vs vec_id=0."""
+    from article_extraction_spark.operators.similarity_search import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = brute_force_topk(emb, "embedding", list(query), k=20)
+    return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
+
+
+def q_fuzzy_country_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: fuzzy text→dim argmin join; noisy self-names must resolve to
+    themselves via the containment rule (identity oracle)."""
+    from article_extraction_spark.operators import fuzzy_match_country
+
+    n = _t(spark, sf_dir, "nation")
+    # zero-pad so no dim name is a substring of another (the containment
+    # rule then matches each noisy name only to itself)
+    padded = F.concat(F.lit("nation "), F.lpad(F.col("n_nationkey").cast("string"), 3, "0"))
+    dim = n.select(F.col("n_nationkey").alias("id_country"), padded.alias("country"))
+    noisy = n.select(
+        "n_nationkey", F.concat(F.lit("  "), padded, F.lit("!! ")).alias("noisy")
+    )
+    return fuzzy_match_country(noisy, "noisy", dim).select("n_nationkey", "id_country")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → mapInPandas feature extraction
+    (hash + size are engine-portable; the fake feature vector is not output)."""
+    from article_extraction_spark.operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") % 10000).cast("int").alias("duration_ms"),
+    )
+    return extract_media_features(media).select("media_id", "kind", "n_bytes", "content_hash")
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: MinHash-LSH candidates + exact Jaccard verify on a corpus with
+    planted near-duplicates (documents + their lightly-edited copies).
+    Non-SQL-expressible → rows-only check."""
+    from article_extraction_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents").limit(2000)
+    edited = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail edit")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edited)
+    pairs = minhash_dedup(corpus, "doc_id", "text", threshold=0.6)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: SimHash blocking + hamming verify on planted near-dups.
+    Rows-only check."""
+    from article_extraction_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").limit(500)
+    edited = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edited)
+    return simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=3)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: embedding-cosine near-dup via hyperplane LSH buckets on a
+    corpus with planted exact-duplicate vectors. Rows-only check."""
+    from article_extraction_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").limit(1000)
+    copies = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    return embedding_near_duplicates(corpus, "vec_id", "embedding", threshold=0.999)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: LSH-bucketed approximate top-k (multiprobe).
+    Approximate → rows-only check."""
+    from article_extraction_spark.operators.similarity_search import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = lsh_topk(emb, "embedding", list(query), k=10, probe_hamming=1)
+    return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "convert_html": q_convert_html,
+        "classify_kinds": q_classify_kinds,
+        "anti_join": q_anti_join,
+        "left_join_counts": q_left_join_counts,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "dedup_stats": q_dedup_stats,
+        "desc_stats": q_desc_stats,
+        "topk_orders": q_topk_orders,
+        "hash_split": q_hash_split,
+        "cumulative_mean": q_cumulative_mean,
+        "union_names": q_union_names,
+        "parse_numeric": q_parse_numeric,
+        "casts": q_casts,
+        "normalize_text": q_normalize_text,
+        "first_url": q_first_url,
+        "levenshtein": q_levenshtein,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_marker_hits": q_lang_marker_hits,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "fuzzy_country_identity": q_fuzzy_country_identity,
+        "media_features": q_media_features,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "lsh_topk": q_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "convert_html": """
+            SELECT doc_id, trim(text) || chr(10) || 'lang: ' || lang AS extracted_text
+            FROM documents
+            WHERE length(trim(text) || chr(10) || 'lang: ' || lang) > 0
+        """,
+        "classify_kinds": """
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'html'
+                        WHEN doc_id % 3 = 1 THEN 'txt'
+                        ELSE 'json' END AS doc_kind,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "left_join_counts": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date
+            FROM orders GROUP BY o_custkey
+        """,
+        "dedup_stats": """
+            SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_distinct FROM documents
+        """,
+        "desc_stats": """
+            SELECT count(l_quantity) AS n,
+                   round(avg(l_quantity), 6) AS mean_qty,
+                   median(l_quantity) AS median_qty,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty
+            FROM lineitem
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC LIMIT 10
+        """,
+        "hash_split": """
+            SELECT CASE WHEN substring(md5(cast(c_custkey AS VARCHAR)), 1, 2) < '0d' THEN 'train'
+                        WHEN substring(md5(cast(c_custkey AS VARCHAR)), 1, 2) < 'f3' THEN 'test'
+                        ELSE 'dev' END AS split,
+                   count(*) AS n
+            FROM customer GROUP BY 1
+        """,
+        "cumulative_mean": """
+            SELECT event_id,
+                   floor(cast(sum(cast(floor(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+                         / count(cast(floor(value * 100) AS BIGINT)) OVER w * 1e4) / 1e6 AS cum_mean
+            FROM events WHERE event_type = 'click'
+            WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "union_names": """
+            SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation
+        """,
+        "parse_numeric": """
+            SELECT l_orderkey, l_linenumber,
+                   cast(cast(l_quantity AS INTEGER) AS DOUBLE) * 1000 AS parsed_qty
+            FROM (SELECT * FROM lineitem LIMIT 5000)
+        """,
+        "casts": """
+            SELECT o_orderkey,
+                   year(o_orderdate) AS order_year,
+                   CASE WHEN o_orderkey % 2 = 0 THEN true ELSE NULL END AS flag
+            FROM (SELECT * FROM orders LIMIT 5000)
+        """,
+        "normalize_text": """
+            SELECT p_partkey,
+                   trim(regexp_replace(regexp_replace(lower(trim(p_type)), '[^a-z0-9 \t\n]', ' ', 'g'),
+                        '\\s+', ' ', 'g')) AS norm_type
+            FROM part
+        """,
+        "first_url": """
+            SELECT s_suppkey,
+                   'https://example.org/doc/' || cast(s_suppkey AS VARCHAR) || '.pdf' AS url
+            FROM supplier
+        """,
+        "levenshtein": """
+            SELECT n_name, r_name,
+                   levenshtein(n_name, r_name) AS lev,
+                   round(cast(levenshtein(n_name, r_name) AS DOUBLE)
+                         / greatest(length(n_name), length(r_name)), 6) AS lev_norm
+            FROM nation CROSS JOIN region
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   round(cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n]', '', 'g')) AS DOUBLE)
+                         / length(text), 6) AS punct_ratio,
+                   round(cast(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                              w -> w IN ('the', 'a', 'and'))) AS DOUBLE)
+                         / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 6) AS stopword_ratio
+            FROM documents
+        """,
+        "lang_marker_hits": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   w -> w IN ('the', 'and', 'of'))) AS en_hits,
+                   len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   w -> w IN ('el', 'la', 'de'))) AS es_hits,
+                   len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   w -> w IN ('der', 'die', 'und'))) AS de_hits
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                            '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 5) AS cosine_r
+            FROM embeddings
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 20
+        """,
+        "fuzzy_country_identity": """
+            SELECT n_nationkey, n_nationkey AS id_country FROM nation
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS content_hash
+            FROM documents
+        """,
+        # minhash_near_dups / simhash_near_dups / embedding_near_dups /
+        # lsh_topk: non-SQL-expressible (LSH banding / bit arithmetic /
+        # approximate probing) → rows-only checks.
+    }

@@ -1,0 +1,76 @@
+"""Text normalizers & tokenizers (F4, F9, F10, F13) — native expressions
+except where order-preserving semantics force a higher-order function.
+
+Reference semantics: tables/paper_information_table.py:434-461, 553-582;
+results/020925/scores.py:175-187.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_alnum_col(c: Column) -> Column:
+    """F9: lower; non-alphanumeric → space; collapse whitespace; trim
+    (reference _normalize_country/_normalize_hardware :434-443, 553-562)."""
+    lowered = F.lower(F.trim(c.cast("string")))
+    spaced = F.regexp_replace(lowered, r"[^\p{L}\p{N}\s]", " ")
+    return F.trim(F.regexp_replace(spaced, r"\s+", " "))
+
+
+def split_tokens_col(c: Column, extra_separators: bool = False) -> Column:
+    """F10: split on ,;/ (hardware adds '+', '&', ' and '), trim fragments,
+    drop empties, dedupe case-insensitively KEEPING FIRST-SEEN ORDER
+    (reference _split_country_tokens :446-461, _split_hardware_tokens
+    :565-582). Order-preserving dedup via aggregate() — no Python.
+    """
+    s = c.cast("string")
+    if extra_separators:
+        s = F.regexp_replace(s, r"(?i)\s+and\s+", ",")
+        s = F.regexp_replace(s, r"[+&]", ",")
+    s = F.regexp_replace(s, r"[;/]", ",")
+    fragments = F.filter(
+        F.transform(F.split(s, ","), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    # order-preserving case-insensitive dedup: fold left, append if unseen
+    return F.aggregate(
+        fragments,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            F.exists(acc, lambda y: F.lower(y) == F.lower(x)), acc
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def split_tokens(value: str | None, extra_separators: bool = False) -> list[str]:
+    """Python twin of split_tokens_col (used inside fuzzy-join UDFs)."""
+    if value is None:
+        return []
+    s = value
+    if extra_separators:
+        import re
+
+        s = re.sub(r"(?i)\s+and\s+", ",", s)
+        s = s.replace("+", ",").replace("&", ",")
+    s = s.replace(";", ",").replace("/", ",")
+    out: list[str] = []
+    seen: set[str] = set()
+    for frag in s.split(","):
+        frag = frag.strip()
+        if not frag or frag.lower() in seen:
+            continue
+        seen.add(frag.lower())
+        out.append(frag)
+    return out
+
+
+def normalise_cell_col(c: Column) -> Column:
+    """F13: str(value); collapse whitespace; {'nan','none','null',''} → ''
+    (reference scores.py:175-187)."""
+    collapsed = F.trim(F.regexp_replace(c.cast("string"), r"\s+", " "))
+    return F.when(
+        collapsed.isNull() | F.lower(collapsed).isin("nan", "none", "null", ""),
+        F.lit(""),
+    ).otherwise(collapsed)

@@ -1,0 +1,264 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard verification — the standard public toolkit
+(Broder 1997 resemblance/minhash; Charikar 2002 simhash; Gao et al. /
+RefinedWeb-style pipelines).
+
+Design for 10^12 docs: everything is expressed as explode → groupBy →
+self-join on *bucket keys*, so the quadratic pair space is never
+materialized; only same-bucket candidates meet, and AQE handles bucket skew.
+MinHash signatures are computed with NATIVE expressions (xxhash64 per seed,
+map-side min aggregation) — no Python in the signature path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _tokens(c: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"[^a-z0-9]+"),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def shingles_col(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) as array<string>."""
+    toks = _tokens(c)
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: returns (fingerprint, n_dups,
+    doc_ids) for groups with >1 member. One shuffle on the hash key."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary")).alias("fingerprint")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signature_cols(shingle_col: Column, num_hashes: int = 32) -> list[Column]:
+    """num_hashes min-hash values as native columns: min over the shingle
+    array of xxhash64(shingle, seed_k). No UDF, fully codegen'd."""
+    return [
+        F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(k)))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows_per_band = num_hashes // bands; two docs are candidates if ANY band
+    of their signatures collides. Returns (id_a, id_b, n_shared_bands).
+    Pair space is bounded by bucket sizes, never |df|².
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.array(*minhash_signature_cols(shingles_col(F.col(text_col), shingle_n), num_hashes)).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice("_sig", b * r + 1, r), lambda x: x.cast("string")))),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs: join shingle sets back on
+    both sides (two broadcast-able hash joins on ids), intersect/union sizes
+    natively. Returns pairs with jaccard ≥ threshold."""
+    sets = df.select(F.col(id_col).alias("_id"), shingles_col(F.col(text_col), shingle_n).alias("_sh"))
+    out = (
+        candidates.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        .withColumn("uni", F.size(F.array_union("_sh_a", "_sh_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") == 0, F.lit(1.0)).otherwise(F.col("inter") / F.col("uni")),
+        )
+        .drop("_sh_a", "_sh_b", "inter", "uni")
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → Jaccard verify."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands)
+    return jaccard_verify(cand, df, id_col, text_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Charikar 2002): 64-bit fingerprint; near-dups differ in few bits.
+# Bit-majority over token hashes — native bit arithmetic, no UDF.
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(c: Column, bits: int = 64) -> Column:
+    """64-bit SimHash as a native expression: for each bit b, majority vote of
+    token-hash bit b weighted +1/-1, folded with aggregate()."""
+    toks = _tokens(c)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        # shiftleft wraps at bit 63 (sign bit) — fine for a fingerprint
+        out = out + F.when(bit_sum(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def hamming_distance_col(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, block_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit prefixes (4 rotations) so
+    any pair within hamming ≤3 shares at least one block (pigeonhole over 4
+    blocks), then verify exact hamming distance within blocks."""
+    sim = df.select(F.col(id_col).alias("_id"), simhash_col(F.col(text_col)).alias("_sh"))
+    blocks = sim.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_sh"), i * block_bits).bitwiseAND(F.lit((1 << block_bits) - 1))
+                    for i in range(64 // block_bits)
+                ]
+            )
+        ).alias("block_idx", "block_key"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming_distance_col(F.col("a._sh"), F.col("b._sh")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: cosine ≥ threshold via random-hyperplane LSH buckets.
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Bucket by sign-pattern against seeded random hyperplanes (numpy inside
+    an Arrow-batched UDF), then exact cosine within buckets. Exact duplicates
+    always collide; near-dups may need multiprobe (future work) — acceptable
+    recall/cost trade at scale."""
+    import numpy as np
+
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, n_planes).astype("float64")
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(T.LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        pl = bc.value
+        mat = np.vstack([np.asarray(v, dtype="float64") for v in vecs])
+        signs = (mat @ pl) > 0
+        keys = (signs * (1 << np.arange(pl.shape[1]))).sum(axis=1)
+        return pd.Series(keys, dtype="int64")
+
+    from ..functions.similarity import cosine_similarity_col
+
+    bucketed = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket_udf(F.col(vec_col)).alias("_bk")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine_similarity_col(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,90 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (native higher-order
+functions + TakeOrderedAndProject — per-partition heaps, no global sort),
+and an LSH-bucketed approximate variant as the scale path (the IVF-style
+probe: only candidate buckets are scanned).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.similarity import cosine_similarity_col
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, query: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine similarity against a literal query vector.
+
+    The query becomes a literal array (constant-folded); the score is a
+    native expression, so the scan stays whole-stage-codegen'd and column-
+    pruned; orderBy+limit compiles to TakeOrderedAndProject.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col),
+        cosine_similarity_col(F.col(vec_col), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_bucket_udf(dim: int, n_planes: int, seed: int, spark) -> "F.pandas_udf":
+    """Seeded random-hyperplane sign-bucket (shared with dedup)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, n_planes).astype("float64")
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        pl = bc.value
+        mat = np.vstack([np.asarray(v, dtype="float64") for v in vecs])
+        signs = (mat @ pl) > 0
+        return pd.Series((signs * (1 << np.arange(pl.shape[1]))).sum(axis=1), dtype="int64")
+
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: scan only buckets whose sign-key is within
+    ``probe_hamming`` bits of the query's bucket (multiprobe). At 100 TB the
+    bucketed table is written partitioned by bucket key, so this becomes
+    partition pruning — here it is a filter that AQE turns into a small scan.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dim = len(query)
+    planes = rng.randn(dim, n_planes).astype("float64")
+    qsigns = (np.asarray(query, dtype="float64") @ planes) > 0
+    qkey = int((qsigns * (1 << np.arange(n_planes))).sum())
+
+    probe_keys = {qkey}
+    if probe_hamming >= 1:
+        probe_keys |= {qkey ^ (1 << b) for b in range(n_planes)}
+    if probe_hamming >= 2:
+        for b1 in range(n_planes):
+            for b2 in range(b1 + 1, n_planes):
+                probe_keys.add(qkey ^ (1 << b1) ^ (1 << b2))
+
+    bucket = hyperplane_bucket_udf(dim, n_planes, seed, df.sparkSession)
+    bucketed = df.withColumn("_bk", bucket(F.col(vec_col)))
+    candidates = bucketed.where(F.col("_bk").isin(sorted(probe_keys)))
+    return brute_force_topk(candidates, vec_col, query, k, id_col)

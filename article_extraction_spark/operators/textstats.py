@@ -1,0 +1,95 @@
+"""Text-analysis operators for training-data pipelines (all native
+expressions — no Python boundary in the hot path).
+
+Language-ID n-gram/stopword heuristic, quality scoring (length/punct/
+stopword ratios), token counting (whitespace + BPE-ish regex), document
+fingerprinting. These generalize the reference's text-diagnosis tooling
+(reference diagnosis/nb_token_papers.py:42-74 token counting) to corpus
+curation at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny public stopword marker sets per language (heuristic language ID)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+_EN_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "as", "with", "was", "at", "by", "an", "be", "this", "are",
+]
+
+
+def token_count_col(c: Column) -> Column:
+    """Whitespace token count; 0 for empty/NULL."""
+    t = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count_col(c: Column) -> Column:
+    """BPE-ish subword proxy: count word-pieces + digits + punctuation runs
+    (a GPT-2-style pre-tokenizer regex, public knowledge)."""
+    t = F.coalesce(c, F.lit(""))
+    pieces = F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"), 0)
+    # long words split roughly every 4 chars (subword proxy)
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + F.ceil(F.length(p) / F.lit(4.0)).cast("int"),
+    )
+
+
+def punct_ratio_col(c: Column) -> Column:
+    t = F.coalesce(c, F.lit(""))
+    n = F.length(t)
+    punct = n - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def stopword_ratio_col(c: Column, stopwords: list[str] | None = None) -> Column:
+    words = F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+")
+    sw = F.array(*[F.lit(w) for w in (stopwords or _EN_STOPWORDS)])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    total = F.size(words)
+    return F.when(total == 0, F.lit(0.0)).otherwise(hits.cast("double") / total)
+
+
+def quality_score_col(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme length, high punct
+    density, and stopword-free (non-linguistic) text. Deterministic, native."""
+    n = F.length(F.coalesce(c, F.lit("")))
+    length_score = F.when(n < 20, n / F.lit(20.0)).when(n > 20000, F.lit(0.5)).otherwise(F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio_col(c) * 4)
+    sw = stopword_ratio_col(c)
+    sw_score = F.when(sw > 0.15, F.lit(1.0)).otherwise(sw / F.lit(0.15))
+    return F.round(length_score * punct_pen * (F.lit(0.5) + F.lit(0.5) * sw_score), 6)
+
+
+def lang_guess_col(c: Column) -> Column:
+    """Stopword-marker language ID: pick the language with the most marker
+    hits; 'und' when nothing matches. greatest(struct(hits, lang)) keeps the
+    whole decision in one codegen'd expression."""
+    words = F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+")
+    scored = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint_col(c: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the normalized text
+    (lower, collapse non-alnum). Portable across engines (exact-dup key)."""
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"[^a-z0-9]+", " "), r"\s+", " ")
+    )
+    return F.md5(norm.cast("binary"))

@@ -1,0 +1,108 @@
+"""Tests for splits, aggregates, and fuzzy joins (SURVEY.md §2.3-2.6)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from article_extraction_spark.operators import (
+    cumulative_mean,
+    descriptive_stats,
+    deterministic_split,
+    fuzzy_match_country,
+    fuzzy_match_hardware,
+    latest_per_group,
+    top_k,
+)
+from article_extraction_spark.operators.aggregates import aggregate_answers, top_k_per_group
+
+
+def test_deterministic_split_exact_counts_and_stability(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = deterministic_split(df, "id", train=0.2, test=0.7, dev=0.1, seed=42)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts == {"train": 200, "test": 700, "dev": 100}
+    # identical assignment regardless of partitioning
+    out2 = deterministic_split(df.repartition(13), "id", train=0.2, test=0.7, dev=0.1, seed=42)
+    a = {r["id"]: r["split"] for r in out.collect()}
+    b = {r["id"]: r["split"] for r in out2.collect()}
+    assert a == b
+
+
+def test_latest_per_group(spark):
+    df = spark.createDataFrame(
+        [("fr", 2020, 50.0), ("fr", 2023, 40.0), ("de", 2021, 300.0)],
+        "country string, year int, g double",
+    )
+    got = {r["country"]: (r["year"], r["g"]) for r in latest_per_group(df, "country", "year").collect()}
+    assert got == {"fr": (2023, 40.0), "de": (2021, 300.0)}
+
+
+def test_descriptive_stats(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "v double")
+    row = descriptive_stats(df, "v").first()
+    assert row["n"] == 10 and row["mean"] == 5.5 and row["median"] == 5.5
+    assert row["min"] == 1.0 and row["max"] == 10.0
+    assert math.isclose(row["std_pop"], 2.8722813232690143)
+
+
+def test_top_k_and_per_group(spark):
+    df = spark.createDataFrame([(g, v) for g in "ab" for v in range(10)], "g string, v int")
+    top = top_k(df, F.col("v"), 3).collect()
+    assert sorted(r["v"] for r in top) == [8, 9, 9]
+    per = top_k_per_group(df, "g", F.col("v"), 2)
+    assert per.count() == 4
+    assert {r["v"] for r in per.collect()} == {8, 9}
+
+
+def test_aggregate_answers_modes(spark):
+    df = spark.createDataFrame(
+        [("q1", "short", 0.9), ("q1", "the longest answer", 0.2), ("q1", "mid", 0.5)],
+        "q string, ans string, score double",
+    )
+    assert aggregate_answers(df, "q", "ans", "score", "best").first()["answer"] == "short"
+    assert aggregate_answers(df, "q", "ans", "score", "longest").first()["answer"] == "the longest answer"
+    assert aggregate_answers(df, "q", "ans", "score", "concat").first()["answer"] == "short mid the longest answer"
+
+
+def test_cumulative_mean(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 5)], "i int, v double")
+    got = [r["cum_mean"] for r in cumulative_mean(df, "i", "v").orderBy("i").collect()]
+    assert got == [1.0, 1.5, 2.0, 2.5]
+
+
+COUNTRIES = [(1, "France"), (2, "Germany"), (3, "Korea (Republic of)"), (4, "United States of America")]
+HARDWARE = [
+    (1, "NVIDIA A100 SXM4 80 GB", 312.0, 0.4),
+    (2, "NVIDIA V100", 125.0, 0.3),
+    (3, "Google TPU v4", 275.0, 0.192),
+]
+
+
+def test_fuzzy_match_country(spark):
+    dim = spark.createDataFrame(COUNTRIES, "id_country int, country string")
+    df = spark.createDataFrame(
+        [("South Korea",), ("Germany / France",), ("USA",), ("united states",), (None,), ("Multinational",)],
+        "t string",
+    )
+    got = [r["id_country"] for r in fuzzy_match_country(df, "t", dim).collect()]
+    # "south korea" → alias → "korea republic of" ~ "korea republic of" (JW best)
+    assert got[0] == 3
+    assert got[1] == 2  # first token exact-containment wins argmin order
+    assert got[3] == 4  # "united states" contained in "united states of america"
+    assert got[4] is None and got[5] is None
+
+
+def test_fuzzy_match_hardware_threshold(spark):
+    dim = spark.createDataFrame(HARDWARE, "id_hardware int, hardware string, compute double, power double")
+    df = spark.createDataFrame(
+        [("NVIDIA A100",), ("tpu v4",), ("abacus hand-crank",), (None,)], "t string"
+    )
+    out = fuzzy_match_hardware(df, "t", dim).collect()
+    assert out[0]["id_hardware"] == 1 and out[0]["h_compute"] == 312.0
+    assert out[0]["hw_similarity"] == 1.0  # containment
+    assert out[1]["id_hardware"] == 3
+    assert out[2]["id_hardware"] is None  # below 0.90 threshold → nulled
+    assert out[2]["hw_similarity"] is not None and out[2]["hw_similarity"] < 0.9
+    assert out[3]["id_hardware"] is None

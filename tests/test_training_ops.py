@@ -1,0 +1,136 @@
+"""Tests for training-data operators: dedup, similarity search, text stats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different content about spark partitions and shuffle behavior"),
+    (5, "el rio la casa de que los gatos el la de que los"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    from article_extraction_spark.operators.dedup import exact_duplicates
+
+    got = exact_duplicates(_docs(spark), "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0]["n_dups"] == 2 and got[0]["doc_ids"] == [1, 2]
+
+
+def test_minhash_near_dups(spark):
+    from article_extraction_spark.operators.dedup import minhash_dedup
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             minhash_dedup(_docs(spark), "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_simhash_near_dups(spark):
+    from article_extraction_spark.operators.dedup import simhash_col, simhash_near_duplicates
+
+    df = _docs(spark)
+    sims = {r["doc_id"]: r["sh"] for r in df.select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()}
+    assert sims[1] == sims[2]  # identical text → identical simhash
+    got = {(r["id_a"], r["id_b"]) for r in
+           simhash_near_duplicates(df, "doc_id", "text", max_hamming=6).collect()}
+    assert (1, 2) in got and (1, 3) in got
+
+
+def test_embedding_near_dups(spark):
+    from article_extraction_spark.operators.dedup import embedding_near_duplicates
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),  # near-identical direction
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_duplicates(df, "vec_id", "v", threshold=0.99, n_planes=6).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (3, 4) not in got
+
+
+def test_brute_force_and_lsh_topk(spark):
+    from article_extraction_spark.operators.similarity_search import brute_force_topk, lsh_topk
+
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    query = vecs[0][1]
+    exact = [r["vec_id"] for r in brute_force_topk(df, "v", query, k=5).collect()]
+    assert exact[0] == 0  # self-similarity = 1.0 tops the list
+    approx = [r["vec_id"] for r in lsh_topk(df, "v", query, k=5, n_planes=6, probe_hamming=2).collect()]
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 2  # decent recall on easy data
+
+
+def test_textstats(spark):
+    from article_extraction_spark.operators.textstats import (
+        bpe_ish_token_count_col,
+        fingerprint_col,
+        lang_guess_col,
+        punct_ratio_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    df = _docs(spark).withColumn("t", F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        token_count_col(F.col("t")).alias("tok"),
+        bpe_ish_token_count_col(F.col("t")).alias("bpe"),
+        punct_ratio_col(F.col("t")).alias("punct"),
+        quality_score_col(F.col("t")).alias("q"),
+        lang_guess_col(F.col("t")).alias("lang"),
+        fingerprint_col(F.col("t")).alias("fp"),
+    ).collect()}
+    assert out[1]["tok"] == 14
+    assert out[1]["bpe"] >= out[1]["tok"]  # subwords ≥ words
+    assert out[1]["punct"] == 0.0
+    assert out[1]["lang"] == "en"
+    assert out[5]["lang"] == "es"
+    assert out[1]["fp"] == out[2]["fp"] and out[1]["fp"] != out[3]["fp"]
+    assert 0.0 <= out[4]["q"] <= 1.0
+    # empty / null robustness
+    edge = spark.createDataFrame([("",), (None,)], "t string")
+    got = edge.select(token_count_col(F.col("t")).alias("tok"), lang_guess_col(F.col("t")).alias("lg")).collect()
+    assert [r["tok"] for r in got] == [0, 0]
+    assert [r["lg"] for r in got] == ["und", "und"]
+
+
+def test_multimodal_plumbing(spark):
+    from article_extraction_spark.operators.multimodal import extract_media_features, frame_sample_plan
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x89PNG fake"), "image/png", 4, 4, None),
+            (2, "video", bytearray(b"\x00\x00ftyp fake"), "video/mp4", None, None, 3500),
+            (3, "audio", None, None, None, None, 1000),
+        ],
+        "media_id long, kind string, payload binary, mime string, width int, height int, duration_ms int",
+    )
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert feats[1]["n_bytes"] == 9 and len(feats[1]["feature"]) == 8
+    assert feats[3]["content_hash"] is None and feats[3]["n_bytes"] == 0
+    # deterministic: same payload → same hash/feature
+    feats2 = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert feats2[1]["content_hash"] == feats[1]["content_hash"]
+    assert list(feats2[1]["feature"]) == list(feats[1]["feature"])
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r["frame_idx"], r["ts_ms"]) for r in frames] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
