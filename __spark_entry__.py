@@ -178,7 +178,7 @@ def q_parse_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7: numeric-suffix parsing ('123k' → 123000.0)."""
     from article_extraction_spark.functions import parse_numeric_col
 
-    li = _t(spark, sf_dir, "lineitem").limit(5000)
+    li = _t(spark, sf_dir, "lineitem")
     raw = F.concat(F.col("l_quantity").cast("int").cast("string"), F.lit("k"))
     return li.select(
         "l_orderkey", "l_linenumber", parse_numeric_col(raw).alias("parsed_qty")
@@ -189,7 +189,7 @@ def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/F6: coerce-to-NULL year + boolean word-map."""
     from article_extraction_spark.functions import to_boolean_col, to_year_col
 
-    o = _t(spark, sf_dir, "orders").limit(5000)
+    o = _t(spark, sf_dir, "orders")
     flag_raw = F.when(F.col("o_orderkey") % 2 == 0, F.lit("Yes")).otherwise(F.lit("junk"))
     return o.select(
         "o_orderkey",
@@ -472,13 +472,13 @@ def oracle_sql() -> dict[str, str]:
         "parse_numeric": """
             SELECT l_orderkey, l_linenumber,
                    cast(cast(l_quantity AS INTEGER) AS DOUBLE) * 1000 AS parsed_qty
-            FROM (SELECT * FROM lineitem LIMIT 5000)
+            FROM lineitem
         """,
         "casts": """
             SELECT o_orderkey,
                    year(o_orderdate) AS order_year,
                    CASE WHEN o_orderkey % 2 = 0 THEN true ELSE NULL END AS flag
-            FROM (SELECT * FROM orders LIMIT 5000)
+            FROM orders
         """,
         "normalize_text": """
             SELECT p_partkey,

@@ -241,15 +241,20 @@ def to_text(document_type: str | None, document: str | bytes | None) -> tuple[st
 # sniffed before html so markup embedded in JSON strings doesn't misfire
 _HTML_SNIFF_RE = re.compile(r"(?is)<(?:!doctype\s+html|/?[a-z][a-z0-9]*)[\s>/]")
 
+# content sniffing looks at a bounded prefix only (classify cost must not
+# scale with payload size; must match udfs.classify_payload_col)
+SNIFF_PREFIX = 512
+
 
 def classify_payload(text: str | None) -> str:
     if text is None:
         return "txt"
-    if text.startswith("%PDF-") or text.startswith(_B64_PDF_PREFIX):
+    head = text[:SNIFF_PREFIX]
+    if head.startswith("%PDF-") or head.startswith(_B64_PDF_PREFIX):
         return "pdf"
-    stripped = text.lstrip()
+    stripped = head.lstrip()
     if stripped[:1] in ("{", "["):
         return "json"
-    if _HTML_SNIFF_RE.search(text):
+    if _HTML_SNIFF_RE.search(head):
         return "html"
     return "txt"

@@ -15,7 +15,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .core import to_text
+from .core import SNIFF_PREFIX, to_text
 
 _EXTRACT_RESULT_TYPE = T.StructType(
     [
@@ -57,12 +57,18 @@ def classify_payload_col(text: Column) -> Column:
     """Native-expression payload-kind sniffing (S2 analog, reference
     tables/paper_document_table.py:60-70) — whole-stage-codegen friendly,
     no Python boundary. Must agree with core.classify_payload.
+
+    Sniffs only the first SNIFF_PREFIX chars: regex-scanning full multi-KB
+    payloads dominated the classify stage at bench scale, and content
+    sniffing is a prefix property (a document whose first markup appears
+    beyond the prefix is effectively text-leading anyway).
     """
-    stripped = F.ltrim(text)
+    head = F.substring(text, 1, SNIFF_PREFIX)
+    stripped = F.ltrim(head)
     return (
         F.when(text.isNull(), F.lit("txt"))
         .when(
-            text.startswith("%PDF-") | text.startswith("JVBERi0"),
+            head.startswith("%PDF-") | head.startswith("JVBERi0"),
             F.lit("pdf"),
         )
         .when(
@@ -70,7 +76,7 @@ def classify_payload_col(text: Column) -> Column:
             F.lit("json"),
         )
         .when(
-            text.rlike(r"(?is)<(?:!doctype\s+html|/?[a-z][a-z0-9]*)[\s>/]"),
+            head.rlike(r"(?is)<(?:!doctype\s+html|/?[a-z][a-z0-9]*)[\s>/]"),
             F.lit("html"),
         )
         .otherwise(F.lit("txt"))

@@ -210,3 +210,52 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str, convs: int = 50
         F.lit(None).cast("string").alias("tool"),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
     )
+
+
+def amplified_transcripts(
+    spark: SparkSession, sf_dir: str, reps: int = 40, convs: int = 2000, text_reps: int = 3
+) -> DataFrame:
+    """Bench corpus: documents × reps turns, Spark-native and deterministic.
+
+    Each (doc, rep) becomes a turn whose payload wraps the doc text
+    (repeated ``text_reps``× for realistic payload sizes) as html/txt/json
+    keyed by (doc_id + rep) % 3. Turn count = |documents| · reps.
+    """
+    # a small parquet is a single input split; spread BEFORE the 40× explode
+    # or the whole amplified corpus lives in one partition and every
+    # downstream stage starts from a serial scan
+    par = spark.sparkContext.defaultParallelism * 2
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par, "doc_id")
+    fat = F.concat_ws(" ", F.array_repeat(F.col("text"), text_reps))
+    exploded = docs.select(
+        "doc_id", fat.alias("t"), F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep")
+    )
+    key = F.col("doc_id") * reps + F.col("rep")
+    # extraction corpora are markup-dominated (the reference corpus is
+    # html/pdf articles): ~70% html, 15% txt, 15% json
+    mix = (F.col("doc_id") + F.col("rep")) % 10
+    kind = F.when(mix < 7, 0).when(mix < 9, 1).otherwise(2)
+    payload = (
+        F.when(
+            kind == 0,
+            F.concat(
+                F.lit("<html><head><title>x</title></head><body><nav>menu</nav><p>"),
+                F.col("t"),
+                F.lit("</p><p>rep "),
+                F.col("rep").cast("string"),
+                F.lit("</p><footer>f</footer></body></html>"),
+            ),
+        )
+        .when(kind == 1, F.col("t"))
+        .otherwise(F.to_json(F.struct(F.col("t").alias("text"), F.col("rep").alias("rep"))))
+    )
+    return exploded.select(
+        F.concat(F.lit("conv-"), F.lpad((key % convs).cast("string"), 7, "0")).alias("conv_id"),
+        (key / convs).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")), (key % 3 + 1).cast("int")
+        ).alias("role"),
+        payload.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )

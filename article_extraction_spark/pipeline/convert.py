@@ -29,11 +29,18 @@ def convert_transcripts(
     num_partitions: int | None = None,
     salt: int = 0,
     drop_empty: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extracted turns.
 
     Output schema: EXTRACTED_TURNS_SCHEMA (conv_id, turn_idx, doc_kind,
     extracted_text, spans, n_source_bytes, n_extracted_chars).
+
+    ``spread=True`` salted-repartitions on (conv_id, turn_idx) — required
+    when the source partitioning correlates with conv_id (Iceberg
+    bucket(conv_id) tables, the 10^12-turn deployment) so mega-conversations
+    can't straggle one task. For a source already uniformly partitioned,
+    pass spread=False and save the full-payload shuffle.
     """
     if num_partitions is None:
         num_partitions = byte_balanced_partitions(transcripts)
@@ -44,18 +51,49 @@ def convert_transcripts(
         "text",
         classify_payload_col(F.col("text")).alias("doc_kind"),
     )
-    spread = salted_repartition(classified, num_partitions, "conv_id", "turn_idx", salt=salt)
+    base = ["conv_id", "turn_idx", "doc_kind"]
+    src_bytes = F.octet_length("text").cast("long").alias("n_source_bytes")
 
-    extracted = spread.withColumn(
+    # Only html/pdf genuinely need the Python kernel. txt/json are IDENTITY
+    # transforms on parquet strings (parquet strings are valid UTF-8, so
+    # decode('utf-8','ignore') — reference paper_text_table.py:91-104 — is a
+    # no-op), and routing them through Arrow would ship the full payload to
+    # Python and back: measured serialization-bound and ANTI-scaling with
+    # worker count. Native path keeps them JVM-side, byte-identical.
+    needs_py = classified.where(F.col("doc_kind").isin("html", "pdf"))
+    passthrough = classified.where(~F.col("doc_kind").isin("html", "pdf"))
+
+    if spread:
+        # salt-repartition ONLY the Python-bound branch: that's where task
+        # imbalance hurts (per-row parse cost), and shuffling just html/pdf
+        # payloads instead of the whole corpus cuts shuffle bytes ~3× —
+        # the shuffle is bandwidth-bound, i.e. a fixed cost that does not
+        # parallelize away. The native branch is uniform per-row cheap.
+        needs_py = salted_repartition(needs_py, num_partitions, "conv_id", "turn_idx", salt=salt)
+
+    py_out = needs_py.withColumn(
         "_res", to_text_udf(F.col("doc_kind"), F.col("text"))
     ).select(
-        "conv_id",
-        "turn_idx",
-        "doc_kind",
+        *base,
         F.col("_res.extracted_text").alias("extracted_text"),
         F.col("_res.spans").alias("spans"),
-        F.octet_length("text").cast("long").alias("n_source_bytes"),
+        src_bytes,
     )
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    native_text = F.when(F.col("doc_kind").isin("txt", "json"), txt).otherwise(F.lit(""))
+    native_spans = F.when(
+        F.col("doc_kind").isin("txt", "json") & (F.length(txt) > 0),
+        F.array(F.struct(F.lit(0).alias("start"), F.length(txt).alias("end"))),
+    ).otherwise(F.array().cast("array<struct<start:int,end:int>>"))
+    nat_out = passthrough.select(
+        *base,
+        native_text.alias("extracted_text"),
+        native_spans.alias("spans"),
+        src_bytes,
+    )
+
+    extracted = py_out.unionByName(nat_out)
 
     extracted = extracted.withColumn(
         "n_extracted_chars", F.length("extracted_text").cast("long")

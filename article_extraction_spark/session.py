@@ -74,6 +74,10 @@ def get_spark(
         # binary/text payloads can be large; raise Arrow batch sanity limit
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     )
+    # tmpfs shuffle/spill dirs when available: local-mode disk shuffle
+    # contends badly under many threads (on a real cluster: NVMe local dirs)
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Every query is forced end-to-end through the noop sink (full computation, no
+collect overhead). The flagship extraction stage also reports turns/sec —
+the BASELINE.json metric. Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by tools/bench_scaling.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from article_extraction_spark.session import get_spark  # noqa: E402
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "40"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    from article_extraction_spark.fixtures.synth import amplified_transcripts
+    from article_extraction_spark.pipeline import convert_transcripts
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- flagship: extraction stage over the amplified transcript corpus ---
+    transcripts = amplified_transcripts(spark, sf_dir, reps=reps)
+    transcripts = transcripts.persist()
+    n_turns = transcripts.count()  # materialize input outside the timed span
+
+    t0 = time.perf_counter()
+    _force(convert_transcripts(transcripts, num_partitions=cpus * 2))
+    dt = time.perf_counter() - t0
+    timings["extract_transcripts"] = round(dt, 3)
+    extras["extract_turns"] = n_turns
+    extras["extract_turns_per_sec"] = round(n_turns / dt, 1)
+    transcripts.unpersist()
+
+    # --- headline operator queries (driver-contract surface) ---
+    qs = entry.queries()
+    for name in [
+        "convert_html",
+        "left_join_counts",
+        "latest_order_per_customer",
+        "desc_stats",
+        "topk_orders",
+        "cumulative_mean",
+        "parse_numeric",
+        "token_counts",
+        "fingerprint",
+        "cosine_topk",
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "media_features",
+    ]:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "extras": extras,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
