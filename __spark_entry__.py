@@ -378,6 +378,128 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
 
 
+def q_char_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: char windowing with stride, fanned out via posexplode."""
+    from article_extraction_spark.extraction.windows import explode_windows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return explode_windows(docs, "text", window=200, stride=100)
+
+
+def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: token windowing (worker-cached tokenizer). Rows-only check."""
+    from article_extraction_spark.extraction.windows import explode_windows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return explode_windows(docs, "text", window=20, stride=10, by_chars=False)
+
+
+def q_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/E9: registry extractor over planted key:value text, one Arrow pass
+    for all fields, numeric coercion per reference (parse_numeric → int)."""
+    from article_extraction_spark.extraction import extract_fields
+
+    o = _t(spark, sf_dir, "orders")
+    planted = F.concat(
+        F.lit("model: M"), F.col("o_orderkey").cast("string"),
+        F.lit(" parameters: "), (F.col("o_custkey") % 100).cast("string"), F.lit("k"),
+        F.lit(" gpus: "), (F.col("o_orderkey") % 512 + 1).cast("string"),
+        F.lit(" year: "), (F.lit(2000) + F.col("o_custkey") % 20).cast("string"),
+        F.lit(" hardware: HW "), (F.col("o_orderkey") % 5).cast("string"), F.lit("."),
+    )
+    df = o.select("o_orderkey", planted.alias("text"))
+    out = extract_fields(df, "text", extractor="regex")
+    return out.select(
+        "o_orderkey",
+        F.col("extracted.model").alias("model"),
+        F.col("extracted.parameters").alias("parameters"),
+        F.col("extracted.h_number").alias("h_number"),
+        F.col("extracted.year").alias("year"),
+        F.col("extracted.hardware_text").alias("hardware_text"),
+    )
+
+
+def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: Jaro-Winkler over nation×region names (DuckDB twin verified to
+    agree with the textbook formulation)."""
+    from article_extraction_spark.functions import jaro_winkler_udf
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.crossJoin(r).select(
+        "n_name", "r_name", F.round(jaro_winkler_udf("n_name", "r_name"), 6).alias("jw")
+    )
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: MERGE emulation as a plan — dest rows whose key is absent from
+    src (left_anti) ∪ src (update-else-insert semantics)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    src = c.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") * 2).alias("c_acctbal")
+    )
+    kept = c.join(src.select("c_custkey"), "c_custkey", "left_anti")
+    return kept.unionByName(src)
+
+
+def q_physics_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: guarded physics derivations (hours → kWh → co2eq)."""
+    from article_extraction_spark.extraction import complete_informations
+
+    o = _t(spark, sf_dir, "orders")
+    info = o.select(
+        F.col("o_orderkey").alias("id_paper"),
+        F.lit(None).cast("double").alias("training_time_hours"),
+        (F.col("o_totalprice") * F.lit(1e15)).alias("training_compute"),
+        F.lit(300.0).alias("h_compute"),
+        F.lit(0.4).alias("h_power"),
+        (F.col("o_orderkey") % 8 + 1).cast("int").alias("h_number"),
+        (F.col("o_custkey") % 3).cast("int").alias("id_country"),
+    )
+    factors = spark.createDataFrame([(0, 415.0), (1, 50.0)], "id_country int, gco2_kwh double")
+    out = complete_informations(info, factors)
+    return out.select(
+        "id_paper",
+        F.round("training_time_hours", 6).alias("hours_r"),
+        F.round("energy_kwh", 6).alias("kwh_r"),
+        F.round("co2eq", 6).alias("co2_r"),
+    )
+
+
+def q_eval_char_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 eval job: char metrics + per-group summary over constructed
+    prediction/gold pairs."""
+    from article_extraction_spark.eval_metrics import char_metrics
+    from article_extraction_spark.functions.textnorm import normalise_cell_col
+
+    n = _t(spark, sf_dir, "nation")
+    pairs = n.crossJoin(_t(spark, sf_dir, "region")).select(
+        (F.col("n_nationkey") % 3).cast("int").alias("category"),
+        F.col("n_name").alias("predicted"),
+        F.col("r_name").alias("true"),
+    )
+    scored = char_metrics(pairs, "predicted", "true").withColumn(
+        "exact",
+        (normalise_cell_col(F.col("predicted")) == normalise_cell_col(F.col("true"))).cast("int"),
+    )
+    return scored.groupBy("category").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("levenshtein"), 6).alias("mean_lev"),
+        F.round(F.avg("jaro_winkler"), 6).alias("mean_jw"),
+        F.round(F.avg("exact"), 6).alias("exact_rate"),
+    )
+
+
+def q_encode_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: dedupe-before-encode embedding (memo cache as a join).
+    Rows-only check (fake encoder)."""
+    from article_extraction_spark.extraction import encode_texts_deduped
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = encode_texts_deduped(docs, "lang")
+    return out.select("doc_id", F.size("embedding").alias("dim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "convert_html": q_convert_html,
@@ -407,6 +529,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "lsh_topk": q_lsh_topk,
+        "char_windows": q_char_windows,
+        "token_windows": q_token_windows,
+        "extract_fields": q_extract_fields,
+        "jaro_winkler": q_jaro_winkler,
+        "upsert_merge": q_upsert_merge,
+        "physics_complete": q_physics_complete,
+        "eval_char_summary": q_eval_char_summary,
+        "encode_dedupe": q_encode_dedupe,
     }
 
 
@@ -550,7 +680,63 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_hash
             FROM documents
         """,
-        # minhash_near_dups / simhash_near_dups / embedding_near_dups /
-        # lsh_topk: non-SQL-expressible (LSH banding / bit arithmetic /
-        # approximate probing) → rows-only checks.
+        "char_windows": """
+            SELECT doc_id,
+                   cast(i AS INTEGER) AS window_idx,
+                   substring(text, cast(i AS INTEGER) * 100 + 1, 200) AS window_text
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(0, CASE WHEN length(text) <= 200 THEN 1
+                                  ELSE cast(ceil((length(text) - 200) / 100.0) AS INTEGER) + 1 END)) AS i
+                FROM documents
+            )
+        """,
+        "extract_fields": """
+            SELECT o_orderkey,
+                   'M' || cast(o_orderkey AS VARCHAR) AS model,
+                   cast((o_custkey % 100) * 1000 AS BIGINT) AS parameters,
+                   cast(o_orderkey % 512 + 1 AS BIGINT) AS h_number,
+                   cast(2000 + o_custkey % 20 AS BIGINT) AS year,
+                   'HW ' || cast(o_orderkey % 5 AS VARCHAR) AS hardware_text
+            FROM orders
+        """,
+        "jaro_winkler": """
+            SELECT n_name, r_name, round(jaro_winkler_similarity(n_name, r_name), 6) AS jw
+            FROM nation CROSS JOIN region
+        """,
+        "upsert_merge": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+            FROM customer
+        """,
+        "physics_complete": """
+            SELECT o_orderkey AS id_paper,
+                   round((o_totalprice * 1e15) / (((cast(o_orderkey % 8 + 1 AS INTEGER) * 300.0) * 1e12) * 0.30) / 3600.0, 6) AS hours_r,
+                   round((0.4 * cast(o_orderkey % 8 + 1 AS INTEGER))
+                         * ((o_totalprice * 1e15) / (((cast(o_orderkey % 8 + 1 AS INTEGER) * 300.0) * 1e12) * 0.30) / 3600.0)
+                         * 1.20, 6) AS kwh_r,
+                   CASE WHEN o_custkey % 3 = 0 THEN
+                        round(((0.4 * cast(o_orderkey % 8 + 1 AS INTEGER))
+                              * ((o_totalprice * 1e15) / (((cast(o_orderkey % 8 + 1 AS INTEGER) * 300.0) * 1e12) * 0.30) / 3600.0)
+                              * 1.20) * (415.0 / 1000.0), 6)
+                        WHEN o_custkey % 3 = 1 THEN
+                        round(((0.4 * cast(o_orderkey % 8 + 1 AS INTEGER))
+                              * ((o_totalprice * 1e15) / (((cast(o_orderkey % 8 + 1 AS INTEGER) * 300.0) * 1e12) * 0.30) / 3600.0)
+                              * 1.20) * (50.0 / 1000.0), 6)
+                        ELSE NULL END AS co2_r
+            FROM orders
+        """,
+        "eval_char_summary": """
+            SELECT cast(n_nationkey % 3 AS INTEGER) AS category,
+                   count(*) AS n,
+                   round(avg(levenshtein(n_name, r_name)), 6) AS mean_lev,
+                   round(avg(jaro_winkler_similarity(n_name, r_name)), 6) AS mean_jw,
+                   round(avg(CASE WHEN n_name = r_name THEN 1 ELSE 0 END), 6) AS exact_rate
+            FROM nation CROSS JOIN region
+            GROUP BY 1
+        """,
+        # token_windows / encode_dedupe / minhash_near_dups /
+        # simhash_near_dups / embedding_near_dups / lsh_topk:
+        # non-SQL-expressible (worker-cached tokenizer, fake encoder, LSH
+        # banding / bit arithmetic / approximate probing) → rows-only checks.
     }

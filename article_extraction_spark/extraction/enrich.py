@@ -1,0 +1,84 @@
+"""The run.py extraction query as one Spark plan (reference run.py:27-38 →
+paper_information_table.py:200-272 extract_informations_from_text_per_cell +
+complete_informations :275-354).
+
+Reference shape: row-at-a-time, per-cell commits. Engine shape: one
+extraction pass (struct UDF), one fuzzy hardware broadcast join (threshold
+0.90), one country join, then physics completion as guarded column
+arithmetic — all lazily composed, written once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.physics import co2eq_col, energy_kwh_col, training_time_hours_col
+from ..operators.joins import fuzzy_match_country, fuzzy_match_hardware
+from .registry import extract_fields
+
+
+def extract_informations(
+    texts: DataFrame,
+    hardware_dim: DataFrame | None = None,
+    country_dim: DataFrame | None = None,
+    extractor: str = "regex",
+    id_col: str = "id_paper",
+    text_col: str = "text",
+    window_tokens: int = 0,
+    stride_tokens: int = 0,
+) -> DataFrame:
+    """texts(id, text) → paper_information-shaped rows.
+
+    Fields (model, parameters, h_number, year, hardware_text) in one UDF
+    pass; hardware_text then drives the J4 fuzzy join (reference :248-267),
+    country (when a country column is present post-extraction) the J3 join.
+    """
+    extracted = extract_fields(
+        texts, text_col, extractor=extractor, window_tokens=window_tokens, stride_tokens=stride_tokens
+    ).select(
+        F.col(id_col),
+        F.col("extracted.model").alias("model"),
+        F.col("extracted.parameters").alias("parameters"),
+        F.col("extracted.h_number").cast("int").alias("h_number"),
+        F.col("extracted.year").cast("int").alias("year"),
+        F.col("extracted.hardware_text").alias("hardware_text"),
+    )
+    if hardware_dim is not None:
+        extracted = fuzzy_match_hardware(extracted, "hardware_text", hardware_dim)
+    if country_dim is not None:
+        extracted = fuzzy_match_country(extracted, "model", country_dim)
+    return extracted
+
+
+def complete_informations(
+    info: DataFrame,
+    country_factors: DataFrame | None = None,
+) -> DataFrame:
+    """Physics completion (reference complete_informations :305-349):
+
+      * training_time_hours derived ONLY when absent and all inputs positive
+      * energy: power_draw (W, whole system) wins over h_power (kW/device)×n
+      * co2eq derived ONLY when absent and the country factor exists (≥0)
+
+    ``country_factors``: (id_country, gco2_kwh) — broadcast dimension lookup
+    (reference _load_country_emission_factors :604-614).
+    """
+    derived_hours = training_time_hours_col(
+        F.col("training_compute"), F.col("h_compute"), F.col("h_number")
+    )
+    out = info.withColumn(
+        "training_time_hours",
+        F.coalesce(F.col("training_time_hours"), derived_hours),
+    )
+    power_draw = F.col("power_draw") if "power_draw" in info.columns else F.lit(None).cast("double")
+    out = out.withColumn(
+        "energy_kwh",
+        energy_kwh_col(F.col("training_time_hours"), power_draw, F.col("h_power"), F.col("h_number")),
+    )
+    if country_factors is not None and "id_country" in out.columns:
+        out = out.join(F.broadcast(country_factors), "id_country", "left")
+        co2 = co2eq_col(F.col("energy_kwh"), F.col("gco2_kwh"))
+        existing = F.col("co2eq") if "co2eq" in info.columns else F.lit(None).cast("double")
+        out = out.withColumn("co2eq", F.coalesce(existing, co2)).drop("gco2_kwh")
+    return out

@@ -1,0 +1,1 @@
+from .ingest import run_available_now, streaming_extract, streaming_turn_metrics  # noqa: F401

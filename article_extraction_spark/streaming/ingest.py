@@ -1,0 +1,79 @@
+"""Structured-Streaming surface (SURVEY.md §2.10).
+
+The reference is strictly batch with key-level incremental resume; its
+Spark-native generalization is a file-source stream over the transcripts
+directory with ``Trigger.AvailableNow`` — process everything present, commit
+offsets to the checkpoint, stop; the next run resumes from the checkpoint.
+That is exactly the reference's "resume from what's done" semantics with
+exactly-once bookkeeping handled by the engine instead of an anti-join.
+
+The extraction transformations are all per-row (classify + UDF), so the same
+plan builders work unchanged on a streaming DataFrame; windowed turn-rate
+metrics with a watermark handle late arrivals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extract.udfs import classify_payload_col, to_text_udf
+from ..schemas import TRANSCRIPTS_SCHEMA
+
+
+def streaming_extract(spark: SparkSession, input_dir: str) -> DataFrame:
+    """readStream over a transcripts parquet directory → extracted turns.
+
+    Row-local plan (no shuffle) — append-mode compatible.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA).format("parquet").load(input_dir)
+    )
+    classified = stream.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "text",
+        classify_payload_col(F.col("text")).alias("doc_kind"),
+    )
+    extracted = classified.withColumn(
+        "_res", to_text_udf(F.col("doc_kind"), F.col("text"))
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "doc_kind",
+        F.col("_res.extracted_text").alias("extracted_text"),
+        F.col("_res.spans").alias("spans"),
+    )
+    return extracted.where(F.length("extracted_text") > 0)
+
+
+def streaming_turn_metrics(extracted: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Windowed per-kind turn counts with late-data watermark."""
+    return (
+        extracted.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "doc_kind")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("extracted_text")).alias("chars_out"),
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, query_name: str = "extract"
+) -> None:
+    """Incremental batch: process all currently-available input, commit the
+    checkpoint, stop. Re-running picks up only NEW files — the streaming
+    twin of pipeline.checkpoint's bucket resume."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
