@@ -51,6 +51,38 @@ def extract_informations(
     return extracted
 
 
+def informations_from_epoch(
+    epoch: DataFrame,
+    country_dim: DataFrame,
+    hardware_dim: DataFrame,
+) -> DataFrame:
+    """Structured enrichment from the epoch fact table (reference
+    load_from_epoch, paper_information_table.py:100-148): clean/cast the 11
+    source columns, then the two fuzzy joins — country argmin (J3) and
+    hardware argmax with NO threshold (unlike extraction-time matching,
+    the epoch path accepts the best match unconditionally, :118-137)."""
+    from ..functions.casts import to_float_comma_col, to_int_comma_col, to_year_col
+
+    base = epoch.select(
+        F.col("id_paper"),
+        F.nullif(F.trim(F.col("model").cast("string")), F.lit("")).alias("model"),
+        F.nullif(F.trim(F.col("abstract").cast("string")), F.lit("")).alias("abstract"),
+        F.nullif(F.trim(F.col("approach").cast("string")), F.lit("")).alias("architecture"),
+        to_int_comma_col(F.col("parameters")).alias("parameters"),
+        to_float_comma_col(F.col("training_compute")).alias("training_compute"),
+        to_float_comma_col(F.col("training_power_draw_w")).alias("power_draw"),
+        to_int_comma_col(F.col("hardware_quantity")).cast("int").alias("h_number"),
+        to_year_col(F.col("publication_date")).alias("year"),
+        F.col("country_of_organization").cast("string").alias("_country_text"),
+        F.col("training_hardware").cast("string").alias("_hardware_text"),
+    )
+    with_country = fuzzy_match_country(base, "_country_text", country_dim)
+    with_hw = fuzzy_match_hardware(
+        with_country, "_hardware_text", hardware_dim, accept_below_threshold=True
+    )
+    return with_hw.drop("_country_text", "_hardware_text", "hw_similarity")
+
+
 def complete_informations(
     info: DataFrame,
     country_factors: DataFrame | None = None,
