@@ -37,7 +37,7 @@ _EXTRACT_RESULT_TYPE = T.StructType(
 
 
 @F.pandas_udf(_EXTRACT_RESULT_TYPE)
-def to_text_udf(doc_kind: pd.Series, payload: pd.Series) -> pd.DataFrame:
+def _to_text_udf_impl(doc_kind: pd.Series, payload: pd.Series) -> pd.DataFrame:
     """E1-E4 in one Arrow pass: (kind, payload) → (extracted_text, spans)."""
     texts: list[str] = []
     spans: list[list[dict[str, int]]] = []
@@ -51,6 +51,15 @@ def to_text_udf(doc_kind: pd.Series, payload: pd.Series) -> pd.DataFrame:
         texts.append(text)
         spans.append([{"start": s, "end": e} for s, e in sp])
     return pd.DataFrame({"extracted_text": texts, "spans": spans})
+
+
+# The extraction IS deterministic; the marking only disables filter pushdown
+# THROUGH the UDF projection. Without it, a downstream drop-empty filter is
+# pushed below the salted shuffle and Catalyst evaluates the UDF TWICE per
+# row (once pre-shuffle for the filter, once post-shuffle for the project) —
+# observed in the physical plan as two ArrowEvalPython nodes and 2× the
+# extraction cost at bench scale.
+to_text_udf = _to_text_udf_impl.asNondeterministic()
 
 
 def classify_payload_col(text: Column) -> Column:

@@ -1,0 +1,83 @@
+"""Physical-plan audits: the engine must produce the plans we designed for
+(pushdown, pruning, broadcast, TakeOrderedAndProject, no Python in native
+paths) — not just correct results (round brief: '.explain' the plan and
+iterate until it's the plan you'd want)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # only the 3 referenced columns reach the scan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate:timestamp" in plan
+
+
+def test_dim_join_is_broadcast(spark):
+    from article_extraction_spark.operators.joins import broadcast_dim_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    j = broadcast_dim_join(
+        li.select(F.col("l_suppkey").alias("n_nationkey"), "l_quantity"), nation, "n_nationkey"
+    )
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_top_k_compiles_to_take_ordered(spark):
+    from article_extraction_spark.operators import top_k
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(top_k(o.select("o_orderkey", "o_totalprice"), F.col("o_totalprice"), 10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_native_branch_has_no_python(spark):
+    """txt/json passthrough must stay JVM-side; only the html/pdf branch may
+    cross into Python (the anti-scaling fix — convert.py routing)."""
+    from article_extraction_spark.pipeline.convert import convert_transcripts
+    from article_extraction_spark.schemas import TRANSCRIPTS_SCHEMA
+
+    t = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+    out = convert_transcripts(t, num_partitions=2)
+    plan = _plan(out)
+    # exactly ONE python-eval operator (the html/pdf branch), none for native
+    assert plan.count("ArrowEvalPython") == 1
+    # and the union has a pure-projection second branch
+    assert "Union" in plan
+
+
+def test_anti_join_resume_plan(spark):
+    from article_extraction_spark.pipeline.checkpoint import resume_missing_turns
+
+    a = spark.range(10).select(
+        F.col("id").cast("string").alias("conv_id"), F.lit(0).alias("turn_idx")
+    )
+    pending = resume_missing_turns(a, a.limit(3))
+    assert "LeftAnti" in _optimized(pending)
+
+
+def test_scan_count_minhash_single_signature_pass(spark):
+    """The MinHash pipeline must read the corpus through the cached shingle
+    table, not re-tokenize per band/join side: the plan references
+    InMemoryTableScan (the persist barrier)."""
+    from article_extraction_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    pairs = minhash_dedup(docs, "doc_id", "text")
+    assert "InMemoryTableScan" in _plan(pairs)
