@@ -500,6 +500,59 @@ def q_encode_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.size("embedding").alias("dim"))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (lag + conditional cumsum) + per-session stats."""
+    from article_extraction_spark.operators.sessions import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, gap_minutes=30)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union-tag + last(ignoreNulls) window (one shuffle,
+    no range explosion): each event gets the latest preceding signup value."""
+    from article_extraction_spark.operators.sessions import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = e.where(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    out = asof_join(left, right, "user_id")
+    return out.select("event_id", "user_id", F.round("value_asof", 6).alias("signup_value"))
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over lineitem flags (integral sums → exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (order year, priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(F.year("o_orderdate").alias("yr"), "o_orderpriority").rollup(
+        "yr", "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns per returnflag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+        .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "convert_html": q_convert_html,
@@ -537,6 +590,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "physics_complete": q_physics_complete,
         "eval_char_summary": q_eval_char_summary,
         "encode_dedupe": q_encode_dedupe,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "cube_agg": q_cube_agg,
+        "rollup_agg": q_rollup_agg,
+        "pivot": q_pivot,
     }
 
 
@@ -734,6 +792,46 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN n_name = r_name THEN 1 ELSE 0 END), 6) AS exact_rate
             FROM nation CROSS JOIN region
             GROUP BY 1
+        """,
+        "sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS b
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM marked
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   sum(cast(floor(value * 100) AS BIGINT)) AS value_cents,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id, round(r.value, 6) AS signup_value
+            FROM events l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   sum(cast(l_quantity AS BIGINT)) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "rollup_agg": """
+            SELECT year(o_orderdate) AS yr, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY ROLLUP (yr, o_orderpriority)
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity AS BIGINT) END) AS qty_o,
+                   sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity AS BIGINT) END) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
         """,
         # token_windows / encode_dedupe / minhash_near_dups /
         # simhash_near_dups / embedding_near_dups / lsh_topk:

@@ -106,9 +106,86 @@ def _line_starts(s: str) -> list[int]:
     return starts
 
 
+# --- fast path -------------------------------------------------------------
+# html.parser tokenizes at ~20 MB/s/core; most real documents contain none of
+# the constructs where its behavior is subtle (entities, comments, CDATA,
+# script/style/textarea/title content models, declarations). For those, a
+# C-speed regex tag scan emulates the <p>-state machine EXACTLY; anything
+# suspicious falls back to the parser. Parity is enforced by a property test
+# (tests/test_extract_core.py) comparing both paths.
+
+_FAST_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>")
+# html.parser's only CDATA content elements are script/style
+# (HTMLParser.CDATA_CONTENT_ELEMENTS); title/textarea parse as normal tags
+_FAST_UNSAFE_RE = re.compile(r"(?i)&|<[!?]|\r|<script|<style")
+
+
+def _fast_html_extract(html: str) -> tuple[str, list[Span]] | None:
+    """Regex twin of _ParagraphCollector; None ⇒ caller must use the parser."""
+    if _FAST_UNSAFE_RE.search(html):
+        return None
+    paragraphs: list[str] = []
+    spans: list[Span] = []
+    inside = False
+    chunks: list[str] = []
+    span_start = 0
+    pos = 0
+
+    def end_p(at: int) -> None:
+        nonlocal inside, chunks
+        paragraph = "".join(chunks).strip()
+        if paragraph:
+            paragraphs.append(paragraph)
+            spans.append((min(span_start, at), at))
+        inside = False
+        chunks = []
+
+    for m in _FAST_TAG_RE.finditer(html):
+        data = html[pos : m.start()]
+        if "<" in data:  # stray '<' — html.parser treats it specially
+            return None
+        if inside and data:
+            chunks.append(data)
+        closing, name, attrs, selfclose = m.groups()
+        if name.lower() == "p":
+            # the greedy attrs group may swallow the self-closing '/'
+            if not selfclose and attrs.endswith("/"):
+                if attrs == "/" or attrs[-2].isspace():
+                    selfclose, attrs = "/", attrs[:-1]
+                else:
+                    return None  # '<p x=y/>' — parser semantics subtle
+            if closing and selfclose:
+                return None  # '</p/>' — parser behavior subtle, bail out
+            if attrs and not attrs[0].isspace() and attrs[0] != "/":
+                return None  # '<p-x>' etc: parser reads a LONGER tag name
+            if closing:
+                if inside:
+                    end_p(m.start())
+            else:
+                if not inside:
+                    inside = True
+                    chunks = []
+                    span_start = m.end()
+                if selfclose and inside:
+                    # <p/> ⇒ start-then-end (html.parser handle_startendtag)
+                    end_p(m.start())
+        pos = m.end()
+    tail = html[pos:]
+    if "<" in tail:
+        return None
+    if inside and tail:
+        chunks.append(tail)
+    if not paragraphs:
+        return "", []
+    return "\n".join(paragraphs), spans
+
+
 def extract_html(data: str | bytes) -> tuple[str, list[Span]]:
     """HTML bytes/str → (joined paragraphs, spans). ``""`` if no paragraphs."""
     html = _decode_utf8_ignore(data)
+    fast = _fast_html_extract(html)
+    if fast is not None:
+        return fast
     collector = _ParagraphCollector(_line_starts(html))
     collector.feed(html)
     collector.close()

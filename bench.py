@@ -76,6 +76,9 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # dedup operators persist intermediates by design; keep per-query
+        # timings independent of accumulated cache memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

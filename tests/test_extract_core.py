@@ -101,6 +101,62 @@ def test_pdf_base64_dispatch():
     assert to_text("pdf", b64)[0] == "hello pdf\n"
 
 
+def _parser_path(html: str):
+    """Force the html.parser path (bypassing the fast regex path)."""
+    from article_extraction_spark.extract.core import _ParagraphCollector, _line_starts
+
+    c = _ParagraphCollector(_line_starts(html))
+    c.feed(html)
+    c.close()
+    return ("\n".join(c.paragraphs) if c.paragraphs else "", c.spans)
+
+
+def test_fast_path_parity_on_fixture_corpus():
+    from article_extraction_spark.extract.core import _fast_html_extract
+
+    for html, _expected in HTML_CASES:
+        fast = _fast_html_extract(html)
+        if fast is not None:
+            assert fast == _parser_path(html), html
+
+
+def test_fast_path_parity_property():
+    """Randomized parity: on every document the fast path ACCEPTS, it must
+    equal the html.parser state machine byte-for-byte (text and spans)."""
+    import random
+
+    from article_extraction_spark.extract.core import _fast_html_extract
+
+    rng = random.Random(1234)
+    pieces = [
+        "<p>", "</p>", "<P>", "</P>", "<p/>", "<p class='x'>", '<p id="a">',
+        "<div>", "</div>", "<br>", "<span>", "</span>", "<b>", "</b>",
+        "word", " ", "  ", "\n", "two words", "x,y.z", "1 2 3", "()",
+        "<p-x>", "<px>", "</p >", "<p >",
+    ]
+    accepted = 0
+    for _ in range(800):
+        doc = "".join(rng.choice(pieces) for _ in range(rng.randint(0, 25)))
+        fast = _fast_html_extract(doc)
+        if fast is None:
+            continue
+        accepted += 1
+        assert fast == _parser_path(doc), repr(doc)
+    assert accepted > 400  # the fast path must actually take most documents
+
+
+def test_fast_path_rejects_subtle_constructs():
+    from article_extraction_spark.extract.core import _fast_html_extract
+
+    for doc in [
+        "<p>a &amp; b</p>", "<!-- c --><p>x</p>", "<script><p>s</p></script>",
+        "<p>a < b</p>", "<?pi?><p>x</p>", "<p-x>y</p>",
+    ]:
+        assert _fast_html_extract(doc) is None, doc
+    # title/textarea are ordinary tags for html.parser → fast path keeps them
+    assert _fast_html_extract("<title><p>t</p></title>") == ("t", [(10, 11)])
+
+
 def test_classify_payload():
     assert classify_payload("%PDF-1.4 ...") == "pdf"
     assert classify_payload("JVBERi0xLjQK") == "pdf"

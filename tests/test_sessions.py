@@ -1,0 +1,38 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from article_extraction_spark.operators.sessions import asof_join, session_stats, sessionize
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, _ts(0), 1.0), (1, _ts(10), 2.0), (1, _ts(60), 3.0),  # gap 50 > 30 → new session
+        (2, _ts(5), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sessionize(df, gap_minutes=30)
+    got = {(r["user_id"], r["ts"].minute + r["ts"].hour * 60): r["session_id"] for r in out.collect()}
+    assert got == {(1, 0): 1, (1, 10): 1, (1, 60): 2, (2, 5): 1}
+    stats = {(r["user_id"], r["session_id"]): r["n_events"] for r in session_stats(out).collect()}
+    assert stats == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_asof_join(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, _ts(20), "b"), (1, _ts(2), "early"), (2, _ts(9), "c")],
+        "user_id long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(3), 100.0), (1, _ts(10), 200.0), (2, _ts(9), 300.0)],
+        "user_id long, ts timestamp, score double",
+    )
+    out = {r["ev"]: r["score_asof"] for r in asof_join(left, right, "user_id").collect()}
+    assert out["early"] is None        # no right row at or before ts=2
+    assert out["a"] == 100.0           # latest right ≤ 5 is ts=3
+    assert out["b"] == 200.0           # latest right ≤ 20 is ts=10
+    assert out["c"] == 300.0           # equal timestamps match (right ≤ left)
