@@ -145,6 +145,32 @@ def test_fast_path_parity_property():
     assert accepted > 400  # the fast path must actually take most documents
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _PIECES = st.sampled_from(
+        [
+            "<p>", "</p>", "<P>", "</P>", "<p/>", "<p class='x'>", "<div>", "</div>",
+            "<br>", "word", " ", "\n", "a & b", "&amp;", "<!--c-->", "x < y",
+            "<p >", "</p >", "<p-x>", "text.", "%PDF-", "{", "é",
+        ]
+    )
+
+    @given(st.lists(_PIECES, max_size=25))
+    @settings(max_examples=300, deadline=None)
+    def test_fast_path_parity_hypothesis(parts):
+        from article_extraction_spark.extract.core import _fast_html_extract
+
+        doc = "".join(parts)
+        fast = _fast_html_extract(doc)
+        if fast is not None:
+            assert fast == _parser_path(doc)
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_fast_path_rejects_subtle_constructs():
     from article_extraction_spark.extract.core import _fast_html_extract
 
