@@ -1,0 +1,51 @@
+"""Stateful streaming sessionizer: state must carry ACROSS micro-batches
+(a session straddling two batches keeps its id; a later gap opens a new one)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from article_extraction_spark.streaming.stateful import streaming_sessionize
+
+SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def _run_batch(spark, in_dir, out_dir, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    q = (
+        streaming_sessionize(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+
+def test_state_carries_across_batches(spark, tmp_path):
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    batch1 = [(1, _ts(0), 1.0), (1, _ts(10), 1.0), (2, _ts(0), 1.0)]
+    spark.createDataFrame(batch1, SCHEMA).write.mode("append").parquet(in_dir)
+    _run_batch(spark, in_dir, out_dir, ckpt)
+
+    # batch 2: user 1 event at minute 25 (gap 15 ≤ 30 → SAME session),
+    # then minute 90 (gap 65 > 30 → new session); user 2 at minute 100 → new
+    batch2 = [(1, _ts(25), 1.0), (1, _ts(90), 1.0), (2, _ts(100), 1.0)]
+    spark.createDataFrame(batch2, SCHEMA).write.mode("append").parquet(in_dir)
+    _run_batch(spark, in_dir, out_dir, ckpt)
+
+    rows = spark.read.parquet(out_dir).collect()
+    got = {(r["user_id"], r["ts"].hour * 60 + r["ts"].minute): (r["session_id"], r["n_in_session"]) for r in rows}
+    assert got[(1, 0)] == (1, 1)
+    assert got[(1, 10)] == (1, 2)
+    assert got[(1, 25)] == (1, 3)   # continues the batch-1 session
+    assert got[(1, 90)] == (2, 1)   # gap → new session
+    assert got[(2, 0)] == (1, 1)
+    assert got[(2, 100)] == (2, 1)
