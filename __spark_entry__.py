@@ -553,6 +553,40 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_qa_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: QA span extraction (windows → spans → dedup → n_best).
+    Rows-only check (deterministic keyword scorer stands in for the model)."""
+    from article_extraction_spark.extraction.qa import qa_extract
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    out = qa_extract(docs.select("doc_id", "text"), "text", ["table", "join"], window=300, stride=150)
+    return out.select(
+        "doc_id",
+        F.col("qa.answer").alias("answer"),
+        F.size("qa.candidates").alias("n_candidates"),
+    ).where(F.length("answer") > 0)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star readability scoring (text/link density, tag blocklist).
+    Rows-only check (heuristic scorer)."""
+    from article_extraction_spark.extract.readability import readability_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><body><nav><a href='/'>home</a> <a href='/x'>other</a></nav>"
+              "<article><p>"),
+        F.col("text"),
+        F.lit("</p></article><footer>contact</footer></body></html>"),
+    )
+    out = docs.select("doc_id", readability_udf(page).alias("r"))
+    return out.select(
+        "doc_id",
+        F.col("r.n_blocks").alias("n_blocks"),
+        (F.col("r.max_block_score") > 25).alias("has_main_content"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "convert_html": q_convert_html,
@@ -595,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "pivot": q_pivot,
+        "qa_spans": q_qa_spans,
+        "readability": q_readability,
     }
 
 
