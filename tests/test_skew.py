@@ -9,24 +9,28 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from article_extraction_spark.session import get_spark
+_SKEW_CONFS = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ path
+}
 
 
-@pytest.fixture(scope="module")
-def skew_spark():
-    spark = get_spark(
-        app_name="skew-test",
-        master="local[4]",
-        shuffle_partitions=8,
-        extra_conf={
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
-            "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ path
-        },
-    )
+@pytest.fixture()
+def skew_spark(spark):
+    # runtime-settable SQL confs on the SHARED session (creating a second
+    # local session would getOrCreate the same one and stopping it would
+    # kill every later test)
+    old = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    for k, v in _SKEW_CONFS.items():
+        spark.conf.set(k, v)
     yield spark
-    spark.stop()
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 def test_aqe_splits_skewed_join(skew_spark):
