@@ -34,6 +34,24 @@ TURNS_SUBDIR = "turns"
 LINEAGE_SUBDIR = "lineage"
 
 
+def input_snapshot_id(spark: SparkSession, input_path: str) -> str:
+    """Deterministic fingerprint of the input table state: hash over the
+    (path, size, mtime) of every data file — the parquet-manifest analog of
+    an Iceberg snapshot id (on Iceberg: read the actual snapshot id)."""
+    import hashlib
+
+    entries = []
+    for root, _dirs, files in sorted(os.walk(input_path)):
+        for name in sorted(files):
+            if name.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, name)
+            st = os.stat(full)
+            entries.append(f"{os.path.relpath(full, input_path)}:{st.st_size}:{int(st.st_mtime)}")
+    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
+    return f"snap-{digest}"
+
+
 def read_lineage(spark: SparkSession, dest_root: str) -> DataFrame | None:
     path = os.path.join(dest_root, LINEAGE_SUBDIR)
     if not os.path.exists(path):
