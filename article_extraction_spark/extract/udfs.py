@@ -73,7 +73,9 @@ def classify_payload_col(text: Column) -> Column:
     beyond the prefix is effectively text-leading anyway).
     """
     head = F.substring(text, 1, SNIFF_PREFIX)
-    stripped = F.ltrim(head)
+    # NB: F.ltrim strips only ' ' — python lstrip (the twin) strips all
+    # whitespace; use a regex so both agree on '\n{'-style payloads
+    stripped = F.regexp_replace(head, r"^\s+", "")
     return (
         F.when(text.isNull(), F.lit("txt"))
         .when(
