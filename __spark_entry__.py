@@ -193,7 +193,7 @@ def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag_raw = F.when(F.col("o_orderkey") % 2 == 0, F.lit("Yes")).otherwise(F.lit("junk"))
     return o.select(
         "o_orderkey",
-        to_year_col(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("order_year"),
+        to_year_col(F.date_format("o_orderdate", "yyyy-MM-dd")).cast("long").alias("order_year"),
         to_boolean_col(flag_raw).alias("flag"),
     )
 
@@ -229,7 +229,7 @@ def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select(
         "n_name",
         "r_name",
-        F.levenshtein("n_name", "r_name").alias("lev"),
+        F.levenshtein("n_name", "r_name").cast("long").alias("lev"),
         F.round(levenshtein_normalized_col(F.col("n_name"), F.col("r_name")), 6).alias("lev_norm"),
     )
 
@@ -239,7 +239,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from article_extraction_spark.operators.textstats import token_count_col
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    return docs.select("doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens"))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,9 +265,9 @@ def q_lang_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.select(
         "doc_id",
-        hits(["the", "and", "of"]).alias("en_hits"),
-        hits(["el", "la", "de"]).alias("es_hits"),
-        hits(["der", "die", "und"]).alias("de_hits"),
+        hits(["the", "and", "of"]).cast("long").alias("en_hits"),
+        hits(["el", "la", "de"]).cast("long").alias("es_hits"),
+        hits(["der", "die", "und"]).cast("long").alias("de_hits"),
     )
 
 
@@ -839,12 +839,12 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), sess AS (
                 SELECT user_id, ts, value,
-                       sum(b) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                       cast(sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
                 FROM marked
             )
             SELECT user_id, session_id, count(*) AS n_events,
-                   sum(cast(floor(value * 100) AS BIGINT)) AS value_cents,
+                   cast(sum(cast(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
             FROM sess GROUP BY user_id, session_id
         """,
@@ -856,7 +856,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cube_agg": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   sum(cast(l_quantity AS BIGINT)) AS sum_qty
+                   cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "rollup_agg": """
@@ -865,8 +865,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot": """
             SELECT l_returnflag,
-                   sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity AS BIGINT) END) AS qty_o,
-                   sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity AS BIGINT) END) AS qty_f
+                   cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o,
+                   cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f
             FROM lineitem GROUP BY l_returnflag
         """,
         # token_windows / encode_dedupe / minhash_near_dups /
