@@ -27,7 +27,6 @@ remains the ``<p>``/PyMuPDF baseline above.
 from __future__ import annotations
 
 import base64
-import binascii
 import re
 import zlib
 from html.parser import HTMLParser
@@ -236,6 +235,8 @@ def _fallback_pdf_text(data: bytes) -> str:
     Real scanned/layout PDFs require PyMuPDF; this fallback makes the Spark
     plumbing (binary transport, batching, dispatch) fully testable without it.
     """
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")  # fitz.open raises likewise
     pages: list[str] = []
     for m in _PDF_STREAM_RE.finditer(data):
         raw = m.group(1)
@@ -250,6 +251,10 @@ def _fallback_pdf_text(data: bytes) -> str:
             lines.append(text)
         if lines:
             pages.append("\n".join(lines) + "\n")
+    if not pages:
+        # a %PDF- header with no parsable content stream: fitz would raise on
+        # such a file; surface it as a conversion failure, not empty text
+        raise ValueError("no parsable PDF content streams")
     return "\n".join(pages)
 
 
@@ -293,10 +298,9 @@ def to_text(document_type: str | None, document: str | bytes | None) -> tuple[st
     if kind == "pdf":
         if isinstance(document, str):
             if document.startswith(_B64_PDF_PREFIX):
-                try:
-                    document = base64.b64decode(document)
-                except (binascii.Error, ValueError):
-                    return "", []
+                # invalid base64 IS a conversion failure (caller counts it
+                # in lineage rows_failed, reference logs-and-skips)
+                document = base64.b64decode(document)
             else:
                 document = document.encode("latin-1", errors="ignore")
         return extract_pdf(document)

@@ -32,25 +32,31 @@ _EXTRACT_RESULT_TYPE = T.StructType(
             ),
             True,
         ),
+        T.StructField("error", T.StringType(), True),
     ]
 )
 
 
 @F.pandas_udf(_EXTRACT_RESULT_TYPE)
 def _to_text_udf_impl(doc_kind: pd.Series, payload: pd.Series) -> pd.DataFrame:
-    """E1-E4 in one Arrow pass: (kind, payload) → (extracted_text, spans)."""
+    """E1-E4 in one Arrow pass: (kind, payload) → (text, spans, error).
+
+    Conversion failures don't fail the task: the row carries the error and
+    is dropped downstream while lineage counts it (the reference logs and
+    continues, tables/paper_text_table.py:150-152)."""
     texts: list[str] = []
     spans: list[list[dict[str, int]]] = []
+    errors: list[str | None] = []
     for kind, data in zip(doc_kind, payload):
+        err = None
         try:
             text, sp = to_text(kind, data)
-        except Exception:
-            # conversion failure ⇒ row skipped downstream (reference
-            # tables/paper_text_table.py:150-152 logs and continues)
-            text, sp = "", []
+        except Exception as exc:  # noqa: BLE001
+            text, sp, err = "", [], f"{type(exc).__name__}: {exc}"[:500]
         texts.append(text)
         spans.append([{"start": s, "end": e} for s, e in sp])
-    return pd.DataFrame({"extracted_text": texts, "spans": spans})
+        errors.append(err)
+    return pd.DataFrame({"extracted_text": texts, "spans": spans, "error": errors})
 
 
 # The extraction IS deterministic; the marking only disables filter pushdown

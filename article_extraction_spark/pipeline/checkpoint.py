@@ -103,15 +103,20 @@ def run_with_checkpoint(
 
     extracted = extracted.persist()
     try:
+        failed = F.col("extract_error").isNotNull()
         lineage_rows = (
             extracted.groupBy("bucket")
             .agg(
                 F.count("*").alias("rows_in"),
                 F.sum((F.length("extracted_text") > 0).cast("long")).alias("rows_out"),
-                F.sum((F.length("extracted_text") == 0).cast("long")).alias("rows_empty"),
-                F.lit(0).cast("long").alias("rows_failed"),
+                F.sum(((F.length("extracted_text") == 0) & ~failed).cast("long")).alias("rows_empty"),
+                F.sum(failed.cast("long")).alias("rows_failed"),
                 F.sum("n_source_bytes").alias("bytes_in"),
                 F.sum(F.coalesce(F.col("n_extracted_chars"), F.lit(0))).alias("chars_out"),
+                F.sum((F.col("doc_kind") == "html").cast("long")).alias("n_html"),
+                F.sum((F.col("doc_kind") == "pdf").cast("long")).alias("n_pdf"),
+                F.sum((F.col("doc_kind") == "txt").cast("long")).alias("n_txt"),
+                F.sum((F.col("doc_kind") == "json").cast("long")).alias("n_json"),
             )
             .select(
                 F.col("bucket").alias("partition_id"),
@@ -123,13 +128,17 @@ def run_with_checkpoint(
                 "rows_failed",
                 "bytes_in",
                 "chars_out",
+                "n_html",
+                "n_pdf",
+                "n_txt",
+                "n_json",
             )
         ).collect()  # one tiny row per bucket — driver-safe at any scale
 
         if not lineage_rows:
             return {"buckets_processed": 0, "rows_out": 0, "resumed_from": len(done)}
 
-        non_empty = extracted.where(F.length("extracted_text") > 0)
+        non_empty = extracted.where(F.length("extracted_text") > 0).drop("extract_error")
         (
             non_empty.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -77,6 +77,7 @@ def convert_transcripts(
         *base,
         F.col("_res.extracted_text").alias("extracted_text"),
         F.col("_res.spans").alias("spans"),
+        F.col("_res.error").alias("extract_error"),
         src_bytes,
     )
 
@@ -90,6 +91,7 @@ def convert_transcripts(
         *base,
         native_text.alias("extracted_text"),
         native_spans.alias("spans"),
+        F.lit(None).cast("string").alias("extract_error"),
         src_bytes,
     )
 
@@ -99,8 +101,10 @@ def convert_transcripts(
         "n_extracted_chars", F.length("extracted_text").cast("long")
     )
     if drop_empty:
-        # empty conversions are dropped (reference paper_text_table.py:153-155)
-        extracted = extracted.where(F.length("extracted_text") > 0)
+        # empty conversions are dropped (reference paper_text_table.py:153-155);
+        # errored rows extract to "" and drop with them — lineage accounts for
+        # them in the drop_empty=False (checkpoint) path
+        extracted = extracted.where(F.length("extracted_text") > 0).drop("extract_error")
     return extracted
 
 

@@ -59,6 +59,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("rows_failed", T.LongType(), False),
         T.StructField("bytes_in", T.LongType(), False),
         T.StructField("chars_out", T.LongType(), False),
+        T.StructField("n_html", T.LongType(), False),
+        T.StructField("n_pdf", T.LongType(), False),
+        T.StructField("n_txt", T.LongType(), False),
+        T.StructField("n_json", T.LongType(), False),
     ]
 )
 

@@ -55,6 +55,31 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     assert redone == {0, 1, 2}
 
 
+def test_lineage_metrics_counts_kinds_and_failures(spark, tmp_path):
+    import datetime as dt
+
+    from article_extraction_spark.schemas import TRANSCRIPTS_SCHEMA
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c", 0, "user", "<p>html row</p>", None, ts),
+        ("c", 1, "user", "plain txt", None, ts),
+        ("c", 2, "user", '{"j": 1}', None, ts),
+        ("c", 3, "user", "JVBERi0 not really base64!!!", None, ts),  # pdf → failure
+        ("c", 4, "user", "<div>no paragraphs</div>", None, ts),  # html → empty
+    ]
+    tdf = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    dest = str(tmp_path / "out")
+    stats = run_with_checkpoint(spark, tdf, dest, n_buckets=1, run_id="r", input_snapshot="s")
+    assert stats == {"buckets_processed": 1, "rows_out": 3, "rows_empty": 1, "resumed_from": 0}
+    lin = read_lineage(spark, dest).first()
+    assert lin["rows_in"] == 5 and lin["rows_out"] == 3
+    assert lin["rows_empty"] == 1 and lin["rows_failed"] == 1
+    assert (lin["n_html"], lin["n_pdf"], lin["n_txt"], lin["n_json"]) == (2, 1, 1, 1)
+    # failed/empty rows never reach the output table
+    assert read_turns(spark, dest).count() == 3
+
+
 def test_rerun_is_noop(spark, tmp_path):
     rows, _ = synth_transcripts(n_convs=6, turns_per_conv=6, seed=3, mega_conv=False)
     tdf = transcripts_df(spark, rows)
