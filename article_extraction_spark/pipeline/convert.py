@@ -30,6 +30,7 @@ def convert_transcripts(
     salt: int = 0,
     drop_empty: bool = True,
     spread: bool = True,
+    with_readability: bool = False,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extracted turns.
 
@@ -94,6 +95,29 @@ def convert_transcripts(
         F.lit(None).cast("string").alias("extract_error"),
         src_bytes,
     )
+
+    if with_readability:
+        # north-star diagnostics: Arc90-style main-content signal for html
+        # turns (extra columns only — the equality oracle stays the <p> path);
+        # same Arrow stage as the extraction UDF, masked to html rows
+        from ..extract.readability import readability_udf
+
+        is_html = F.col("doc_kind") == "html"
+        rd = readability_udf(F.when(is_html, F.col("text")).otherwise(F.lit(None)))
+        py_out = needs_py.withColumn(
+            "_res", to_text_udf(F.col("doc_kind"), F.col("text"))
+        ).withColumn("_rd", rd).select(
+            *base,
+            F.col("_res.extracted_text").alias("extracted_text"),
+            F.col("_res.spans").alias("spans"),
+            F.col("_res.error").alias("extract_error"),
+            src_bytes,
+            F.when(is_html, F.col("_rd.main_text")).alias("readability_text"),
+            F.when(is_html, F.col("_rd.link_density")).alias("link_density"),
+        )
+        nat_out = nat_out.withColumn("readability_text", F.lit(None).cast("string")).withColumn(
+            "link_density", F.lit(None).cast("double")
+        )
 
     extracted = py_out.unionByName(nat_out)
 

@@ -61,6 +61,20 @@ def test_mega_conversation_skew_completes_and_spreads(spark):
     assert out.count() == len(golden)
 
 
+def test_with_readability_columns(spark):
+    rows = [
+        ("c", 0, "user", "<p>main body text, long enough to score well, with commas</p><nav>menu</nav>", None, None),
+        ("c", 1, "user", "plain text turn", None, None),
+    ]
+    tdf = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    out = {r["turn_idx"]: r for r in convert_transcripts(tdf, num_partitions=2, with_readability=True).collect()}
+    assert "main body text" in out[0]["readability_text"]
+    assert out[0]["link_density"] == 0.0
+    assert out[1]["readability_text"] is None  # native branch: diagnostics null
+    # baseline extraction unchanged
+    assert out[0]["extracted_text"].startswith("main body text")
+
+
 def test_doc_kind_classification_matches_python(spark):
     rows, _ = synth_transcripts(n_convs=20, turns_per_conv=10, seed=99, mega_conv=False)
     from article_extraction_spark.extract.core import classify_payload
