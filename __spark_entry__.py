@@ -553,6 +553,24 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: the SQL surface — same Catalyst plan as the DataFrame API
+    (TPC-H-Q1-shaped aggregation via spark.sql over temp views)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * 100 -
+                        CAST(FLOOR(l_quantity * l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_qty_cents
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def q_qa_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8: QA span extraction (windows → spans → dedup → n_best).
     Rows-only check (deterministic keyword scorer stands in for the model)."""
@@ -631,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "qa_spans": q_qa_spans,
         "readability": q_readability,
+        "sql_api": q_sql_api,
     }
 
 
@@ -868,6 +887,16 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o,
                    cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "sql_api": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT) * 100 -
+                            CAST(FLOOR(l_quantity * l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_qty_cents
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
         """,
         # token_windows / encode_dedupe / minhash_near_dups /
         # simhash_near_dups / embedding_near_dups / lsh_topk:

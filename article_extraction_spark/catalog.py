@@ -1,0 +1,119 @@
+"""Iceberg-style table layer on a plain filesystem (SURVEY.md §7.4 risk 5:
+"design the table layer behind a thin catalog adapter — Iceberg when jars
+present, plain parquet + manifest table otherwise").
+
+Semantics provided (the subset the engine relies on):
+
+  * immutable data files + versioned JSON manifests — a snapshot is the
+    manifest's file list; readers NEVER see a half-written commit
+  * atomic commits via exclusive-create of ``manifest-v{N}.json``
+    (``open(..., "x")``) — two concurrent writers racing for the same N: one
+    wins, the other gets CommitConflict and retries against the new state
+    (Iceberg's optimistic concurrency)
+  * time travel: ``read(spark, snapshot_id=k)``
+  * append / overwrite operations with lineage (parent snapshot id)
+
+On a cluster with Iceberg jars, swap this class for the real catalog — the
+engine's call sites (append/overwrite/read/current_snapshot_id) map 1:1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MANIFEST_RE = re.compile(r"manifest-v(\d+)\.json$")
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first — refresh and retry."""
+
+
+class ManifestTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"manifest-v{version}.json")
+
+    def snapshots(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.root):
+            m = _MANIFEST_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def current_snapshot_id(self) -> int | None:
+        versions = self.snapshots()
+        return versions[-1] if versions else None
+
+    def _load(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    # -- commits --------------------------------------------------------------
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        commit_dir = f"data/commit-{uuid.uuid4().hex[:12]}"
+        full = os.path.join(self.root, commit_dir)
+        df.write.parquet(full)
+        return [
+            f"{commit_dir}/{name}"
+            for name in sorted(os.listdir(full))
+            if name.endswith(".parquet")
+        ]
+
+    def _commit(self, files: list[str], operation: str, schema_json: str, retries: int = 5) -> int:
+        for _ in range(retries):
+            parent = self.current_snapshot_id()
+            version = (parent if parent is not None else 0) + 1
+            manifest = {
+                "snapshot_id": version,
+                "parent": parent,
+                "operation": operation,
+                "files": files,
+                "schema": schema_json,
+            }
+            try:
+                # exclusive create = the atomic commit point
+                with open(self._manifest_path(version), "x") as f:
+                    json.dump(manifest, f)
+                return version
+            except FileExistsError:
+                if operation == "overwrite":
+                    continue  # rebase onto the new head and retry
+                # append must rebase its file list on the new parent
+                head = self._load(self.current_snapshot_id())
+                files = head["files"] + [p for p in files if p not in head["files"]]
+        raise CommitConflict(f"could not commit after {retries} attempts")
+
+    def append(self, df: DataFrame) -> int:
+        new_files = self._write_data(df)
+        parent = self.current_snapshot_id()
+        base = self._load(parent)["files"] if parent is not None else []
+        return self._commit(base + new_files, "append", df.schema.json())
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit(self._write_data(df), "overwrite", df.schema.json())
+
+    # -- reads ----------------------------------------------------------------
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        manifest = self._load(version)
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        if not manifest["files"]:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, p) for p in manifest["files"]]
+        return spark.read.schema(schema).parquet(*paths)

@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from article_extraction_spark.catalog import CommitConflict, ManifestTable
+
+
+def test_append_read_time_travel(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    v1 = t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    v2 = t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    assert (v1, v2) == (1, 2)
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2}
+    assert {r["k"] for r in t.read(spark, snapshot_id=v1).collect()} == {1}  # time travel
+
+    v3 = t.overwrite(spark.createDataFrame([(9, "z")], "k int, v string"))
+    assert {r["k"] for r in t.read(spark).collect()} == {9}
+    assert {r["k"] for r in t.read(spark, snapshot_id=v2).collect()} == {1, 2}
+    assert t.snapshots() == [1, 2, 3] and t.current_snapshot_id() == v3
+
+
+def test_snapshot_isolation_reader_unaffected(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1,)], "k int"))
+    old = t.read(spark)  # plan bound to snapshot 1's file list
+    t.overwrite(spark.createDataFrame([(2,)], "k int"))
+    assert [r["k"] for r in old.collect()] == [1]  # immutable files → stable read
+
+
+def test_concurrent_commit_conflict_and_rebase(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1,)], "k int"))
+
+    # simulate a racing writer grabbing every next version: appends rebase,
+    # but exhaust retries ⇒ CommitConflict
+    class Stubborn(ManifestTable):
+        def current_snapshot_id(self):
+            real = super().current_snapshot_id()
+            # racing writer commits version real+1 just before us
+            path = self._manifest_path(real + 1)
+            if not os.path.exists(path):
+                with open(path, "x") as f:
+                    json.dump({"snapshot_id": real + 1, "parent": real,
+                               "operation": "append", "files": [], "schema": "{}"}, f)
+            return real
+
+    s = Stubborn(str(tmp_path / "tbl"))
+    with pytest.raises(CommitConflict):
+        s._commit(["x"], "overwrite", "{}", retries=2)
+
+    # a normal append AFTER the race rebases onto the racer's head (which
+    # dropped the old files — its manifest is authoritative) and wins
+    v = t.append(spark.createDataFrame([(5,)], "k int"))
+    assert v == t.current_snapshot_id()
+    assert 5 in {r["k"] for r in t.read(spark).collect()}
