@@ -90,13 +90,18 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: left equi-join + per-key counts (split ⟕ epoch analog)."""
+    """J1: left equi-join + per-key counts (split ⟕ epoch analog).
+
+    Pre-aggregate the fact side BEFORE the join: at 10^12 rows, join-then-
+    group shuffles every fact row on the key; aggregate-then-join shuffles
+    one row per key (same result, counts for order-less customers = 0)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+    per_cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("_n")
+    )
+    return c.join(per_cust, "c_custkey", "left").select(
+        "c_custkey", F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders")
     )
 
 
@@ -553,6 +558,31 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (word count, mean word length, symbol and
+    bullet ratios, stopword presence) — native expressions."""
+    from article_extraction_spark.operators.textstats import gopher_flags_col
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_flags_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        g["word_count_ok"].alias("word_count_ok"),
+        g["mean_word_len_ok"].alias("mean_word_len_ok"),
+        g["symbol_ratio_ok"].alias("symbol_ratio_ok"),
+        g["stopword_ok"].alias("stopword_ok"),
+        g["passes"].alias("passes"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: unicode-script hint + stopword markers (argmax)."""
+    from article_extraction_spark.operators.textstats import lang_id_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_col(F.col("text")).alias("lang_guess"))
+
+
 def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the SQL surface — same Catalyst plan as the DataFrame API
     (TPC-H-Q1-shaped aggregation via spark.sql over temp views)."""
@@ -650,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_spans": q_qa_spans,
         "readability": q_readability,
         "sql_api": q_sql_api,
+        "gopher_flags": q_gopher_flags,
+        "lang_id": q_lang_id,
     }
 
 
@@ -887,6 +919,69 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o,
                    cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "gopher_flags": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS words,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS n_words
+                FROM documents
+            )
+            SELECT doc_id,
+                   (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+                   (CASE WHEN n_words > 0
+                         THEN cast(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / n_words
+                         ELSE 0.0 END >= 3.0
+                    AND
+                    CASE WHEN n_words > 0
+                         THEN cast(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / n_words
+                         ELSE 0.0 END <= 10.0) AS mean_word_len_ok,
+                   (CASE WHEN n_words > 0
+                         THEN cast(len(list_filter(words, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE) / n_words
+                         ELSE 0.0 END <= 0.1) AS symbol_ratio_ok,
+                   (len(list_filter(words, x -> x IN ('the','be','to','of','and','that','have','with'))) >= 2) AS stopword_ok,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (CASE WHEN n_words > 0
+                              THEN cast(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / n_words
+                              ELSE 0.0 END >= 3.0
+                         AND CASE WHEN n_words > 0
+                              THEN cast(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / n_words
+                              ELSE 0.0 END <= 10.0)
+                    AND (CASE WHEN n_words > 0
+                              THEN cast(len(list_filter(words, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE) / n_words
+                              ELSE 0.0 END <= 0.1)
+                    AND (CASE WHEN len(string_split(text, chr(10))) > 0
+                              THEN cast(len(list_filter(string_split(text, chr(10)),
+                                        l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS DOUBLE)
+                                   / len(string_split(text, chr(10)))
+                              ELSE 0.0 END <= 0.9)
+                    AND (len(list_filter(words, x -> x IN ('the','be','to','of','and','that','have','with'))) >= 2)
+                   ) AS passes
+            FROM w
+        """,
+        "lang_id": """
+            WITH h AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       unnest(['en','es','de','fr']) AS lang,
+                       unnest([
+                           len(list_filter(words, x -> x IN ('the','and','of','to','is'))),
+                           len(list_filter(words, x -> x IN ('el','la','de','que','los'))),
+                           len(list_filter(words, x -> x IN ('der','die','und','das','ist'))),
+                           len(list_filter(words, x -> x IN ('le','la','et','les','des')))
+                       ]) AS hits
+                FROM h
+            ), ranked AS (
+                SELECT doc_id, lang, hits,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+                FROM scored
+            )
+            SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_guess
+            FROM ranked WHERE rn = 1
         """,
         "sql_api": """
             SELECT l_returnflag, l_linestatus,

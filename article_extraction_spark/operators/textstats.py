@@ -86,6 +86,74 @@ def lang_guess_col(c: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def script_lang_hint_col(c: Column) -> Column:
+    """Unicode-script language hint for non-Latin text (complements the
+    stopword markers, which only separate Latin-script languages):
+    CJK → 'zh', Hiragana/Katakana → 'ja', Hangul → 'ko', Cyrillic → 'ru',
+    Arabic → 'ar'; otherwise NULL (fall back to marker-based ID)."""
+    t = F.coalesce(c, F.lit(""))
+    n = F.greatest(F.length(t), F.lit(1))
+
+    def ratio(pattern: str) -> Column:
+        return (n - F.length(F.regexp_replace(t, pattern, ""))).cast("double") / n
+
+    return (
+        F.when(ratio(r"[぀-ヿ]") > 0.05, F.lit("ja"))  # kana wins over CJK
+        .when(ratio(r"[一-鿿]") > 0.25, F.lit("zh"))
+        .when(ratio(r"[가-힯]") > 0.25, F.lit("ko"))
+        .when(ratio(r"[Ѐ-ӿ]") > 0.25, F.lit("ru"))
+        .when(ratio(r"[؀-ۿ]") > 0.25, F.lit("ar"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def lang_id_col(c: Column) -> Column:
+    """Full language ID: script hint first, stopword markers otherwise."""
+    return F.coalesce(script_lang_hint_col(c), lang_guess_col(c))
+
+
+# Gopher-style quality rules (Rae et al. 2021, public): documents failing
+# any rule are low-quality training data. Each flag is True when the rule
+# PASSES. All native expressions.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_flags_col(c: Column) -> Column:
+    """struct of per-rule pass flags + overall pass."""
+    t = F.coalesce(c, F.lit(""))
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words))
+    total_chars = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_len = F.when(n_words > 0, total_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    n_hash_ellipsis = F.size(F.filter(words, lambda w: w.contains("#") | w.contains("...")))
+    symbol_ratio = F.when(n_words > 0, n_hash_ellipsis.cast("double") / n_words).otherwise(F.lit(0.0))
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("*")))
+    bullet_ratio = F.when(n_lines > 0, bullet_lines.cast("double") / n_lines).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in ("the", "be", "to", "of", "and", "that", "have", "with")])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+    word_count_ok = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    mean_len_ok = (mean_len >= GOPHER_MEAN_WORD_LEN[0]) & (mean_len <= GOPHER_MEAN_WORD_LEN[1])
+    symbol_ok = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    bullet_ok = bullet_ratio <= GOPHER_MAX_BULLET_RATIO
+    stopword_ok = stop_hits >= GOPHER_MIN_STOPWORD_HITS
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        bullet_ok.alias("bullet_ratio_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (word_count_ok & mean_len_ok & symbol_ok & bullet_ok & stopword_ok).alias("passes"),
+    )
+
+
 def fingerprint_col(c: Column) -> Column:
     """Deterministic document fingerprint: md5 over the normalized text
     (lower, collapse non-alnum). Portable across engines (exact-dup key)."""

@@ -113,6 +113,37 @@ def test_textstats(spark):
     assert [r["lg"] for r in got] == ["und", "und"]
 
 
+def test_script_lang_and_gopher(spark):
+    from article_extraction_spark.operators.textstats import gopher_flags_col, lang_id_col
+
+    rows = [
+        (1, "这是一个中文文档的例子 其中包含很多汉字 足够触发判断"),
+        (2, "これは日本語のテキストです ひらがなとカタカナ"),
+        (3, "Это русский текст с кириллицей для проверки"),
+        (4, "the quick brown fox and the lazy dog " * 10),
+        (5, "el rio la casa de que los gatos"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    langs = {r["id"]: r["l"] for r in df.select("id", lang_id_col(F.col("t")).alias("l")).collect()}
+    assert langs == {1: "zh", 2: "ja", 3: "ru", 4: "en", 5: "es"}
+
+    good = "the words be to of and that have with " * 12  # 108 words, clean
+    bad_rows = [
+        (1, good),
+        (2, "short text"),  # word count fails
+        (3, "the be to of and " + "#tag " * 60),  # symbol ratio fails
+        (4, "\n".join("- bullet line the be of and that have with extra words here" for _ in range(20))),  # bullets fail
+        (5, None),
+    ]
+    bdf = spark.createDataFrame(bad_rows, "id int, t string")
+    flags = {r["id"]: r["g"] for r in bdf.select("id", gopher_flags_col(F.col("t")).alias("g")).collect()}
+    assert flags[1]["passes"]
+    assert not flags[2]["word_count_ok"] and not flags[2]["passes"]
+    assert not flags[3]["symbol_ratio_ok"]
+    assert not flags[4]["bullet_ratio_ok"]
+    assert not flags[5]["passes"]
+
+
 def test_multimodal_plumbing(spark):
     from article_extraction_spark.operators.multimodal import extract_media_features, frame_sample_plan
 
