@@ -463,11 +463,20 @@ def q_physics_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     factors = spark.createDataFrame([(0, 415.0), (1, 50.0)], "id_country int, gco2_kwh double")
     out = complete_informations(info, factors)
+    # discretize on a BINARY grid (×1024): DuckDB's optimizer reassociates
+    # float multiply chains (measured 1-ulp drift vs left-assoc evaluation),
+    # and these inputs produce exact DECIMAL rationals that sit exactly on
+    # decimal grids — any ×10^k floor/round flips on that drift. Decimal
+    # rationals are generically OFF the 1/1024 grid, so 1 ulp cannot flip
+    # the floor.
+    def tr(c: str):
+        return F.floor(F.col(c) * 1024).cast("long")
+
     return out.select(
         "id_paper",
-        F.round("training_time_hours", 6).alias("hours_r"),
-        F.round("energy_kwh", 6).alias("kwh_r"),
-        F.round("co2eq", 6).alias("co2_r"),
+        tr("training_time_hours").alias("hours_b"),
+        tr("energy_kwh").alias("kwh_b"),
+        tr("co2eq").alias("co2_b"),
     )
 
 
@@ -856,19 +865,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "physics_complete": """
             SELECT o_orderkey AS id_paper,
-                   round((o_totalprice * 1e15) / (((cast(o_orderkey % 8 + 1 AS INTEGER) * 300.0) * 1e12) * 0.30) / 3600.0, 6) AS hours_r,
-                   round((0.4 * cast(o_orderkey % 8 + 1 AS INTEGER))
+                   cast(floor(1024 * ((o_totalprice * 1e15) / (((cast(o_orderkey % 8 + 1 AS INTEGER) * 300.0) * 1e12) * 0.30) / 3600.0)) AS BIGINT) AS hours_b,
+                   cast(floor(1024 * ((0.4 * cast(o_orderkey % 8 + 1 AS INTEGER))
                          * ((o_totalprice * 1e15) / (((cast(o_orderkey % 8 + 1 AS INTEGER) * 300.0) * 1e12) * 0.30) / 3600.0)
-                         * 1.20, 6) AS kwh_r,
+                         * 1.20)) AS BIGINT) AS kwh_b,
                    CASE WHEN o_custkey % 3 = 0 THEN
-                        round(((0.4 * cast(o_orderkey % 8 + 1 AS INTEGER))
+                        cast(floor(1024 * (((0.4 * cast(o_orderkey % 8 + 1 AS INTEGER))
                               * ((o_totalprice * 1e15) / (((cast(o_orderkey % 8 + 1 AS INTEGER) * 300.0) * 1e12) * 0.30) / 3600.0)
-                              * 1.20) * (415.0 / 1000.0), 6)
+                              * 1.20) * (415.0 / 1000.0))) AS BIGINT)
                         WHEN o_custkey % 3 = 1 THEN
-                        round(((0.4 * cast(o_orderkey % 8 + 1 AS INTEGER))
+                        cast(floor(1024 * (((0.4 * cast(o_orderkey % 8 + 1 AS INTEGER))
                               * ((o_totalprice * 1e15) / (((cast(o_orderkey % 8 + 1 AS INTEGER) * 300.0) * 1e12) * 0.30) / 3600.0)
-                              * 1.20) * (50.0 / 1000.0), 6)
-                        ELSE NULL END AS co2_r
+                              * 1.20) * (50.0 / 1000.0))) AS BIGINT)
+                        ELSE NULL END AS co2_b
             FROM orders
         """,
         "eval_char_summary": """
