@@ -14,13 +14,41 @@ after sorting columns by name).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# the driver may import this file by path (repo dir not on sys.path) —
+# make the engine package importable regardless
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the engine zip to python workers of WHATEVER session the driver
+    built (it may not use our get_spark, and its workers may not inherit a
+    PYTHONPATH that reaches this repo). Idempotent per session."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        from article_extraction_spark.session import make_pyfiles_zip
+
+        spark.sparkContext.addPyFile(make_pyfiles_zip())
+    except Exception:  # noqa: BLE001 - already added, or non-local master quirks
+        pass
+    _SHIPPED.add(key)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -35,6 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from article_extraction_spark.fixtures import transcripts_from_documents
     from article_extraction_spark.pipeline import convert_transcripts, ordered_output
 
+    _ensure_shipped(spark)
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001", convs=50)
     return ordered_output(convert_transcripts(t, num_partitions=8), 8)
 
