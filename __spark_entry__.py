@@ -1021,6 +1021,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_guess
             FROM ranked WHERE rn = 1
         """,
+        "token_windows": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS words,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+                FROM documents
+            )
+            SELECT doc_id,
+                   cast(i AS INTEGER) AS window_idx,
+                   array_to_string(words[cast(i AS INTEGER) * 10 + 1 :
+                                         least(cast(i AS INTEGER) * 10 + 20, n)], ' ') AS window_text
+            FROM (
+                SELECT doc_id, words, n,
+                       unnest(range(0, CASE WHEN n <= 20 THEN 1
+                                  ELSE cast(ceil((n - 20) / 10.0) AS INTEGER) + 1 END)) AS i
+                FROM w
+            )
+        """,
+        "encode_dedupe": """
+            SELECT doc_id, 16 AS dim FROM documents
+        """,
         "sql_api": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -47,6 +47,28 @@ def test_char_metrics_and_summary(spark):
     assert summary["n"] == 3 and math.isclose(summary["exact_rate"], 2 / 3)
 
 
+def test_load_results_json(spark, tmp_path):
+    import json
+
+    from article_extraction_spark.eval_metrics import load_results_json
+
+    data = {
+        "model-a": {
+            "cat1": {"true": ["x", "y"], "predicted": ["x", "z"]},
+            "cat2": {"true": ["1"], "predicted": ["1", "extra"]},  # mismatch → skipped
+        },
+        "model-b": {"cat1": {"true": [], "predicted": []}},
+    }
+    p = tmp_path / "all_results.json"
+    p.write_text(json.dumps(data))
+    rows = load_results_json(spark, str(p)).collect()
+    got = {(r["model"], r["category"], r["idx"]): (r["true"], r["predicted"]) for r in rows}
+    assert got == {
+        ("model-a", "cat1", 0): ("x", "x"),
+        ("model-a", "cat1", 1): ("y", "z"),
+    }
+
+
 def test_cumulative_mean_by(spark):
     df = spark.createDataFrame(
         [("a", 1, 1.0), ("a", 2, 3.0), ("b", 1, 10.0)], "g string, i int, v double"
