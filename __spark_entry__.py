@@ -212,7 +212,9 @@ def q_parse_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7: numeric-suffix parsing ('123k' → 123000.0)."""
     from article_extraction_spark.functions import parse_numeric_col
 
-    li = _t(spark, sf_dir, "lineitem")
+    # a small parquet is a single row-group = ONE task; spread the row-wise
+    # regex work across cores (at production scale many files split naturally)
+    li = _t(spark, sf_dir, "lineitem").repartition(spark.sparkContext.defaultParallelism)
     raw = F.concat(F.col("l_quantity").cast("int").cast("string"), F.lit("k"))
     return li.select(
         "l_orderkey", "l_linenumber", parse_numeric_col(raw).alias("parsed_qty")
