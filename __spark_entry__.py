@@ -623,6 +623,27 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id_col(F.col("text")).alias("lang_guess"))
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of a metric as data (reference scores.py renders histograms
+    of distances; the engine emits the bucketed counts)."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10).cast("long")
+    return e.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregation (batch twin of the streaming
+    windowed metrics): hourly per-type event counts + exact cent sums."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
 def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: the SQL surface — same Catalyst plan as the DataFrame API
     (TPC-H-Q1-shaped aggregation via spark.sql over temp views)."""
@@ -722,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api": q_sql_api,
         "gopher_flags": q_gopher_flags,
         "lang_id": q_lang_id,
+        "histogram": q_histogram,
+        "time_buckets": q_time_buckets,
     }
 
 
@@ -1022,6 +1045,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_guess
             FROM ranked WHERE rn = 1
+        """,
+        "histogram": """
+            SELECT cast(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "time_buckets": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                   event_type,
+                   count(*) AS n,
+                   cast(sum(cast(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
         """,
         "token_windows": """
             WITH w AS (
