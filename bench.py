@@ -48,12 +48,19 @@ def main() -> None:
     transcripts = transcripts.persist()
     n_turns = transcripts.count()  # materialize input outside the timed span
 
-    t0 = time.perf_counter()
-    _force(convert_transcripts(transcripts, num_partitions=cpus * 2))
-    dt = time.perf_counter() - t0
+    # min of N iterations: the shared sandbox host fluctuates ±4x; min is
+    # the standard noise-robust estimator (matches tools/bench_scaling.py)
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITER", "2"))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _force(convert_transcripts(transcripts, num_partitions=cpus * 2))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     timings["extract_transcripts"] = round(dt, 3)
     extras["extract_turns"] = n_turns
     extras["extract_turns_per_sec"] = round(n_turns / dt, 1)
+    extras["extract_all_seconds"] = [round(x, 3) for x in times]
     transcripts.unpersist()
 
     # --- headline operator queries (driver-contract surface) ---
