@@ -62,6 +62,19 @@ def test_native_branch_has_no_python(spark):
     assert "Union" in plan
 
 
+def test_ordered_output_uses_range_partitioning(spark):
+    """W1 export: rangepartitioning + per-partition sort, NOT a single-
+    partition global sort."""
+    from article_extraction_spark.pipeline.convert import ordered_output
+    from article_extraction_spark.schemas import EXTRACTED_TURNS_SCHEMA
+
+    df = spark.createDataFrame([], EXTRACTED_TURNS_SCHEMA)
+    plan = _plan(ordered_output(df, 4))
+    assert "rangepartitioning(conv_id" in plan
+    assert "Sort [conv_id" in plan
+    assert "], false, 0" in plan  # global=false: sort is within partitions
+
+
 def test_anti_join_resume_plan(spark):
     from article_extraction_spark.pipeline.checkpoint import resume_missing_turns
 
