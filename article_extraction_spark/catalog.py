@@ -72,9 +72,23 @@ class ManifestTable:
             if name.endswith(".parquet")
         ]
 
-    def _commit(self, files: list[str], operation: str, schema_json: str, retries: int = 5) -> int:
+    def _commit(self, new_files: list[str], operation: str, schema_json: str, retries: int = 5) -> int:
+        """Commit ``new_files`` under ``operation`` semantics.
+
+        ``new_files`` holds ONLY the files this writer produced. The full file
+        list is derived from the *current* head on every attempt, so an append
+        racing a concurrent overwrite rebases just its own new files onto the
+        overwrite's head instead of resurrecting the pre-overwrite base
+        (Iceberg append semantics: the retry re-applies the delta, not the
+        stale snapshot).
+        """
         for _ in range(retries):
             parent = self.current_snapshot_id()
+            if operation == "append":
+                base = self._load(parent)["files"] if parent is not None else []
+                files = base + [p for p in new_files if p not in base]
+            else:  # overwrite: replace the table contents wholesale
+                files = list(new_files)
             version = (parent if parent is not None else 0) + 1
             manifest = {
                 "snapshot_id": version,
@@ -89,18 +103,11 @@ class ManifestTable:
                     json.dump(manifest, f)
                 return version
             except FileExistsError:
-                if operation == "overwrite":
-                    continue  # rebase onto the new head and retry
-                # append must rebase its file list on the new parent
-                head = self._load(self.current_snapshot_id())
-                files = head["files"] + [p for p in files if p not in head["files"]]
+                continue  # another writer won this version — rebase and retry
         raise CommitConflict(f"could not commit after {retries} attempts")
 
     def append(self, df: DataFrame) -> int:
-        new_files = self._write_data(df)
-        parent = self.current_snapshot_id()
-        base = self._load(parent)["files"] if parent is not None else []
-        return self._commit(base + new_files, "append", df.schema.json())
+        return self._commit(self._write_data(df), "append", df.schema.json())
 
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(self._write_data(df), "overwrite", df.schema.json())

@@ -333,7 +333,10 @@ def classify_payload(text: str | None) -> str:
     head = text[:SNIFF_PREFIX]
     if head.startswith("%PDF-") or head.startswith(_B64_PDF_PREFIX):
         return "pdf"
-    stripped = head.lstrip()
+    # strip the same ASCII whitespace set as Java's \s (the JVM twin's
+    # regexp_replace(^\s+)): a bare .lstrip() is Unicode-aware, so
+    # '\xa0{...}' would classify json here but txt JVM-side
+    stripped = head.lstrip(" \t\n\r\x0b\x0c")
     if stripped[:1] in ("{", "["):
         return "json"
     if _HTML_SNIFF_RE.search(head):

@@ -58,22 +58,42 @@ def best_answer_per_group(df: DataFrame, group: str, answer: str, score: str) ->
     )
 
 
-def aggregate_answers(df: DataFrame, group: str, answer: str, score: str, mode: str) -> DataFrame:
+def aggregate_answers(
+    df: DataFrame,
+    group: str,
+    answer: str,
+    score: str,
+    mode: str,
+    order_col: str | None = None,
+) -> DataFrame:
     """A6: answer aggregation modes best | longest | concat (reference
-    qa_squad.py:40-48). concat joins in score-descending order."""
+    qa_squad.py:40-48).
+
+    The reference's ``_aggregate`` receives answers in window order:
+    ``concat`` joins non-empty answers in list order, and Python ``max``
+    breaks best/longest ties in favor of the FIRST element. Pass
+    ``order_col`` (the window index) to reproduce that exactly; without it,
+    concat falls back to score-descending order and ties break on the answer
+    value — deterministic across runs either way (collect_list/max_by order
+    alone is not).
+    """
     a, s = F.col(answer), F.col(score)
-    if mode == "best":
-        agg = F.max_by(a, s)
-    elif mode == "longest":
-        agg = F.max_by(a, F.length(a))
+    o = F.col(order_col) if order_col is not None else None
+    if mode in ("best", "longest"):
+        k = s if mode == "best" else F.length(a)
+        # struct key: primary = score/length, tiebreak = first-in-order
+        # (-order) when an order exists, else the answer value itself
+        tie = (-o) if o is not None else a
+        agg = F.max_by(a, F.struct(k.alias("k"), tie.alias("t")))
     elif mode == "concat":
+        if o is not None:
+            sort_struct = F.struct(o.alias("k1"), (-s).alias("k2"), a.alias("a"))
+        else:
+            sort_struct = F.struct((-s).alias("k1"), a.alias("k2"), a.alias("a"))
         agg = F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(s.alias("s"), a.alias("a"))),
-                    lambda x, y: F.when(x["s"] > y["s"], -1).when(x["s"] < y["s"], 1).otherwise(0),
-                ),
-                lambda x: x["a"],
+            F.filter(
+                F.transform(F.array_sort(F.collect_list(sort_struct)), lambda x: x["a"]),
+                lambda x: x.isNotNull() & (x != ""),
             ),
             " ",
         )

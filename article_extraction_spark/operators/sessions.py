@@ -60,15 +60,23 @@ def asof_join(
         c for c in right.columns if c not in (on, ts_col)
     ]
     lcols = [c for c in left.columns]
+    # Carry ONE struct of all right value columns per right row, not one
+    # last() per column: per-column last(ignorenulls) would skip a matched
+    # right row whose value is genuinely NULL and resurrect a stale earlier
+    # value. The struct itself is non-null for every right row, so
+    # last(struct, ignorenulls) always lands on the latest right ROW and its
+    # NULL fields survive the projection.
+    tagged_right = right.select(
+        F.col(on), F.col(ts_col).alias("_ts"), F.lit(0).alias("_is_left"),
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_r"),
+    )
     tagged_left = left.select(
         F.col(on), F.col(ts_col).alias("_ts"), F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
+        F.lit(None).cast(tagged_right.schema["_r"].dataType).alias("_r"),
     )
-    tagged_right = right.select(
-        F.col(on), F.col(ts_col).alias("_ts"), F.lit(0).alias("_is_left"),
-        F.lit(None).cast(tagged_left.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+    tagged_right = tagged_right.withColumn(
+        "_l", F.lit(None).cast(tagged_left.schema["_l"].dataType)
     )
     unioned = tagged_left.unionByName(tagged_right)
     # right rows sort BEFORE left rows at equal ts (tag 0 < 1) → ties match
@@ -78,12 +86,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_value_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_rlast")
     )
     return carried.where(F.col("_is_left") == 1).select(
-        "_l.*", *[f"{c}{suffix}" for c in right_value_cols]
+        "_l.*",
+        *[F.col(f"_rlast.{c}").alias(f"{c}{suffix}") for c in right_value_cols],
     )

@@ -66,10 +66,22 @@ def read_turns(spark: SparkSession, dest_root: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
-def completed_buckets(spark: SparkSession, dest_root: str) -> set[int]:
+def completed_buckets(
+    spark: SparkSession, dest_root: str, input_snapshot: str | None = None
+) -> set[int]:
+    """Buckets already converted for a given input snapshot.
+
+    A bucket is "done" only with respect to the input-table state it was run
+    against: when the input table advances to a new snapshot, new rows may
+    hash into previously completed buckets, so those buckets must be
+    re-extracted (dynamic partition overwrite makes the re-run idempotent).
+    Passing ``input_snapshot=None`` keeps the legacy any-snapshot behavior.
+    """
     lineage = read_lineage(spark, dest_root)
     if lineage is None:
         return set()
+    if input_snapshot is not None:
+        lineage = lineage.where(F.col("input_snapshot") == input_snapshot)
     return {r["partition_id"] for r in lineage.select("partition_id").distinct().collect()}
 
 
@@ -87,7 +99,7 @@ def run_with_checkpoint(
     turns_path = os.path.join(dest_root, TURNS_SUBDIR)
     lineage_path = os.path.join(dest_root, LINEAGE_SUBDIR)
 
-    done = completed_buckets(spark, dest_root)
+    done = completed_buckets(spark, dest_root, input_snapshot)
     src = transcripts.withColumn("bucket", bucket_col(F.col("conv_id"), n_buckets, salt))
     if done:
         src = src.where(~F.col("bucket").isin(sorted(done)))

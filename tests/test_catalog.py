@@ -56,3 +56,33 @@ def test_concurrent_commit_conflict_and_rebase(spark, tmp_path):
     v = t.append(spark.createDataFrame([(5,)], "k int"))
     assert v == t.current_snapshot_id()
     assert 5 in {r["k"] for r in t.read(spark).collect()}
+
+
+def test_append_racing_overwrite_does_not_resurrect_deleted_files(spark, tmp_path):
+    """ADVICE r1: an append that loses the commit race to a concurrent
+    OVERWRITE must rebase only its own new files onto the overwrite's head —
+    not re-add the pre-overwrite base files it had read before the race."""
+    root = str(tmp_path / "tbl")
+    t = ManifestTable(root)
+    t.append(spark.createDataFrame([(1,)], "k int"))  # v1: the 'old' data
+
+    class RacedOnce(ManifestTable):
+        """First head lookup returns a stale view while a racer commits an
+        overwrite; subsequent lookups see the truth."""
+
+        raced = False
+
+        def current_snapshot_id(self):
+            real = super().current_snapshot_id()
+            if not RacedOnce.raced:
+                RacedOnce.raced = True
+                ManifestTable(self.root).overwrite(
+                    spark.createDataFrame([(9,)], "k int")
+                )  # racer wins the next version, dropping v1's files
+                return real  # appender still believes the stale head
+            return super().current_snapshot_id()
+
+    appender = RacedOnce(root)
+    appender.append(spark.createDataFrame([(5,)], "k int"))
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == {9, 5}, f"pre-overwrite rows resurrected: {got}"

@@ -66,6 +66,30 @@ def test_aggregate_answers_modes(spark):
     assert aggregate_answers(df, "q", "ans", "score", "concat").first()["answer"] == "short mid the longest answer"
 
 
+def test_aggregate_answers_window_order(spark):
+    """With order_col, semantics match the reference _aggregate
+    (qa_squad.py:40-48): concat joins non-empty answers in WINDOW order,
+    best/longest ties go to the FIRST window (Python max semantics)."""
+    df = spark.createDataFrame(
+        [
+            ("q1", "w0-ans", 0.5, 0),
+            ("q1", "", 0.9, 1),  # empty answers dropped from concat
+            ("q1", "w2-ans", 0.5, 2),  # ties 0.5 with w0 → w0 wins 'best'
+            ("q1", "last!!", 0.1, 3),  # same length as w0-ans → w0 wins 'longest'
+        ],
+        "q string, ans string, score double, widx int",
+    )
+    best = aggregate_answers(df, "q", "ans", "score", "best", order_col="widx")
+    assert best.first()["answer"] == ""  # 0.9 beats the ties outright
+    df2 = df.where(F.col("ans") != "")
+    best2 = aggregate_answers(df2, "q", "ans", "score", "best", order_col="widx")
+    assert best2.first()["answer"] == "w0-ans"
+    longest = aggregate_answers(df2, "q", "ans", "score", "longest", order_col="widx")
+    assert longest.first()["answer"] == "w0-ans"
+    concat = aggregate_answers(df, "q", "ans", "score", "concat", order_col="widx")
+    assert concat.first()["answer"] == "w0-ans w2-ans last!!"
+
+
 def test_cumulative_mean(spark):
     df = spark.createDataFrame([(i, float(i)) for i in range(1, 5)], "i int, v double")
     got = [r["cum_mean"] for r in cumulative_mean(df, "i", "v").orderBy("i").collect()]

@@ -91,6 +91,33 @@ def test_rerun_is_noop(spark, tmp_path):
     assert _snapshot(read_turns(spark, dest)) == before
 
 
+def test_new_input_snapshot_reprocesses_buckets(spark, tmp_path):
+    """Bucket-level resume is bound to the input snapshot: when the input
+    table advances (new snapshot id), previously completed buckets must be
+    re-extracted — new rows can hash into them (ADVICE r1: the old behavior
+    silently skipped such rows)."""
+    rows, golden = synth_transcripts(n_convs=10, turns_per_conv=4, seed=7, mega_conv=False)
+    dest = str(tmp_path / "out")
+    tdf1 = transcripts_df(spark, rows[: len(rows) // 2])
+    run_with_checkpoint(spark, tdf1, dest, n_buckets=4, run_id="r1", input_snapshot="s1")
+
+    # table grows → new snapshot; same dest. All 4 buckets re-run.
+    tdf2 = transcripts_df(spark, rows)
+    stats = run_with_checkpoint(spark, tdf2, dest, n_buckets=4, run_id="r2", input_snapshot="s2")
+    assert stats["resumed_from"] == 0
+    from article_extraction_spark.pipeline.partitioning import bucket_col
+
+    n_nonempty = tdf2.select(bucket_col(F.col("conv_id"), 4, 0).alias("b")).distinct().count()
+    assert stats["buckets_processed"] == n_nonempty
+    # dynamic partition overwrite keeps the output exactly = full input's
+    # non-empty extractions (golden), including rows added after run 1
+    assert read_turns(spark, dest).select("conv_id", "turn_idx").distinct().count() == len(golden)
+
+    # re-run at the SAME snapshot is still a no-op
+    stats3 = run_with_checkpoint(spark, tdf2, dest, n_buckets=4, run_id="r3", input_snapshot="s2")
+    assert stats3["buckets_processed"] == 0
+
+
 def test_row_granular_anti_join_resume(spark):
     rows, golden = synth_transcripts(n_convs=8, turns_per_conv=6, seed=11, mega_conv=False)
     tdf = transcripts_df(spark, rows)

@@ -36,3 +36,20 @@ def test_asof_join(spark):
     assert out["a"] == 100.0           # latest right ≤ 5 is ts=3
     assert out["b"] == 200.0           # latest right ≤ 20 is ts=10
     assert out["c"] == 300.0           # equal timestamps match (right ≤ left)
+
+
+def test_asof_join_null_value_of_matched_row_preserved(spark):
+    """A matched right row whose value column is genuinely NULL must yield
+    NULL — not a stale value carried from an earlier right row (ADVICE r1:
+    per-column last(ignorenulls) skipped NULL-valued matches)."""
+    left = spark.createDataFrame(
+        [(1, _ts(20), "late"), (1, _ts(4), "mid")],
+        "user_id long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(3), 100.0, "x"), (1, _ts(10), None, "y")],
+        "user_id long, ts timestamp, score double, tag string",
+    )
+    out = {r["ev"]: (r["score_asof"], r["tag_asof"]) for r in asof_join(left, right, "user_id").collect()}
+    assert out["mid"] == (100.0, "x")   # matched ts=3 row
+    assert out["late"] == (None, "y")   # matched ts=10 row: NULL score preserved

@@ -63,6 +63,10 @@ def test_classify_column_vs_python(spark):
 
     rng = random.Random(8)
     vals = _rand_strings(rng, 400, "<p>/a {[%PDF-JVBERi0 \n") + ["%PDF-1.4", "  {\"a\":1}", "<div>x</div>"]
+    # Unicode-whitespace prefixes (ADVICE r1): Java \s is ASCII-only, so the
+    # python twin must NOT treat \xa0 /   /   as strippable either
+    vals += [ws + body for ws in ("\xa0", " ", " ", "\x0b", " \t\n")
+             for body in ('{"a":1}', "[1]", "<div>x</div>", "plain")]
     df = spark.createDataFrame([(v,) for v in vals], "v string")
     got = [r["k"] for r in df.select(classify_payload_col(F.col("v")).alias("k")).collect()]
     for v, spark_val in zip(vals, got):
