@@ -365,52 +365,83 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup: MinHash-LSH candidates + exact Jaccard verify on a corpus with
     planted near-duplicates (documents + their lightly-edited copies).
-    Non-SQL-expressible → rows-only check."""
+
+    Value-oracled: the DuckDB oracle computes ALL true pairs with n-gram
+    Jaccard ≥ 0.6 via the relational (explode→join→count) formulation, so a
+    hash match proves the banded LSH achieved recall 1.0 on this corpus AND
+    the verify stage's intersection/union counts are exactly right.
+    Counts are emitted as integers — no FP rounding across engines."""
     from article_extraction_spark.operators.dedup import minhash_dedup
 
-    docs = _t(spark, sf_dir, "documents").limit(2000)
+    # doc_id < 500 (not .limit) so the oracle sees the identical subset at
+    # every SF. bands=16/r=2: P(miss) ≈ 4e-4 for a borderline j=0.62 pair
+    # (the corpus has stragglers at 0.62-0.77), so LSH recall is 1.0 with
+    # margin; r=2 admits more low-j candidates but exact verify culls them.
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     edited = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail edit")).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(edited)
-    pairs = minhash_dedup(corpus, "doc_id", "text", threshold=0.6)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+    pairs = minhash_dedup(corpus, "doc_id", "text", threshold=0.6, num_hashes=32, bands=16)
+    return pairs.select("id_a", "id_b", "n_common", "n_union")
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup: SimHash blocking + hamming verify on planted near-dups.
-    Rows-only check."""
+    """Dedup: SimHash blocking + hamming verify with planted exact copies.
+
+    Value-oracled on recall: every planted copy (identical text → identical
+    simhash → hamming 0) MUST be recovered through the 16-bit-prefix
+    block join + hamming verify, so the expected planted-pair set is exactly
+    every (doc_id, doc_id+1M, 0) — closed form in SQL. Near-dup (hamming 1-3)
+    behavior is covered by pytest (planted single-bit perturbations)."""
     from article_extraction_spark.operators.dedup import simhash_near_duplicates
 
-    docs = _t(spark, sf_dir, "documents").limit(500)
-    edited = docs.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    docs = _t(spark, sf_dir, "documents")
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionByName(copies)
+    pairs = simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=3)
+    return pairs.where(F.col("id_b") - F.col("id_a") == 1_000_000).select(
+        "id_a", "id_b", "hamming"
     )
-    corpus = docs.select("doc_id", "text").unionByName(edited)
-    return simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=3)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup: embedding-cosine near-dup via hyperplane LSH buckets on a
-    corpus with planted exact-duplicate vectors. Rows-only check."""
+    corpus with planted exact-duplicate vectors.
+
+    Value-oracled: at threshold 0.999 the ONLY qualifying pairs in this
+    corpus are the planted copies (verified: no base pair reaches 0.999), and
+    identical vectors always share an LSH bucket, so the full output is
+    exactly (vec_id, vec_id+1M, cosine≈1.0) for every vector — closed form."""
     from article_extraction_spark.operators.dedup import embedding_near_duplicates
 
-    emb = _t(spark, sf_dir, "embeddings").limit(1000)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
     copies = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
     corpus = emb.select("vec_id", "embedding").unionByName(copies)
-    return embedding_near_duplicates(corpus, "vec_id", "embedding", threshold=0.999)
+    pairs = embedding_near_duplicates(corpus, "vec_id", "embedding", threshold=0.999)
+    return pairs.select("id_a", "id_b", F.round("cosine", 5).alias("cosine_r"))
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity search: LSH-bucketed approximate top-k (multiprobe).
-    Approximate → rows-only check."""
+    """Similarity search: LSH-bucketed approximate top-k (multiprobe), with
+    planted true-neighbors.
+
+    Value-oracled on recall: 9 exact copies of the query vector are planted
+    (ids 1M..1M+8). They bucket identically to the query, so the probe filter
+    must keep them and top-10 must be exactly {query, 9 copies} at cosine 1.0
+    — any bucketing/probing inconsistency between the query-side and
+    data-side hashing breaks the hash match."""
     from article_extraction_spark.operators.similarity_search import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    top = lsh_topk(emb, "embedding", list(query), k=10, probe_hamming=1)
+    planted = emb.where(F.col("vec_id") == 0).select(
+        F.explode(F.sequence(F.lit(1_000_000), F.lit(1_000_008))).alias("vec_id"),
+        "embedding",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    top = lsh_topk(corpus, "embedding", list(query), k=10, probe_hamming=1)
     return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
 
 
@@ -664,11 +695,21 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_qa_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8: QA span extraction (windows → spans → dedup → n_best).
-    Rows-only check (deterministic keyword scorer stands in for the model)."""
+
+    Value-oracled on a closed-form slice: documents containing EXACTLY ONE
+    'table' token, one window (window ≥ text). The scorer's best span is then
+    provably the width-3 token window around the hit (score 1/span_tokens is
+    maximized by the smallest span), and the candidate set is the distinct
+    width-3/7/31 windows — all expressible in SQL over the single-space
+    token layout of the synthetic corpus. Multi-window striding stays covered
+    by tests/test_qa.py."""
     from article_extraction_spark.extraction.qa import qa_extract
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
-    out = qa_extract(docs.select("doc_id", "text"), "text", ["table", "join"], window=300, stride=150)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    one_hit = docs.where(
+        F.size(F.filter(F.split("text", " "), lambda w: w == F.lit("table"))) == 1
+    )
+    out = qa_extract(one_hit, "text", ["table"], window=1_000_000, stride=500_000)
     return out.select(
         "doc_id",
         F.col("qa.answer").alias("answer"),
@@ -1089,8 +1130,83 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
-        # token_windows / encode_dedupe / minhash_near_dups /
-        # simhash_near_dups / embedding_near_dups / lsh_topk:
-        # non-SQL-expressible (worker-cached tokenizer, fake encoder, LSH
-        # banding / bit arithmetic / approximate probing) → rows-only checks.
+        # The dedup/ANN family is oracled on planted-duplicate corpora: the
+        # oracle computes the TRUE answer (all-pairs n-gram Jaccard, planted
+        # exact-copy sets, planted query-neighbors), so a hash match proves
+        # the LSH/banding/probing achieved exact recall on this corpus.
+        "minhash_near_dups": """
+            WITH docs500 AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+            corpus AS (
+              SELECT doc_id, text FROM docs500
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' tail edit' AS text FROM docs500
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                                 w -> length(w) > 0) AS t
+              FROM corpus
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     END AS s
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(n_common AS INTEGER) AS n_common,
+                   CAST(sa.n + sb.n - n_common AS INTEGER) AS n_union
+            FROM common
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+            JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
+        """,
+        "simhash_near_dups": """
+            SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INTEGER) AS hamming
+            FROM documents
+        """,
+        "embedding_near_dups": """
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine_r
+            FROM embeddings WHERE vec_id < 1000
+        """,
+        "lsh_topk": """
+            SELECT CAST(0 AS BIGINT) AS vec_id, 1.0 AS cosine_r
+            UNION ALL
+            SELECT 1000000 + CAST(i AS BIGINT), 1.0 FROM generate_series(0, 8) t(i)
+        """,
+        "qa_spans": """
+            WITH one_hit AS (
+              SELECT doc_id, string_split(text, ' ') AS t,
+                     list_position(string_split(text, ' '), 'table') AS i,
+                     len(string_split(text, ' ')) AS n
+              FROM documents
+              WHERE len(list_filter(string_split(text, ' '), w -> w = 'table')) = 1
+            ),
+            spans AS (
+              SELECT doc_id,
+                     array_to_string(t[greatest(1, i - 1) : least(n, i + 1)], ' ') AS a3,
+                     array_to_string(t[greatest(1, i - 3) : least(n, i + 3)], ' ') AS a7,
+                     array_to_string(t[greatest(1, i - 15) : least(n, i + 15)], ' ') AS a30
+              FROM one_hit
+            )
+            SELECT doc_id, a3 AS answer,
+                   CAST(len(list_distinct([a3, a7, a30])) AS INTEGER) AS n_candidates
+            FROM spans
+        """,
+        "readability": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END AS n_blocks,
+                   (length(trim(text))
+                    + 20 * (length(text) - length(replace(text, ',', '')))) > 25.0
+                       AS has_main_content
+            FROM documents
+        """,
     }

@@ -146,13 +146,13 @@ def jaccard_verify(
     out = (
         candidates.join(sh.select(F.col("_id").alias("id_a"), F.col("_h").alias("_sh_a")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), F.col("_h").alias("_sh_b")), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
-        .withColumn("uni", F.size(F.array_union("_sh_a", "_sh_b")))
+        .withColumn("n_common", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        .withColumn("n_union", F.size(F.array_union("_sh_a", "_sh_b")))
         .withColumn(
             "jaccard",
-            F.when(F.col("uni") == 0, F.lit(1.0)).otherwise(F.col("inter") / F.col("uni")),
+            F.when(F.col("n_union") == 0, F.lit(1.0)).otherwise(F.col("n_common") / F.col("n_union")),
         )
-        .drop("_sh_a", "_sh_b", "inter", "uni")
+        .drop("_sh_a", "_sh_b")
     )
     return out.where(F.col("jaccard") >= threshold)
 
