@@ -17,9 +17,26 @@ from __future__ import annotations
 import re
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _materialize_release(result: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Cache-lifecycle fence for the dedup family (VERDICT r1).
+
+    Materialize ``result`` (MEMORY_AND_DISK) while the upstream shingle/
+    signature/bucket caches are warm, then unpersist the intermediates so a
+    long-lived session doesn't accumulate O(corpus-tokens) cached arrays
+    across repeated dedup calls. The returned DataFrame IS cached (it is the
+    only thing that survives); callers that are done with it should
+    ``.unpersist()`` it."""
+    result = result.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    for c in caches:
+        c.unpersist(blocking=False)
+    return result
 
 # python twin of _tokens() tokenization (lower, split non-alnum, drop empty)
 _TOKEN_RE = re.compile(r"[^a-z0-9]+")
@@ -61,7 +78,7 @@ def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str, shingle_n: int 
     return df.select(
         F.col(id_col).alias("_id"),
         F.transform(shingles_col(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias("_h"),
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -96,21 +113,28 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     sh: DataFrame | None = None,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     rows_per_band = num_hashes // bands; two docs are candidates if ANY band
     of their signatures collides. Returns (id_a, id_b, n_shared_bands).
-    Pair space is bounded by bucket sizes, never |df|².
+    Pair space is bounded by bucket sizes, never |df|². Persisted
+    intermediates are appended to ``caches`` when given, so the caller can
+    release them once the result is materialized.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     if sh is None:
         sh = shingle_hash_sets(df, id_col, text_col, shingle_n)
+        if caches is not None:
+            caches.append(sh)
     sig = sh.select(
         "_id", minhash_signature_col(F.col("_h"), num_hashes).alias("_sig")
-    ).persist()  # reused by both self-join sides
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # reused by both self-join sides
+    if caches is not None:
+        caches.append(sig)
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -165,12 +189,23 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    eager: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle-hash once → LSH candidates → Jaccard
-    verify, sharing the single cached shingle-hash table."""
+    verify, sharing the single cached shingle-hash table.
+
+    ``eager=True`` (default) materializes the (small) pair table and releases
+    the shingle/signature caches — the only cached artifact left is the
+    returned result. ``eager=False`` keeps the pipeline fully lazy; the
+    caches then live until the session ends (use for one-shot jobs only)."""
+    caches: list[DataFrame] = []
     sh = shingle_hash_sets(df, id_col, text_col, shingle_n)
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n, sh=sh)
-    return jaccard_verify(cand, sh, threshold)
+    caches.append(sh)
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n, sh=sh, caches=caches
+    )
+    out = jaccard_verify(cand, sh, threshold)
+    return _materialize_release(out, caches) if eager else out
 
 
 # ---------------------------------------------------------------------------
@@ -225,12 +260,22 @@ def hamming_distance_col(a: Column, b: Column) -> Column:
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, block_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit prefixes (4 rotations) so
     any pair within hamming ≤3 shares at least one block (pigeonhole over 4
-    blocks), then verify exact hamming distance within blocks."""
-    sim = df.select(F.col(id_col).alias("_id"), simhash_col(F.col(text_col)).alias("_sh")).persist()
+    blocks), then verify exact hamming distance within blocks.
+
+    ``eager=True`` materializes the pair table and releases the simhash
+    cache (see _materialize_release)."""
+    sim = df.select(
+        F.col(id_col).alias("_id"), simhash_col(F.col(text_col)).alias("_sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     blocks = sim.select(
         "_id",
         "_sh",
@@ -258,7 +303,8 @@ def simhash_near_duplicates(
         )
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= max_hamming)
+    out = pairs.where(F.col("hamming") <= max_hamming)
+    return _materialize_release(out, [sim]) if eager else out
 
 
 # ---------------------------------------------------------------------------
@@ -274,11 +320,20 @@ def embedding_near_duplicates(
     n_planes: int = 12,
     seed: int = 42,
     dim: int | None = None,
+    probe_hamming: int = 1,
+    eager: bool = True,
 ) -> DataFrame:
     """Bucket by sign-pattern against seeded random hyperplanes (numpy inside
-    an Arrow-batched UDF), then exact cosine within buckets. Exact duplicates
-    always collide; near-dups may need multiprobe (future work) — acceptable
-    recall/cost trade at scale."""
+    an Arrow-batched UDF), then exact cosine within buckets.
+
+    Exact duplicates always collide. ``probe_hamming=1`` (multiprobe) also
+    joins each point's bucket against all single-bit-neighbor buckets, so a
+    near-duplicate that lands one hyperplane sign away is still recalled —
+    the VERDICT-r1 recall cliff for near-but-not-identical vectors. Probing
+    explodes only ONE join side (n_planes+1 keys per row), keeping the pair
+    space bucket-bounded; cost scales linearly in n_planes, not |df|².
+    ``eager=True`` materializes the pair table and releases the bucket cache.
+    """
     import numpy as np
 
     if dim is None:
@@ -300,9 +355,24 @@ def embedding_near_duplicates(
 
     bucketed = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket_udf(F.col(vec_col)).alias("_bk")
-    ).persist()  # reused by both self-join sides — one UDF pass
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # reused by both self-join sides — one UDF pass
+
+    if probe_hamming >= 1:
+        # probe keys for side a: own bucket + every 1-bit neighbor
+        probe = bucketed.select(
+            "_id",
+            "_v",
+            F.explode(
+                F.array(
+                    F.col("_bk"),
+                    *[F.col("_bk").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+                )
+            ).alias("_bk"),
+        )
+    else:
+        probe = bucketed
+    a, b = probe.alias("a"), bucketed.alias("b")
+    out = (
         a.join(b, (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id")))
         .select(
             F.col("a._id").alias("id_a"),
@@ -311,3 +381,6 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+    # no distinct needed: probe keys per row are unique and b carries one
+    # bucket key, so each qualifying pair joins exactly once
+    return _materialize_release(out, [bucketed]) if eager else out
