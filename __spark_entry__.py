@@ -189,16 +189,18 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cumulative_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: expanding mean in event order (running-average metric)."""
-    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
-    from pyspark.sql import Window
+    """A7: expanding mean in event order — distributed two-phase prefix-sum
+    formulation (no single-task global window; VERDICT r1 scale fix).
 
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
-    # engine-portable expanding mean: floor to integer cents first so the
-    # running sum is exact (window-sum FP association differs across engines)
-    cents = F.floor(F.col("value") * 100).cast("long")
-    cm = F.floor(F.sum(cents).over(w).cast("double") / F.count(cents).over(w) * 1e4) / 1e6
-    return e.select("event_id", cm.alias("cum_mean"))
+    Engine-portable math: floor to integer cents first so the running sum is
+    exact — the distributed partial sums then add up to the identical
+    integers the oracle's global window computes."""
+    from article_extraction_spark.operators.aggregates import cumulative_mean_distributed
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    cents = e.select("event_id", F.floor(F.col("value") * 100).cast("long").alias("_cents"))
+    out = cumulative_mean_distributed(cents, "event_id", "_cents", out_col="_cm")
+    return out.select("event_id", (F.floor(F.col("_cm") * 1e4) / 1e6).alias("cum_mean"))
 
 
 def q_union_names(spark: SparkSession, sf_dir: str) -> DataFrame:

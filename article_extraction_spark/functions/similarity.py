@@ -57,16 +57,103 @@ def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1, max_prefix: int = 
     return j + prefix * prefix_scale * (1.0 - j)
 
 
+# strings longer than this fall back to the scalar kernel (the B×L² match
+# tensor would dominate memory; fuzzy-join inputs are short names)
+_JW_VECTOR_MAX_LEN = 128
+_JW_CHUNK = 4096
+
+
+def _jw_batch_numpy(sa: list[str], sb: list[str]) -> "object":
+    """Vectorized Jaro-Winkler over a batch of SHORT string pairs.
+
+    Same greedy in-window matching as ``jaro`` but executed as numpy tensor
+    ops: the per-character python loop becomes L numpy steps over the whole
+    batch (~10× on fuzzy-join shapes). Property-tested equal to the scalar
+    twin (tests/test_functions.py)."""
+    import numpy as np
+
+    B = len(sa)
+    n1 = np.fromiter((len(s) for s in sa), dtype=np.int64, count=B)
+    n2 = np.fromiter((len(s) for s in sb), dtype=np.int64, count=B)
+    L = int(max(n1.max(initial=0), n2.max(initial=0), 1))
+    a_mat = np.zeros((B, L), dtype=np.uint32)
+    b_mat = np.zeros((B, L), dtype=np.uint32)
+    for r, s in enumerate(sa):
+        if s:
+            a_mat[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for r, s in enumerate(sb):
+        if s:
+            b_mat[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+    ar = np.arange(L)
+    valid1 = ar[None, :] < n1[:, None]
+    valid2 = ar[None, :] < n2[:, None]
+    eq = (a_mat[:, :, None] == b_mat[:, None, :]) & valid1[:, :, None] & valid2[:, None, :]
+    window = np.maximum(np.maximum(n1, n2) // 2 - 1, 0)
+    eq &= np.abs(ar[:, None] - ar[None, :])[None, :, :] <= window[:, None, None]
+
+    taken = np.zeros((B, L), dtype=bool)
+    m1 = np.zeros((B, L), dtype=bool)
+    for i in range(L):
+        cand = eq[:, i, :] & ~taken
+        rows = np.nonzero(cand.any(axis=1))[0]
+        j = cand[rows].argmax(axis=1)
+        taken[rows, j] = True
+        m1[rows, i] = True
+    m = m1.sum(axis=1)
+
+    # order-aligned matched sequences for the half-transposition count
+    out1 = np.zeros((B, L), dtype=np.uint32)
+    out2 = np.zeros((B, L), dtype=np.uint32)
+    r1, c1 = np.nonzero(m1)
+    out1[r1, (np.cumsum(m1, axis=1) - 1)[r1, c1]] = a_mat[r1, c1]
+    r2, c2 = np.nonzero(taken)
+    out2[r2, (np.cumsum(taken, axis=1) - 1)[r2, c2]] = b_mat[r2, c2]
+    half_t = ((out1 != out2) & (ar[None, :] < m[:, None])).sum(axis=1)
+    t = half_t // 2
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro_v = (m / n1 + m / n2 + (m - t) / np.maximum(m, 1)) / 3.0
+    jaro_v = np.where((m == 0) | (n1 == 0) | (n2 == 0), 0.0, jaro_v)
+
+    k = min(4, L)
+    pm = (a_mat[:, :k] == b_mat[:, :k]) & valid1[:, :k] & valid2[:, :k]
+    prefix = np.cumprod(pm, axis=1).sum(axis=1)
+    jw = jaro_v + prefix * 0.1 * (1.0 - jaro_v)
+    # identical strings are exactly 1.0 (incl. two empties, like the scalar twin)
+    jw = np.where((n1 == n2) & (a_mat == b_mat).all(axis=1), 1.0, jw)
+    return jw
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """F11 as an Arrow-batched column function."""
-    return pd.Series(
-        [
-            jaro_winkler(x, y) if x is not None and y is not None else None
-            for x, y in zip(a, b)
-        ],
-        dtype="float64",
+    """F11 as an Arrow-batched column function — numpy-vectorized kernel for
+    short strings, scalar fallback for nulls/long strings."""
+    import numpy as np
+
+    out = pd.Series([None] * len(a), dtype="float64")
+    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    ok = np.fromiter(
+        (
+            x is not None
+            and y is not None
+            and len(x) <= _JW_VECTOR_MAX_LEN
+            and len(y) <= _JW_VECTOR_MAX_LEN
+            for x, y in zip(av, bv)
+        ),
+        dtype=bool,
+        count=len(a),
     )
+    idx = np.nonzero(ok)[0]
+    for lo in range(0, len(idx), _JW_CHUNK):
+        chunk = idx[lo : lo + _JW_CHUNK]
+        out.iloc[chunk] = _jw_batch_numpy(
+            [av[i] for i in chunk], [bv[i] for i in chunk]
+        )
+    for i in np.nonzero(~ok)[0]:
+        if av[i] is not None and bv[i] is not None:
+            out.iloc[i] = jaro_winkler(av[i], bv[i])
+    return out
 
 
 def levenshtein_normalized_col(a: Column, b: Column) -> Column:

@@ -104,7 +104,72 @@ def aggregate_answers(
 
 def cumulative_mean(df: DataFrame, order: str, value: str, out_col: str = "cum_mean") -> DataFrame:
     """A7: expanding mean over a defined order (reference scores.py:454,
-    511-512, 555-558). Per-key ordering must be globally defined; for a
-    distributed cumulative, wrap with partitionBy on a group column."""
+    511-512, 555-558). A GLOBAL window — one task; only for small metric
+    tables (the reference's use). For large inputs use
+    cumulative_mean_distributed."""
     w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(out_col, F.avg(value).over(w))
+
+
+def cumulative_mean_distributed(
+    df: DataFrame,
+    order: str,
+    value: str,
+    out_col: str = "cum_mean",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe expanding mean over a global order: two-phase prefix sums.
+
+    Phase 1 range-partitions on the order key and aggregates one (sum,
+    count) row PER PARTITION (a tiny driver-side collect — N rows for N
+    partitions at any data scale); the exclusive prefix of those totals is
+    the per-partition offset. Phase 2 computes the local running sum/count
+    with a window partitioned by the range-partition id — every partition
+    runs in parallel — and adds the broadcast offsets. No single-task global
+    window anywhere in the plan (vs ``cumulative_mean``).
+
+    The range-partitioned input is persisted so both phases see identical
+    partition ids; phase 2 still reads it after phase 1's collect, so the
+    cache cannot be released here — it is handed to the caller via the
+    returned DataFrame's ``_retained_cache`` attribute: ``.unpersist()`` it
+    after consuming the result. Ties in the order key land in one partition
+    (RangePartitioner), so results are well-defined.
+    """
+    import itertools
+
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, F.col(order))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = sorted(
+        part.groupBy("_pid")
+        .agg(F.sum(value).alias("s"), F.count(value).alias("c"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    off_s: dict[int, float] = {}
+    off_c: dict[int, int] = {}
+    acc_s, acc_c = 0, 0
+    for r in totals:
+        off_s[r["_pid"]], off_c[r["_pid"]] = acc_s, acc_c
+        acc_s += r["s"] or 0
+        acc_c += r["c"]
+    sum_map = F.create_map(
+        *itertools.chain.from_iterable((F.lit(k), F.lit(v)) for k, v in off_s.items())
+    )
+    cnt_map = F.create_map(
+        *itertools.chain.from_iterable((F.lit(k), F.lit(v)) for k, v in off_c.items())
+    )
+    w = Window.partitionBy("_pid").orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    out = part.withColumn(
+        out_col,
+        (F.sum(value).over(w) + sum_map[F.col("_pid")])
+        / (F.count(value).over(w) + cnt_map[F.col("_pid")]),
+    ).drop("_pid")
+    out._retained_cache = part  # caller releases after consumption
+    return out

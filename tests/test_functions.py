@@ -108,6 +108,35 @@ def test_jaro_winkler_udf(spark):
         assert math.isclose(s, expected, abs_tol=1e-9)
 
 
+def test_jw_vectorized_kernel_equals_scalar_twin():
+    """Property test: the numpy batch kernel is bit-equal to the scalar
+    textbook implementation on random pairs incl. unicode/empty/equal."""
+    import math
+    import random
+
+    from article_extraction_spark.functions.similarity import _jw_batch_numpy
+
+    rng = random.Random(123)
+    alphabet = "abcdefgh 0123-éß日"
+    pairs = []
+    for _ in range(1500):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        if rng.random() < 0.25:
+            b = a  # exact-equal path
+        elif rng.random() < 0.5:
+            b = a[: rng.randint(0, len(a))] + "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(0, 8))
+            )
+        else:
+            b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        pairs.append((a, b))
+    pairs += [("", ""), ("", "x"), ("x", ""), ("a", "a"), ("ab", "ba"),
+              ("MARTHA", "MARHTA"), ("x" * 120, "x" * 119 + "y")]
+    got = _jw_batch_numpy([p[0] for p in pairs], [p[1] for p in pairs])
+    for (a, b), g in zip(pairs, got):
+        assert math.isclose(g, jaro_winkler(a, b), abs_tol=1e-12), (a, b, g)
+
+
 def test_levenshtein_normalized(spark):
     df = spark.createDataFrame([("kitten", "sitting"), ("", ""), ("ab", "ab")], "a string, b string")
     got = [r["d"] for r in df.select(levenshtein_normalized_col(F.col("a"), F.col("b")).alias("d")).collect()]

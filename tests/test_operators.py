@@ -96,6 +96,30 @@ def test_cumulative_mean(spark):
     assert got == [1.0, 1.5, 2.0, 2.5]
 
 
+def test_cumulative_mean_distributed_matches_and_has_no_global_window(spark):
+    """Two-phase prefix-sum expanding mean: same answer as the single-task
+    window, and the plan contains no empty-partition-spec Window (every
+    window is keyed by the range-partition id)."""
+    from article_extraction_spark.operators.aggregates import cumulative_mean_distributed
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(1, 501)], "i int, v double"
+    )
+    expect = {r["i"]: r["cum_mean"] for r in cumulative_mean(df, "i", "v").collect()}
+    out = cumulative_mean_distributed(df, "i", "v", num_partitions=8)
+    got = {r["i"]: r["cum_mean"] for r in out.collect()}
+    assert got.keys() == expect.keys()
+    assert all(abs(got[k] - expect[k]) < 1e-9 for k in expect)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every Window node must carry a partition spec (no global single-task window)
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_pid" in m.group(0) or m.group(1), f"global window found: {m.group(0)}"
+    out._retained_cache.unpersist(blocking=True)
+
+
 COUNTRIES = [(1, "France"), (2, "Germany"), (3, "Korea (Republic of)"), (4, "United States of America")]
 HARDWARE = [
     (1, "NVIDIA A100 SXM4 80 GB", 312.0, 0.4),

@@ -126,6 +126,33 @@ def test_select_hardware_parity(ref):
             assert math.isclose(mine[3], theirs[3], abs_tol=1e-12)
 
 
+def test_batch_matchers_equal_scalar_twins(ref):
+    """The vectorized batch matchers (used inside the UDFs) must agree with
+    the scalar reference-parity twins on the same corpus."""
+    from article_extraction_spark.operators.joins import (
+        _batch_match_country,
+        _batch_match_hardware,
+        match_country,
+        match_hardware,
+    )
+
+    rng = random.Random(31)
+    raws = [
+        "South Korea", "Korea", "Germany / France", "USA", "Frnace",
+        "NVIDIA A100", "a100 + v100", "TPUv4", None, "",
+    ] + _rand_strings(rng, 400)
+    got_c = _batch_match_country(raws, COUNTRY_CATALOG)
+    got_h = _batch_match_hardware(raws, HW_CATALOG)
+    for raw, gc, gh in zip(raws, got_c, got_h):
+        assert gc == match_country(raw, COUNTRY_CATALOG), raw
+        eh = match_hardware(raw, HW_CATALOG)
+        assert gh[0] == eh[0] and gh[1] == eh[1] and gh[2] == eh[2], (raw, gh, eh)
+        if gh[3] is None or eh[3] is None:
+            assert gh[3] == eh[3], (raw, gh, eh)
+        else:
+            assert math.isclose(gh[3], eh[3], abs_tol=1e-12), raw
+
+
 def test_parse_numeric_parity(ref):
     from article_extraction_spark.extraction.registry import _parse_numeric_py
 

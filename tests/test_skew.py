@@ -67,3 +67,26 @@ def test_salting_spreads_hot_conversation(skew_spark):
     ]
     assert len(sizes) == 8
     assert max(sizes) < 2 * min(sizes), sizes
+
+
+def test_byte_balanced_partitions_sources(skew_spark):
+    """Partition sizing prefers stats/file-metadata over a payload scan."""
+    from article_extraction_spark.pipeline.partitioning import byte_balanced_partitions
+
+    spark = skew_spark
+    # 1. caller-provided stats short-circuit everything
+    df_mem = spark.createDataFrame([("c", "x" * 100)], "conv_id string, text string")
+    assert byte_balanced_partitions(df_mem, stats_bytes=0) == 8
+    assert byte_balanced_partitions(df_mem, stats_bytes=10 * 64 * 1024 * 1024) == 11
+
+    # 2. file-backed input: sized from file metadata (scaled by the
+    #    compression assumption), no aggregate over the payload
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lo = byte_balanced_partitions(docs, target_bytes=16 * 1024, assume_compression=1.0)
+    hi = byte_balanced_partitions(docs, target_bytes=16 * 1024, assume_compression=8.0)
+    assert hi > lo >= 8  # responds to the metadata-scaling knob → metadata path taken
+
+    # 3. in-memory input falls back to the exact column scan
+    big = spark.createDataFrame([("c", "y" * 200_000)], "conv_id string, text string")
+    assert byte_balanced_partitions(big, target_bytes=50_000) == 8  # min clamp
+    assert byte_balanced_partitions(big, target_bytes=50_000, min_partitions=1) == 5
