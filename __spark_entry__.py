@@ -399,7 +399,10 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior is covered by pytest (planted single-bit perturbations)."""
     from article_extraction_spark.operators.dedup import simhash_near_duplicates
 
-    docs = _t(spark, sf_dir, "documents")
+    # doc_id < 500: identical corpus at every SF (and bench-comparable to r1);
+    # this synthetic vocab is pathologically self-similar, so the full sf0.1
+    # table explodes block-candidate counts without testing anything new
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     corpus = docs.select("doc_id", "text").unionByName(copies)
     pairs = simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=3)
@@ -1173,7 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": """
             SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INTEGER) AS hamming
-            FROM documents
+            FROM documents WHERE doc_id < 500
         """,
         "embedding_near_dups": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine_r

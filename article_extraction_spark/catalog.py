@@ -112,6 +112,53 @@ class ManifestTable:
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(self._write_data(df), "overwrite", df.schema.json())
 
+    def merge(self, spark: SparkSession, src: DataFrame, keys: list[str]) -> int:
+        """Copy-on-write MERGE (Iceberg ``MERGE INTO ... WHEN MATCHED UPDATE
+        SET * WHEN NOT MATCHED INSERT *``): only data files that CONTAIN a
+        matched key are rewritten (their unmatched rows survive); untouched
+        files carry over into the new snapshot by reference. A concurrent
+        commit between planning and commit raises CommitConflict — the caller
+        re-runs the merge against the new head (Iceberg's validation-failure
+        semantics; a silent rebase could resurrect rows another writer
+        deleted)."""
+        from pyspark.sql import functions as F
+
+        parent = self.current_snapshot_id()
+        if parent is None:
+            return self.append(src)
+        manifest = self._load(parent)
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        key_df = src.select(*keys).distinct()
+
+        keep_files: list[str] = []
+        carried: DataFrame | None = None
+        for f in manifest["files"]:
+            df_f = spark.read.schema(schema).parquet(os.path.join(self.root, f))
+            if df_f.join(F.broadcast(key_df), keys, "left_semi").limit(1).count():
+                survivors = df_f.join(F.broadcast(key_df), keys, "left_anti")
+                carried = survivors if carried is None else carried.unionByName(survivors)
+            else:
+                keep_files.append(f)  # untouched file: reused by reference
+        new_data = src if carried is None else carried.unionByName(src, allowMissingColumns=True)
+        new_files = self._write_data(new_data)
+
+        version = parent + 1
+        out = {
+            "snapshot_id": version,
+            "parent": parent,
+            "operation": "merge",
+            "files": keep_files + new_files,
+            "schema": src.schema.json(),
+        }
+        try:
+            with open(self._manifest_path(version), "x") as fh:
+                json.dump(out, fh)
+        except FileExistsError as exc:
+            raise CommitConflict(
+                "concurrent commit during merge — re-run against the new head"
+            ) from exc
+        return version
+
     # -- reads ----------------------------------------------------------------
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:

@@ -64,6 +64,10 @@ def main() -> None:
     transcripts.unpersist()
 
     # --- headline operator queries (driver-contract surface) ---
+    # min-of-N for EVERY query, not just the flagship (VERDICT r1: single-shot
+    # timings on a ±20%-noise shared host made round-over-round deltas
+    # meaningless — parse_numeric's 13.6 s was warmup, not the plan)
+    q_iters = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_ITER", "3"))
     qs = entry.queries()
     for name in [
         "convert_html",
@@ -80,12 +84,15 @@ def main() -> None:
         "simhash_near_dups",
         "media_features",
     ]:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # dedup operators persist intermediates by design; keep per-query
-        # timings independent of accumulated cache memory
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(q_iters):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+            # dedup operators persist intermediates by design; keep per-query
+            # timings independent of accumulated cache memory
+            spark.catalog.clearCache()
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -58,6 +58,48 @@ def test_concurrent_commit_conflict_and_rebase(spark, tmp_path):
     assert 5 in {r["k"] for r in t.read(spark).collect()}
 
 
+def test_merge_copy_on_write(spark, tmp_path):
+    """MERGE rewrites only files containing matched keys; untouched files
+    carry into the new snapshot by reference; old snapshots still readable."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    v1 = t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    v2 = t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+
+    src = spark.createDataFrame([(2, "B!"), (9, "new")], "k int, v string")
+    v3 = t.merge(spark, src, ["k"])
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B!", 3: "c", 9: "new"}
+
+    m2, m3 = t._load(v2), t._load(v3)
+    untouched = [f for f in m2["files"] if f in m3["files"]]
+    assert untouched, "untouched data files should be reused by reference"
+    # time travel unaffected
+    assert {r["k"] for r in t.read(spark, snapshot_id=v1).collect()} == {1, 2}
+
+    # merge into empty table = append
+    t2 = ManifestTable(str(tmp_path / "tbl2"))
+    t2.merge(spark, src, ["k"])
+    assert {r["k"] for r in t2.read(spark).collect()} == {2, 9}
+
+
+def test_merge_conflict_raises(spark, tmp_path):
+    """A commit racing a merge must surface as CommitConflict, never a
+    silent rebase (it could resurrect rows the other writer deleted)."""
+    root = str(tmp_path / "tbl")
+    t = ManifestTable(root)
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+
+    class RacedMerge(ManifestTable):
+        def _write_data(self, df):
+            files = super()._write_data(df)
+            # racer commits while our merge is writing its files
+            ManifestTable(self.root).append(spark.createDataFrame([(7, "r")], "k int, v string"))
+            return files
+
+    with pytest.raises(CommitConflict):
+        RacedMerge(root).merge(spark, spark.createDataFrame([(1, "A")], "k int, v string"), ["k"])
+
+
 def test_append_racing_overwrite_does_not_resurrect_deleted_files(spark, tmp_path):
     """ADVICE r1: an append that loses the commit race to a concurrent
     OVERWRITE must rebase only its own new files onto the overwrite's head —

@@ -194,3 +194,33 @@ def test_classify_payload():
     assert classify_payload("[1, 2]") == "json"
     assert classify_payload("plain words") == "txt"
     assert classify_payload(None) == "txt"
+
+
+def test_fallback_pdf_parity_with_real_fitz():
+    """Skip-if-absent parity: on the synthetic corpus the deterministic
+    fallback parser must produce the same text as pinned PyMuPDF
+    ``page.get_text()`` (reference paper_text_table.py:68-79). Runs wherever
+    PyMuPDF (requirements-optional.txt) is installed; this container lacks
+    it, so the fallback is the exercised path and this test documents the
+    contract it must keep."""
+    import pytest
+
+    from article_extraction_spark.extract.core import HAVE_FITZ, _fallback_pdf_text
+    from article_extraction_spark.fixtures.synth import make_pdf_bytes
+
+    if not HAVE_FITZ:
+        pytest.skip("PyMuPDF not installed (see requirements-optional.txt)")
+
+    import fitz
+
+    cases = [
+        ["hello world"],
+        ["line one", "line two", "with (parens) and \\ backslash"],
+        ["a" * 200, "short"],
+    ]
+    for compress in (False, True):
+        for lines in cases:
+            data = make_pdf_bytes(lines, compress=compress)
+            with fitz.open(stream=data, filetype="pdf") as doc:
+                real = "\n".join(page.get_text() for page in doc)
+            assert _fallback_pdf_text(data) == real, (lines, compress)
