@@ -283,3 +283,67 @@ def test_real_torch_qa_backend_smoke():  # pragma: no cover - env-dependent
         backend=be,
     )
     assert isinstance(got, str)
+
+
+# ---------------------------------------------------------------------------
+# E10 encoder kernel
+# ---------------------------------------------------------------------------
+
+
+def test_pool_and_normalize_masked_mean():
+    from article_extraction_spark.extraction.hf_encode import pool_and_normalize
+
+    # 2 docs, 3 tokens, 2 dims; second doc masks out its last two tokens
+    h = np.array(
+        [[[1.0, 0.0], [3.0, 0.0], [0.0, 0.0]],
+         [[0.0, 2.0], [9.0, 9.0], [9.0, 9.0]]]
+    )
+    mask = np.array([[1, 1, 0], [1, 0, 0]])
+    got = pool_and_normalize(h, mask)
+    np.testing.assert_allclose(got[0], [1.0, 0.0])          # mean (2,0) → unit x
+    np.testing.assert_allclose(got[1], [0.0, 1.0])          # only token 0 counts
+    # all-masked row: clamped count, no NaN
+    got2 = pool_and_normalize(h, np.zeros_like(mask))
+    assert np.isfinite(got2).all()
+
+
+def test_pool_prefers_pooler_output():
+    from article_extraction_spark.extraction.hf_encode import pool_and_normalize
+
+    h = np.ones((1, 2, 2))
+    pooled = pool_and_normalize(h, np.ones((1, 2)), pooler_output=np.array([[3.0, 4.0]]))
+    np.testing.assert_allclose(pooled, [[0.6, 0.8]])
+
+
+def test_hf_encoder_udf_with_fake_backend(spark):
+    """The dedupe-before-encode plan accepts the HF encoder UDF unchanged;
+    a fake backend stands in for the executor-cached model."""
+    from article_extraction_spark.extraction.encode import encode_texts_deduped
+    from article_extraction_spark.extraction.hf_encode import EncoderBackend, hf_encoder_udf
+
+    class LocalFakeEncoder(EncoderBackend):
+        def encode_batch(self, texts):
+            out = np.zeros((len(texts), 4))
+            for i, t in enumerate(texts):
+                out[i, len(t) % 4] = 1.0
+            return out
+
+    df = spark.createDataFrame([("aa",), ("aa",), ("bbb",)], "text string")
+    enc = encode_texts_deduped(df, "text", encoder=hf_encoder_udf("unused", backend=LocalFakeEncoder()))
+    rows = {(r["text"], tuple(r["embedding"])) for r in enc.collect()}
+    assert ("aa", (0.0, 0.0, 1.0, 0.0)) in rows
+    assert ("bbb", (0.0, 0.0, 0.0, 1.0)) in rows
+    assert enc.count() == 3
+
+
+@pytest.mark.skipif(not _has_torch_stack(), reason="torch/transformers not installed")
+def test_real_torch_encoder_smoke():  # pragma: no cover - env-dependent
+    from article_extraction_spark.extraction.hf_encode import torch_encoder_backend
+
+    try:
+        be = torch_encoder_backend("sshleifer/tiny-distilbert-base-cased")
+    except Exception as exc:
+        pytest.skip(f"model unavailable (offline?): {exc}")
+    vecs = be.encode_batch(["hello world", "hello world", "other"])
+    assert vecs.shape[0] == 3
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-5)
