@@ -44,3 +44,45 @@ def deterministic_split(
         .when(F.col("_rk") <= n_train + n_test, "test")
         .otherwise("dev"),
     ).drop("_rk")
+
+
+def reference_exact_split(
+    df: DataFrame,
+    order_col: str,
+    train: float,
+    test: float,
+    dev: float,
+    random_state: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """REFERENCE-EXACT seed-42 split (tables/other/split.py:20-47).
+
+    pandas ``df.sample(frac=1, random_state=s)`` draws
+    ``np.random.RandomState(s).permutation(n)`` and slices the shuffled frame
+    by exact ratio cut points; this reproduces the identical assignment: the
+    permutation is computed on the driver (n int64s — parity mode for
+    reference-scale tables, NOT the 10^12 path; ``deterministic_split`` is
+    the distributed default) and broadcast-joined onto the row rank in
+    ``order_col`` order (= the reference frame's row order).
+    Verified against the AST-loaded reference function in
+    tests/test_reference_split_parity.py.
+    """
+    import numpy as np
+
+    total = sum((train, test, dev))
+    if not (abs(total - 1.0) < 1e-9):
+        raise ValueError(f"ratios must sum to 1, got {total}")
+    spark = df.sparkSession
+    n = df.count()
+    perm = np.random.RandomState(random_state).permutation(n)
+    train_end = int(n * train)
+    test_end = train_end + int(n * test)
+    # shuffled position p holds original row perm[p]; slice by p
+    assign = [
+        (int(orig), "train" if p < train_end else ("test" if p < test_end else "dev"))
+        for p, orig in enumerate(perm)
+    ]
+    map_df = spark.createDataFrame(assign, f"_rank long, {out_col} string")
+    w = Window.orderBy(order_col)
+    ranked = df.withColumn("_rank", F.row_number().over(w) - 1)
+    return ranked.join(F.broadcast(map_df), "_rank").drop("_rank")

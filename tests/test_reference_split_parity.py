@@ -1,0 +1,60 @@
+"""Exact parity with the reference's seed-42 shuffled split
+(tables/other/split.py:20-47) — closes the round-1 'intentional deviation':
+the pandas sample(frac=1, random_state) permutation is reproduced exactly
+via a driver-side numpy permutation broadcast onto row ranks."""
+
+from __future__ import annotations
+
+import ast
+import os
+
+import pandas as pd
+import pytest
+
+REF_PATH = "/root/reference/tables/other/split.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_PATH), reason="reference checkout not present"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_split():
+    """AST-load shuffled_split only (the module imports sqlalchemy at top)."""
+    tree = ast.parse(open(REF_PATH, encoding="utf-8").read())
+    body = [
+        n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "shuffled_split"
+    ]
+    assert body
+    ns: dict = {}
+    exec("import math\nimport pandas as pd\nfrom typing import Any, Dict", ns)  # noqa: S102
+    exec(compile(ast.Module(body=body, type_ignores=[]), REF_PATH, "exec"), ns)  # noqa: S102
+    return ns["shuffled_split"]
+
+
+@pytest.mark.parametrize(
+    "n,ratios",
+    [
+        (103, (0.3, 0.5, 0.2)),
+        (400, (0.005, 0.99, 0.005)),  # the reference's production ratios
+        (7, (0.5, 0.25, 0.25)),
+    ],
+)
+def test_reference_exact_split_parity(spark, ref_split, n, ratios):
+    from article_extraction_spark.operators.split import reference_exact_split
+
+    pdf = pd.DataFrame({"id": range(n), "v": [f"row{i}" for i in range(n)]})
+    splits = ref_split(pdf, *ratios, random_state=42)
+    expected = {}
+    for name, frame in splits.items():
+        for rid in frame["id"]:
+            expected[int(rid)] = name
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["id"]: r["split"]
+        for r in reference_exact_split(df, "id", *ratios, random_state=42).collect()
+    }
+    assert got == expected
