@@ -742,6 +742,30 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation: PII redaction (emails / IPv4 / long digit
+    runs) with per-kind counts — native regexp expressions, patterns chosen
+    RE2/Java-portable so the oracle replicates them verbatim. PII is planted
+    deterministically per doc_id (the synthetic corpus contains none)."""
+    from article_extraction_spark.operators.textstats import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref 12345678"),
+            (F.col("doc_id") % 10).cast("string"),
+        ),
+    )
+    out = redact_pii(planted, "text")
+    return out.select("doc_id", "n_email", "n_ipv4", "n_longnum", "redacted")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "convert_html": q_convert_html,
@@ -791,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "histogram": q_histogram,
         "time_buckets": q_time_buckets,
+        "pii_redaction": q_pii_redaction,
     }
 
 
@@ -1205,6 +1230,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a3 AS answer,
                    CAST(len(list_distinct([a3, a7, a30])) AS INTEGER) AS n_candidates
             FROM spans
+        """,
+        "pii_redaction": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 ref 12345678' || CAST(doc_id % 10 AS VARCHAR) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INTEGER) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INTEGER) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '\\b[0-9]{9,}\\b')) AS INTEGER) AS n_longnum,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[PII]', 'g'),
+                        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[PII]', 'g'),
+                        '\\b[0-9]{9,}\\b', '[PII]', 'g') AS redacted
+            FROM planted
         """,
         "readability": """
             SELECT doc_id,

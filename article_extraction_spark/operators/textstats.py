@@ -161,3 +161,31 @@ def fingerprint_col(c: Column) -> Column:
         F.regexp_replace(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"[^a-z0-9]+", " "), r"\s+", " ")
     )
     return F.md5(norm.cast("binary"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — training-data curation staple. Native regexp expressions
+# (whole-stage codegen, no Python); patterns kept RE2/Java-portable so the
+# DuckDB oracle can replicate them verbatim.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("longnum", r"\b[0-9]{9,}\b"),  # SSN/account-shaped digit runs
+]
+
+
+def redact_pii(df: "DataFrame", text_col: str, out_col: str = "redacted", token: str = "[PII]"):
+    """Adds ``out_col`` (text with emails/IPv4s/long digit runs replaced by
+    ``token``) plus one ``n_<kind>`` count column per pattern. Counts are
+    taken BEFORE redaction (replacement order can't hide later patterns);
+    replacements apply in PII_PATTERNS order."""
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    for kind, pat in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(src, F.lit(pat)))
+    red = src
+    for _, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn(out_col, red)

@@ -242,3 +242,23 @@ def test_multimodal_plumbing(spark):
 
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [(r["frame_idx"], r["ts_ms"]) for r in frames] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+
+
+def test_redact_pii(spark):
+    from article_extraction_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.b+c@ex-ample.org or 192.168.1.1 acct 987654321",),
+            ("no pii here 1234",),
+            (None,),
+        ],
+        "text string",
+    )
+    got = redact_pii(df, "text").collect()
+    r0 = got[0]
+    assert (r0["n_email"], r0["n_ipv4"], r0["n_longnum"]) == (1, 1, 1)
+    assert r0["redacted"] == "mail [PII] or [PII] acct [PII]"
+    r1 = got[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_longnum"]) == (0, 0, 0)
+    assert got[2]["redacted"] == ""  # NULL-safe
