@@ -742,6 +742,18 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc count of distinct word 3-grams
+    shared with a 'benchmark' slice (doc_id < 50). n-gram size 3 because the
+    synthetic docs are short; the operator defaults to the classic 13. Value
+    oracle: the relational formulation is exactly expressible in SQL."""
+    from article_extraction_spark.operators.dedup import contamination_check
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = docs.where(F.col("doc_id") < 50)
+    return contamination_check(docs, benchmark, "doc_id", "text", ngram=3, threshold=1)
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation: PII redaction (emails / IPv4 / long digit
     runs) with per-kind counts — native regexp expressions, patterns chosen
@@ -816,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "time_buckets": q_time_buckets,
         "pii_redaction": q_pii_redaction,
+        "contamination": q_contamination,
     }
 
 
@@ -1230,6 +1243,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a3 AS answer,
                    CAST(len(list_distinct([a3, a7, a30])) AS INTEGER) AS n_candidates
             FROM spans
+        """,
+        "contamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                                 w -> length(w) > 0) AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     END AS s
+              FROM toks
+            ),
+            bench AS (SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id < 50)),
+            hits AS (
+              SELECT doc_id, count(DISTINCT g) AS n
+              FROM (SELECT doc_id, unnest(s) AS g FROM sh) e
+              JOIN bench USING (g)
+              GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+                   coalesce(h.n, 0) >= 1 AS contaminated
+            FROM sh s LEFT JOIN hits h USING (doc_id)
         """,
         "pii_redaction": """
             WITH planted AS (

@@ -208,6 +208,42 @@ def minhash_dedup(
     return _materialize_release(out, caches) if eager else out
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 13,
+    threshold: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (training-data staple; the 13-gram overlap
+    rule popularized by GPT-3/PaLM data cards): flag corpus documents that
+    share ≥ ``threshold`` distinct word n-grams with the benchmark set.
+
+    Shape: explode distinct shingles on both sides, equi-join on the shingle,
+    count per doc — ONE shuffle keyed by shingle; the deduped benchmark side
+    is small relative to the corpus (AQE broadcasts it when it fits). Never
+    |corpus|×|benchmark|. Returns (id, n_overlap, contaminated) per doc."""
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_col(F.col(text_col), ngram)).alias("_g"),
+    )
+    b = benchmark.select(
+        F.explode(shingles_col(F.col(text_col), ngram)).alias("_g")
+    ).distinct()
+    hits = c.join(b, "_g").groupBy("_id").agg(F.count_distinct("_g").alias("n_overlap"))
+    return (
+        corpus.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= threshold).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (Charikar 2002): 64-bit fingerprint; near-dups differ in few bits.
 # Bit-majority over token hashes — native bit arithmetic, no UDF.

@@ -262,3 +262,25 @@ def test_redact_pii(spark):
     r1 = got[1]
     assert (r1["n_email"], r1["n_ipv4"], r1["n_longnum"]) == (0, 0, 0)
     assert got[2]["redacted"] == ""  # NULL-safe
+
+
+def test_contamination_check(spark):
+    from article_extraction_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),       # shares 3-grams with bench
+            (2, "completely unrelated words entirely"),  # clean
+            (3, "the quick brown fox jumps high"),       # identical to 1
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "we saw the quick brown fox yesterday")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in
+           contamination_check(corpus, bench, "doc_id", "text", ngram=3).collect()}
+    # shared 3-grams: "the quick brown", "quick brown fox"
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+    assert got[3] == (2, True)
