@@ -113,7 +113,9 @@ def run_with_checkpoint(
         drop_empty=False,
     ).withColumn("bucket", bucket_col(F.col("conv_id"), n_buckets, salt))
 
-    extracted = extracted.persist()
+    from pyspark import StorageLevel
+
+    extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         failed = F.col("extract_error").isNotNull()
         lineage_rows = (

@@ -83,6 +83,8 @@ def main() -> None:
         "minhash_near_dups",
         "simhash_near_dups",
         "media_features",
+        "pii_redaction",
+        "contamination",
     ]:
         runs = []
         for _ in range(q_iters):
