@@ -742,6 +742,14 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocab stats: top-20 terms by token frequency (map-side partial
+    agg -> one shuffle -> TakeOrderedAndProject)."""
+    from article_extraction_spark.operators.textstats import top_terms
+
+    return top_terms(_t(spark, sf_dir, "documents").select("text"), "text", k=20)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-doc count of distinct word 3-grams
     shared with a 'benchmark' slice (doc_id < 50). n-gram size 3 because the
@@ -829,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_buckets": q_time_buckets,
         "pii_redaction": q_pii_redaction,
         "contamination": q_contamination,
+        "top_terms": q_top_terms,
     }
 
 
@@ -1243,6 +1252,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a3 AS answer,
                    CAST(len(list_distinct([a3, a7, a30])) AS INTEGER) AS n_candidates
             FROM spans
+        """,
+        "top_terms": """
+            SELECT term, count(*) AS n
+            FROM (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                       w -> length(w) > 0)) AS term
+              FROM documents
+            )
+            GROUP BY term
+            ORDER BY n DESC, term
+            LIMIT 20
         """,
         "contamination": """
             WITH toks AS (

@@ -189,3 +189,23 @@ def redact_pii(df: "DataFrame", text_col: str, out_col: str = "redacted", token:
     for _, pat in PII_PATTERNS:
         red = F.regexp_replace(red, pat, token)
     return out.withColumn(out_col, red)
+
+
+def top_terms(df: "DataFrame", text_col: str, k: int = 20) -> "DataFrame":
+    """Corpus vocabulary stats: top-k terms by document-token frequency.
+
+    explode → groupBy(term) → count compiles to partial (map-side) aggregation
+    before ONE shuffle on the term; orderBy+limit is TakeOrderedAndProject
+    (per-partition heaps). Ties break on the term, so the top-k set is a
+    total order — deterministic at any partitioning."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"[^a-z0-9]+"),
+        lambda w: F.length(w) > 0,
+    )
+    return (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(k)
+    )

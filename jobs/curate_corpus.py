@@ -1,0 +1,126 @@
+"""End-to-end training-data curation pipeline over the documents table —
+the composition a 100 TB corpus run would actually execute, each stage an
+already-oracled operator:
+
+  1. QUALITY   gopher-style heuristic flags → drop failing docs
+  2. EXACT DEDUP   md5 fingerprint groupBy → keep one doc per fingerprint
+  3. NEAR DEDUP    MinHash-LSH + exact-Jaccard verify → drop the higher id
+                   of every near-dup pair (keep-first policy)
+  4. DECONTAMINATE n-gram overlap vs a benchmark table → drop contaminated
+  5. PII REDACT    emails / IPv4 / long digit runs → [PII]
+  6. WRITE         curated parquet + one-row stats (kept/dropped per stage)
+
+Scale notes: stages 2-4 are shingle/fingerprint-keyed shuffles (never
+all-pairs); stage 3 materializes only the pair table and releases its
+caches (dedup lifecycle); the final write is the only full-data sink. Every
+drop is counted — no silent filtering.
+
+Usage:
+  spark-submit --py-files article_extraction_spark.zip jobs/curate_corpus.py \
+      --docs /root/testdata/sf0.01/documents.parquet \
+      --benchmark-ids 50 --out /tmp/curated
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.85,
+    contamination_ngram: int = 3,
+) -> dict:
+    from article_extraction_spark.operators.dedup import (
+        contamination_check,
+        minhash_dedup,
+    )
+    from article_extraction_spark.operators.textstats import (
+        fingerprint_col,
+        gopher_flags_col,
+        redact_pii,
+    )
+
+    stats: dict[str, int] = {"input": docs.count()}
+
+    # 1. quality filter
+    flagged = docs.withColumn("_g", gopher_flags_col(F.col(text_col)))
+    quality = flagged.where(F.col("_g.passes")).drop("_g")
+    stats["after_quality"] = quality.count()
+
+    # 2. exact dedup: keep the lowest id per fingerprint (one shuffle)
+    keyed = quality.withColumn("_fp", fingerprint_col(F.col(text_col)))
+    first = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    exact = keyed.join(first, ["_fp", id_col], "left_semi").drop("_fp")
+    stats["after_exact_dedup"] = exact.count()
+
+    # 3. near dedup: drop the HIGHER id of every verified near-dup pair
+    pairs = minhash_dedup(exact, id_col, text_col, threshold=jaccard_threshold)
+    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    near = exact.join(drop_ids, id_col, "left_anti")
+    pairs.unpersist()
+    stats["after_near_dedup"] = near.count()
+
+    # 4. decontamination vs the benchmark table
+    contam = contamination_check(near, benchmark, id_col, text_col, ngram=contamination_ngram)
+    clean_ids = contam.where(~F.col("contaminated")).select(id_col)
+    clean = near.join(clean_ids, id_col, "left_semi")
+    stats["after_decontamination"] = clean.count()
+
+    # 5. PII redaction (native regexp — no row explosion)
+    curated = redact_pii(clean, text_col, out_col="curated_text")
+
+    # 6. write + stats
+    curated.write.mode("overwrite").parquet(f"{out_dir}/curated")
+    stats["output"] = stats["after_decontamination"]
+    spark.createDataFrame([stats]).write.mode("overwrite").json(f"{out_dir}/stats")
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--benchmark-ids", type=int, default=50,
+                    help="doc_id < N slice used as the benchmark table")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--jaccard", type=float, default=0.85)
+    ap.add_argument("--contamination-ngram", type=int, default=13,
+                    help="classic 13-gram rule; lower only for short-doc corpora")
+    args = ap.parse_args()
+
+    # build the session BEFORE importing engine modules: under spark-submit
+    # the --py-files zip lands on the driver's sys.path only once the
+    # SparkContext starts (same pattern as jobs/extract_bench.py)
+    spark = (
+        SparkSession.builder.appName("curate_corpus")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.python.worker.reuse", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.docs)
+    benchmark = docs.where(F.col("doc_id") < args.benchmark_ids)
+    stats = curate_corpus(
+        spark,
+        docs,
+        benchmark,
+        args.out,
+        jaccard_threshold=args.jaccard,
+        contamination_ngram=args.contamination_ngram,
+    )
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
