@@ -3,10 +3,11 @@
 
 The fetch itself is a per-batch ``mapInPandas`` kernel (requests with a 30 s
 timeout and UA header, one HTTP call per row, batched transport). This
-sandbox has NO network, so the default kernel is a DETERMINISTIC FAKE that
-synthesizes a payload from the URL (clearly marked); the Spark plumbing —
-URL solving upstream, content-type → doc_type dispatch, resume anti-join —
-is real and tested. Set ``fake=False`` on a networked cluster.
+sandbox has no EXTERNAL network, so the default kernel is a DETERMINISTIC
+FAKE that synthesizes a payload from the URL (clearly marked); the REAL
+requests path (``fake=False``) is exercised end-to-end against a localhost
+HTTP server in tests/test_build_corpus.py — per-worker session, timeout,
+content-type dispatch, per-row 4xx error capture.
 """
 
 from __future__ import annotations
@@ -66,7 +67,7 @@ def fetch_documents(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         session = None
-        if not fake:  # pragma: no cover - needs network
+        if not fake:
             import requests
 
             session = requests.Session()
@@ -78,7 +79,7 @@ def fetch_documents(
                 try:
                     if fake:
                         ct, payload = _fake_fetch(url or "")
-                    else:  # pragma: no cover
+                    else:
                         resp = session.get(url, timeout=FETCH_TIMEOUT_S)
                         resp.raise_for_status()
                         ct, payload = resp.headers.get("Content-Type", ""), resp.content
