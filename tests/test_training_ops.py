@@ -284,3 +284,65 @@ def test_contamination_check(spark):
     assert got[1] == (2, True)
     assert got[2] == (0, False)
     assert got[3] == (2, True)
+
+
+def test_image_pixel_features_raw_rgb8(spark):
+    """Real pixel math over raw payloads: channel means/std and a nearest-
+    neighbor thumbnail verified against numpy ground truth."""
+    import numpy as np
+
+    from article_extraction_spark.operators.multimodal import (
+        RAW_RGB8,
+        image_pixel_features,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(img.tobytes()), RAW_RGB8, 12, 16, None),
+        (2, "image", bytearray(b"short"), RAW_RGB8, 12, 16, None),  # bad length
+        (3, "image", bytearray(b"\x89PNG..."), "image/png", 4, 4, None),  # needs PIL
+    ]
+    from article_extraction_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in image_pixel_features(media, out_w=4, out_h=4).collect()}
+
+    exp_mean = img.reshape(-1, 3).mean(axis=0) / 255.0
+    np.testing.assert_allclose(got[1]["channel_mean"], exp_mean, rtol=1e-12)
+    exp_thumb = resize_nearest(img, 4, 4).astype(np.float64) / 255.0
+    np.testing.assert_allclose(got[1]["thumb"], exp_thumb.ravel(), rtol=1e-6)
+    assert got[1]["decode_error"] is None
+    assert "size mismatch" in got[2]["decode_error"]
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except Exception:
+        has_pil = False
+    if not has_pil:
+        assert "needs PIL" in got[3]["decode_error"]
+
+
+def test_audio_pcm_stats(spark):
+    import numpy as np
+
+    from article_extraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PCM16,
+        audio_pcm_stats,
+    )
+
+    pcm = (np.sin(np.linspace(0, 20, 1000)) * 16384).astype("<i2")
+    rows = [
+        (1, "audio", bytearray(pcm.tobytes()), PCM16, None, None, 1000),
+        (2, "audio", bytearray(b"xx"), "audio/mp3", None, None, 10),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in audio_pcm_stats(media).collect()}
+    ref = pcm.astype(np.float64) / 32768.0
+    assert got[1]["n_samples"] == 1000
+    assert abs(got[1]["rms"] - float(np.sqrt((ref**2).mean()))) < 1e-12
+    assert abs(got[1]["peak"] - float(np.abs(ref).max())) < 1e-12
+    assert "needs soundfile" in got[2]["decode_error"]
