@@ -119,3 +119,22 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_top_terms_plan_partial_agg_and_take_ordered(spark):
+    from article_extraction_spark.operators.textstats import top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    plan = _plan(top_terms(docs, "text", k=20))
+    assert "TakeOrderedAndProject" in plan          # no global sort
+    assert plan.count("HashAggregate") >= 2, plan   # map-side partial agg
+
+
+def test_contamination_plan_no_cartesian(spark):
+    from article_extraction_spark.operators.dedup import contamination_check
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 50)
+    plan = _plan(contamination_check(docs, bench, "doc_id", "text", ngram=3))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # shingle-keyed equi-join
