@@ -742,6 +742,14 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: duplicate-word ratio + top-bigram share,
+    computed relationally (explode -> count -> max/sum -> join back)."""
+    from article_extraction_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocab stats: top-20 terms by token frequency (map-side partial
     agg -> one shuffle -> TakeOrderedAndProject)."""
@@ -838,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "contamination": q_contamination,
         "top_terms": q_top_terms,
+        "repetition": q_repetition,
     }
 
 
@@ -1252,6 +1261,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a3 AS answer,
                    CAST(len(list_distinct([a3, a7, a30])) AS INTEGER) AS n_candidates
             FROM spans
+        """,
+        "repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                                 w -> length(w) > 0) AS t
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id,
+                     len(t) AS n_words,
+                     len(list_distinct(t)) AS n_distinct_words,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t) - 1),
+                                               i -> t[i] || ' ' || t[i+1])
+                          ELSE [] END AS bg
+              FROM toks
+            ),
+            hist AS (
+              SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+              FROM (SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id, unnest(bg) AS g FROM base)
+                    GROUP BY doc_id, g)
+              GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(b.n_words AS INTEGER) AS n_words,
+                   CAST(b.n_distinct_words AS INTEGER) AS n_distinct_words,
+                   CASE WHEN b.n_words > 0
+                        THEN 1.0 - CAST(b.n_distinct_words AS DOUBLE) / b.n_words
+                        ELSE 0.0 END AS dup_word_ratio,
+                   CAST(coalesce(h.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+                   CAST(coalesce(h.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CASE WHEN coalesce(h.n_bigrams, 0) > 0
+                        THEN CAST(h.top_bigram_n AS DOUBLE) / h.n_bigrams
+                        ELSE 0.0 END AS top_bigram_share
+            FROM base b LEFT JOIN hist h USING (doc_id)
         """,
         "top_terms": """
             SELECT term, count(*) AS n

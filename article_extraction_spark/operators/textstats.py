@@ -209,3 +209,50 @@ def top_terms(df: "DataFrame", text_col: str, k: int = 20) -> "DataFrame":
         .orderBy(F.col("n").desc(), F.col("term"))
         .limit(k)
     )
+
+
+def repetition_stats(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate-
+    word ratio and top-bigram share per document.
+
+    The per-doc bigram histogram is computed RELATIONALLY (explode → count →
+    max/sum → join back) instead of per-row higher-order expressions:
+    interpreted lambda expressions re-evaluate subtrees quadratically, while
+    the explode formulation is two hash aggregates that scale with total
+    token count."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"[^a-z0-9]+"),
+        lambda w: F.length(w) > 0,
+    )
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).select(
+        "_id",
+        F.size("_t").alias("n_words"),
+        F.size(F.array_distinct("_t")).alias("n_distinct_words"),
+        F.when(
+            F.size("_t") >= 2,
+            F.zip_with(
+                F.slice("_t", 1, F.size("_t") - 1),
+                F.slice("_t", 2, F.size("_t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_bg"),
+    )
+    grams = base.select("_id", F.explode("_bg").alias("_g"))
+    hist = (
+        grams.groupBy("_id", "_g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    out = base.drop("_bg").join(hist, "_id", "left")
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_words",
+        "n_distinct_words",
+        F.when(F.col("n_words") > 0,
+               1.0 - F.col("n_distinct_words") / F.col("n_words")).otherwise(0.0).alias("dup_word_ratio"),
+        F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.when(F.coalesce("n_bigrams", F.lit(0)) > 0,
+               F.col("top_bigram_n") / F.col("n_bigrams")).otherwise(0.0).alias("top_bigram_share"),
+    )

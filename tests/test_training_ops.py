@@ -346,3 +346,23 @@ def test_audio_pcm_stats(spark):
     assert abs(got[1]["rms"] - float(np.sqrt((ref**2).mean()))) < 1e-12
     assert abs(got[1]["peak"] - float(np.abs(ref).max())) < 1e-12
     assert "needs soundfile" in got[2]["decode_error"]
+
+
+def test_repetition_stats(spark):
+    from article_extraction_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),           # 1 distinct word, bigram 'spam spam' x3
+            (2, "all words here are distinct"),
+            (3, ""),                               # empty-safe
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert got[1]["n_words"] == 4 and got[1]["n_distinct_words"] == 1
+    assert abs(got[1]["dup_word_ratio"] - 0.75) < 1e-12
+    assert got[1]["top_bigram_n"] == 3 and got[1]["n_bigrams"] == 3
+    assert got[1]["top_bigram_share"] == 1.0
+    assert got[2]["dup_word_ratio"] == 0.0 and got[2]["top_bigram_share"] == 0.25
+    assert got[3]["n_words"] == 0 and got[3]["dup_word_ratio"] == 0.0
