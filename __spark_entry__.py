@@ -742,6 +742,16 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling by language: md5-threshold
+    row selection (engine-portable, same construction as hash_split)."""
+    from article_extraction_spark.operators.split import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    frac = {"en": 0.5, "es": 1.0, "de": 0.25, "fr": 0.0}
+    return stratified_sample(docs, "lang", frac, key="doc_id")
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals: duplicate-word ratio + top-bigram share,
     computed relationally (explode -> count -> max/sum -> join back)."""
@@ -847,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "top_terms": q_top_terms,
         "repetition": q_repetition,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1261,6 +1272,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a3 AS answer,
                    CAST(len(list_distinct([a3, a7, a30])) AS INTEGER) AS n_candidates
             FROM spans
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang
+            FROM documents
+            WHERE (lang = 'es')
+               OR (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR) || '|' || '42'), 1, 4)
+                   < '8000')
+               OR (lang = 'de' AND substring(md5(CAST(doc_id AS VARCHAR) || '|' || '42'), 1, 4)
+                   < '4000')
         """,
         "repetition": """
             WITH toks AS (

@@ -46,6 +46,34 @@ def deterministic_split(
     ).drop("_rk")
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (curation staple: keep 100% of
+    high-quality docs, 10% of mid, 1% of low).
+
+    ``sampleBy`` is only approximate and partitioning-dependent; this keeps a
+    row iff the md5 of (key, seed) falls under the stratum's threshold — the
+    same engine-portable construction as the hash split, so the exact row set
+    is reproducible anywhere (and expressible in SQL for the oracle). Unknown
+    strata are dropped (fraction 0). One narrow filter, no shuffle."""
+    # 4 hex chars = 16 bits of the hash → thresholds quantized to 1/65536;
+    # compare HEX STRINGS lexicographically (portable to any engine's md5)
+    h4 = F.substring(F.md5(F.concat_ws("|", F.col(key).cast("string"), F.lit(str(seed)))), 1, 4)
+    expr = F.lit(False)
+    for stratum, frac in fractions.items():
+        if frac >= 1.0:
+            expr = expr | (F.col(stratum_col) == stratum)
+        else:
+            cut_hex = format(int(frac * 65536), "04x")
+            expr = expr | ((F.col(stratum_col) == stratum) & (h4 < F.lit(cut_hex)))
+    return df.where(expr)
+
+
 def reference_exact_split(
     df: DataFrame,
     order_col: str,

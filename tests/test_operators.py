@@ -154,3 +154,21 @@ def test_fuzzy_match_hardware_threshold(spark):
     assert out[2]["id_hardware"] is None  # below 0.90 threshold → nulled
     assert out[2]["hw_similarity"] is not None and out[2]["hw_similarity"] < 0.9
     assert out[3]["id_hardware"] is None
+
+
+def test_stratified_sample(spark):
+    from article_extraction_spark.operators.split import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "hi" if i % 2 == 0 else "lo") for i in range(2000)], "id long, q string"
+    )
+    out = stratified_sample(df, "q", {"hi": 1.0, "lo": 0.1}, key="id")
+    got = out.groupBy("q").count().collect()
+    counts = {r["q"]: r["count"] for r in got}
+    assert counts["hi"] == 1000                  # fraction 1.0 keeps everything
+    assert 50 <= counts.get("lo", 0) <= 150      # ~10% of 1000, hash-deterministic
+    # determinism: identical row set on re-evaluation at another partitioning
+    again = stratified_sample(df.repartition(13), "q", {"hi": 1.0, "lo": 0.1}, key="id")
+    assert {r["id"] for r in out.collect()} == {r["id"] for r in again.collect()}
+    # unknown strata are dropped
+    assert stratified_sample(df, "q", {"zz": 1.0}, key="id").count() == 0
