@@ -1,2 +1,7 @@
-from .ingest import run_available_now, streaming_extract, streaming_turn_metrics  # noqa: F401
+from .ingest import (  # noqa: F401
+    run_available_now,
+    streaming_dedup,
+    streaming_extract,
+    streaming_turn_metrics,
+)
 from .stateful import streaming_sessionize  # noqa: F401

@@ -77,3 +77,27 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup(
+    extracted: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    by_content: bool = False,
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST occurrence per key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``), so state is
+    bounded by the event-time window — a trillion-turn stream carries only
+    the last <watermark> of keys in the state store, unlike plain
+    dropDuplicates whose state grows forever. ``by_content=True`` dedups on
+    the md5 content fingerprint (streaming twin of exact_duplicates)."""
+    if by_content:
+        extracted = extracted.withColumn(
+            "_fp", F.md5(F.coalesce(F.col("extracted_text"), F.lit("")).cast("binary"))
+        )
+        keys = ["_fp"]
+    elif keys is None:
+        keys = ["conv_id", "turn_idx"]
+    out = extracted.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return out.drop("_fp") if by_content else out

@@ -149,3 +149,34 @@ def test_streaming_windowed_metrics(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT doc_kind, sum(n_turns) AS n FROM turn_metrics GROUP BY 1").collect()
     assert {r["doc_kind"]: r["n"] for r in got} == {"html": 10}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup keeps the first occurrence per content
+    fingerprint with watermark-bounded state (dropDuplicatesWithinWatermark
+    — state does not grow with stream length)."""
+    import datetime as dt
+
+    from article_extraction_spark.schemas import TRANSCRIPTS_SCHEMA
+    from article_extraction_spark.streaming import streaming_dedup, streaming_extract
+
+    in_dir = str(tmp_path / "in3")
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "<p>same text</p>", None, ts),
+        ("c2", 0, "user", "<p>same text</p>", None, ts),        # duplicate content
+        ("c3", 0, "user", "<p>other text</p>", None, ts),
+        ("c1", 0, "user", "<p>same text</p>", None, ts),        # duplicate key+content
+    ]
+    spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA).write.parquet(in_dir)
+    deduped = streaming_dedup(streaming_extract(spark, in_dir), by_content=True)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT extracted_text FROM dedup_stream").collect()
+    assert sorted(r["extracted_text"] for r in got) == ["other text", "same text"]
