@@ -742,6 +742,34 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation pipeline as one value-oracled query: gopher quality
+    filter -> exact dedup (keep lowest id per fingerprint) -> MinHash
+    near-dup removal (drop the higher id; bands=16/r=2 so borderline-pair
+    miss probability ~1e-9 -> LSH recall exactly matches the oracle's true
+    all-pairs answer) -> n-gram decontamination vs the doc_id<50 slice.
+    Output = the surviving doc ids. The oracle recomputes every stage
+    relationally in SQL, so a hash match certifies the END-TO-END funnel."""
+    from article_extraction_spark.operators.dedup import contamination_check, minhash_dedup
+    from article_extraction_spark.operators.textstats import fingerprint_col, gopher_flags_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    quality = docs.withColumn("_g", gopher_flags_col(F.col("text"))).where(F.col("_g.passes")).drop("_g")
+    keyed = quality.withColumn("_fp", fingerprint_col(F.col("text")))
+    first = keyed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    exact = keyed.join(first, ["_fp", "doc_id"], "left_semi").drop("_fp")
+    pairs = minhash_dedup(exact, "doc_id", "text", threshold=0.85, num_hashes=32, bands=16)
+    near = exact.join(pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti")
+    pairs.unpersist()
+    benchmark = docs.where(F.col("doc_id") < 50)
+    # ≥10 shared distinct 3-grams counts as contaminated: the tiny synthetic
+    # vocab makes 1-2 incidental shared trigrams ubiquitous, so the classic
+    # any-overlap rule would empty the corpus and prove nothing
+    contam = contamination_check(near, benchmark, "doc_id", "text", ngram=3, threshold=10)
+    keep = contam.where(~F.col("contaminated")).select("doc_id")
+    return near.join(keep, "doc_id", "left_semi").select("doc_id", F.length("text").alias("n_chars"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum downsampling by language: md5-threshold
     row selection (engine-portable, same construction as hash_split)."""
@@ -858,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -1272,6 +1301,107 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a3 AS answer,
                    CAST(len(list_distinct([a3, a7, a30])) AS INTEGER) AS n_candidates
             FROM spans
+        """,
+        "curation_funnel": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS words,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS n_words
+              FROM documents
+            ),
+            quality AS (
+              SELECT doc_id, text FROM w
+              WHERE (n_words >= 50 AND n_words <= 100000)
+                AND (CASE WHEN n_words > 0
+                          THEN cast(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / n_words
+                          ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+                AND (CASE WHEN n_words > 0
+                          THEN cast(len(list_filter(words, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE) / n_words
+                          ELSE 0.0 END <= 0.1)
+                AND (CASE WHEN len(string_split(text, chr(10))) > 0
+                          THEN cast(len(list_filter(string_split(text, chr(10)),
+                                    l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS DOUBLE)
+                               / len(string_split(text, chr(10)))
+                          ELSE 0.0 END <= 0.9)
+                AND (len(list_filter(words, x -> x IN ('the','be','to','of','and','that','have','with'))) >= 2)
+            ),
+            fp AS (
+              SELECT doc_id, text,
+                     md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                         '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS f
+              FROM quality
+            ),
+            exact AS (
+              SELECT doc_id, text FROM fp
+              WHERE (f, doc_id) IN (SELECT (f, min(doc_id)) FROM fp GROUP BY f)
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                                 w2 -> length(w2) > 0) AS t
+              FROM exact
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     END AS s
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            drops AS (
+              SELECT DISTINCT id_b AS doc_id
+              FROM common
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
+              WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.85
+            ),
+            near AS (
+              SELECT e.doc_id, e.text FROM exact e
+              WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)
+            ),
+            bench_toks AS (
+              SELECT list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                                 w2 -> length(w2) > 0) AS t
+              FROM documents WHERE doc_id < 50
+            ),
+            bench AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                             ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END) AS g
+                FROM bench_toks
+              )
+            ),
+            near_sh AS (
+              SELECT n2.doc_id,
+                     CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     END AS s
+              FROM near n2
+              JOIN (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                                               w2 -> length(w2) > 0) AS t
+                    FROM near) tt ON tt.doc_id = n2.doc_id
+            ),
+            contaminated AS (
+              SELECT doc_id
+              FROM (SELECT doc_id, count(DISTINCT g) AS c
+                    FROM (SELECT doc_id, unnest(s) AS g FROM near_sh) e2
+                    JOIN bench USING (g)
+                    GROUP BY doc_id)
+              WHERE c >= 10
+            )
+            SELECT n3.doc_id, CAST(length(n3.text) AS INTEGER) AS n_chars
+            FROM near n3
+            WHERE n3.doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "stratified_sample": """
             SELECT doc_id, lang
