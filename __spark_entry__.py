@@ -742,6 +742,44 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _range_windows() -> list[tuple[int, str, str]]:
+    """20 deterministic 10-hour windows over Jan 2024 — shared literals
+    between the Spark query and its SQL oracle (no cross-engine timestamp
+    arithmetic)."""
+    import datetime as dt
+
+    out = []
+    for w in range(20):
+        start = dt.datetime(2024, 1, 1) + dt.timedelta(hours=36 * w)
+        end = start + dt.timedelta(hours=10)
+        out.append((w, start.strftime("%Y-%m-%d %H:%M:%S"), end.strftime("%Y-%m-%d %H:%M:%S")))
+    return out
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join events->maintenance-windows via the bucketized range
+    join (no cartesian product; exactly-once pair semantics)."""
+    from article_extraction_spark.operators.sessions import range_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    wins = spark.createDataFrame(_range_windows(), "win long, start_s string, end_s string").select(
+        "win", F.col("start_s").cast("timestamp").alias("start"), F.col("end_s").cast("timestamp").alias("stop")
+    )
+    out = range_join(events, wins, "ts", "start", "stop", bucket_seconds=3600)
+    return out.select("event_id", "win", "event_type")
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate clusters on a corpus with planted copies: fingerprint
+    groupBy -> groups with >1 member (one shuffle)."""
+    from article_extraction_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("doc_id") < 500)
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = docs.unionByName(copies)
+    return exact_duplicates(corpus, "doc_id", "text")
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL curation pipeline as one value-oracled query: gopher quality
     filter -> exact dedup (keep lowest id per fingerprint) -> MinHash
@@ -887,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
         "curation_funnel": q_curation_funnel,
+        "exact_dup_groups": q_exact_dup_groups,
+        "range_join": q_range_join,
     }
 
 
@@ -1301,6 +1341,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a3 AS answer,
                    CAST(len(list_distinct([a3, a7, a30])) AS INTEGER) AS n_candidates
             FROM spans
+        """,
+        "range_join": """
+            WITH wins(win, start, stop) AS (
+              VALUES (0, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 10:00:00'),
+                  (1, TIMESTAMP '2024-01-02 12:00:00', TIMESTAMP '2024-01-02 22:00:00'),
+                  (2, TIMESTAMP '2024-01-04 00:00:00', TIMESTAMP '2024-01-04 10:00:00'),
+                  (3, TIMESTAMP '2024-01-05 12:00:00', TIMESTAMP '2024-01-05 22:00:00'),
+                  (4, TIMESTAMP '2024-01-07 00:00:00', TIMESTAMP '2024-01-07 10:00:00'),
+                  (5, TIMESTAMP '2024-01-08 12:00:00', TIMESTAMP '2024-01-08 22:00:00'),
+                  (6, TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-10 10:00:00'),
+                  (7, TIMESTAMP '2024-01-11 12:00:00', TIMESTAMP '2024-01-11 22:00:00'),
+                  (8, TIMESTAMP '2024-01-13 00:00:00', TIMESTAMP '2024-01-13 10:00:00'),
+                  (9, TIMESTAMP '2024-01-14 12:00:00', TIMESTAMP '2024-01-14 22:00:00'),
+                  (10, TIMESTAMP '2024-01-16 00:00:00', TIMESTAMP '2024-01-16 10:00:00'),
+                  (11, TIMESTAMP '2024-01-17 12:00:00', TIMESTAMP '2024-01-17 22:00:00'),
+                  (12, TIMESTAMP '2024-01-19 00:00:00', TIMESTAMP '2024-01-19 10:00:00'),
+                  (13, TIMESTAMP '2024-01-20 12:00:00', TIMESTAMP '2024-01-20 22:00:00'),
+                  (14, TIMESTAMP '2024-01-22 00:00:00', TIMESTAMP '2024-01-22 10:00:00'),
+                  (15, TIMESTAMP '2024-01-23 12:00:00', TIMESTAMP '2024-01-23 22:00:00'),
+                  (16, TIMESTAMP '2024-01-25 00:00:00', TIMESTAMP '2024-01-25 10:00:00'),
+                  (17, TIMESTAMP '2024-01-26 12:00:00', TIMESTAMP '2024-01-26 22:00:00'),
+                  (18, TIMESTAMP '2024-01-28 00:00:00', TIMESTAMP '2024-01-28 10:00:00'),
+                  (19, TIMESTAMP '2024-01-29 12:00:00', TIMESTAMP '2024-01-29 22:00:00')
+            )
+            SELECT e.event_id, w.win, e.event_type
+            FROM events e JOIN wins w
+              ON e.ts >= w.start AND e.ts <= w.stop
+        """,
+        "exact_dup_groups": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 500
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 500
+            )
+            SELECT md5(coalesce(text, '')) AS fingerprint,
+                   count(*) AS n_dups,
+                   list_sort(list(doc_id)) AS doc_ids
+            FROM corpus GROUP BY 1 HAVING count(*) > 1
         """,
         "curation_funnel": """
             WITH w AS (

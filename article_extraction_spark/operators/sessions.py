@@ -92,3 +92,40 @@ def asof_join(
         "_l.*",
         *[F.col(f"_rlast.{c}").alias(f"{c}{suffix}") for c in right_value_cols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval join: left rows whose ``ts`` falls in [start, end] of a right
+    interval (inclusive).
+
+    The naive formulation is a cross join + filter — |L|×|R| at any scale.
+    Scale-safe shape: quantize time into fixed buckets, explode each right
+    interval into the buckets it spans, equi-join on the bucket, then apply
+    the exact range predicate. Each matched (l, r) pair meets EXACTLY once
+    (a left row has one bucket; the right side lists each of its buckets
+    once), so no dedup pass is needed. Cost scales with
+    |L| + Σ interval_length/bucket — pick bucket_seconds near the typical
+    interval length; AQE handles residual bucket skew."""
+    secs = F.lit(bucket_seconds)
+    lb = left.withColumn("_bk", F.floor(F.unix_timestamp(F.col(ts_col)) / secs))
+    rb = right.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / secs),
+                F.floor(F.unix_timestamp(F.col(end_col)) / secs),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_bk")
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("_bk")
+    )

@@ -53,3 +53,26 @@ def test_asof_join_null_value_of_matched_row_preserved(spark):
     out = {r["ev"]: (r["score_asof"], r["tag_asof"]) for r in asof_join(left, right, "user_id").collect()}
     assert out["mid"] == (100.0, "x")   # matched ts=3 row
     assert out["late"] == (None, "y")   # matched ts=10 row: NULL score preserved
+
+
+def test_range_join(spark):
+    from article_extraction_spark.operators.sessions import range_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(5)), (2, _ts(65)), (3, _ts(130)), (4, _ts(200))],
+        "ev long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(0), _ts(60)), (11, _ts(60), _ts(70)), (12, _ts(125), _ts(140))],
+        "win long, start timestamp, stop timestamp",
+    )
+    got = {(r["ev"], r["win"]) for r in
+           range_join(left, right, "ts", "start", "stop", bucket_seconds=600).collect()}
+    # ev2 at minute 65 matches window 11 only; boundaries inclusive
+    assert got == {(1, 10), (2, 11), (3, 12)}
+    # exactly-once: no duplicate pairs even when an interval spans buckets
+    rows = range_join(left, right, "ts", "start", "stop", bucket_seconds=60).collect()
+    assert len(rows) == len({(r["ev"], r["win"]) for r in rows})
+    # no cartesian product in the plan
+    plan = range_join(left, right, "ts", "start", "stop")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
