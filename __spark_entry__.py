@@ -756,6 +756,25 @@ def _range_windows() -> list[tuple[int, str, str]]:
     return out
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: MinHash near-dup pairs -> connected
+    components (iterative min-label propagation). The oracle recomputes the
+    TRUE pair set relationally and closes it with a recursive CTE, so a hash
+    match certifies both LSH recall and the component labeling."""
+    from article_extraction_spark.operators.dedup import connected_components, minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    edited = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail edit")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edited)
+    pairs = minhash_dedup(corpus, "doc_id", "text", threshold=0.6, num_hashes=32, bands=16)
+    comp = connected_components(pairs)
+    pairs.unpersist()
+    return comp
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join events->maintenance-windows via the bucketized range
     join (no cartesian product; exactly-once pair semantics)."""
@@ -927,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "exact_dup_groups": q_exact_dup_groups,
         "range_join": q_range_join,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -1341,6 +1361,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a3 AS answer,
                    CAST(len(list_distinct([a3, a7, a30])) AS INTEGER) AS n_candidates
             FROM spans
+        """,
+        "dedup_components": """
+            WITH RECURSIVE docs500 AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+            corpus AS (
+              SELECT doc_id, text FROM docs500
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' tail edit' AS text FROM docs500
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                                 w -> length(w) > 0) AS t
+              FROM corpus
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     END AS s
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT id_a, id_b
+              FROM common
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
+              WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
+            ),
+            und AS (
+              SELECT id_a AS u, id_b AS v FROM edges
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM edges
+            ),
+            reach(id, n) AS (
+              SELECT DISTINCT u AS id, u AS n FROM und
+              UNION
+              SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.n
+            )
+            SELECT id, min(n) AS component FROM reach GROUP BY id
         """,
         "range_join": """
             WITH wins(win, start, stop) AS (

@@ -420,3 +420,53 @@ def embedding_near_duplicates(
     # no distinct needed: probe keys per row are unique and b carries one
     # bucket key, so each qualifying pair joins exactly once
     return _materialize_release(out, [bucketed]) if eager else out
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the missing
+    piece between near-dup PAIRS and dedup CLUSTERS (dropping one side of
+    each pair over/under-deletes transitive duplicate groups).
+
+    Each round every vertex takes the min label among itself and its
+    neighbors; convergence in O(component diameter) rounds (near-dup
+    clusters are shallow). Spark-native: two hash joins + one aggregate per
+    round, labels localCheckpoint'ed each round so the plan doesn't grow
+    with iterations (GraphX/GraphFrames ship the same algorithm; neither is
+    available to plain PySpark DataFrames). Returns (id, component) where
+    component = min id reachable."""
+    both = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+    both = both.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        both.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("n_min", F.col("component"))).alias("component"),
+                (F.coalesce("n_min", F.col("component")) < F.col("component")).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.where(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    both.unpersist(blocking=False)
+    return labels

