@@ -435,20 +435,24 @@ def connected_components(
     Each round every vertex takes the min label among itself and its
     neighbors; convergence in O(component diameter) rounds (near-dup
     clusters are shallow). Spark-native: two hash joins + one aggregate per
-    round, labels localCheckpoint'ed each round so the plan doesn't grow
-    with iterations (GraphX/GraphFrames ship the same algorithm; neither is
-    available to plain PySpark DataFrames). Returns (id, component) where
-    component = min id reachable."""
+    round; each round's labels are persisted + materialized and the previous
+    round released, so executor memory stays one label-table deep
+    (GraphX/GraphFrames ship the same algorithm; neither is available to
+    plain PySpark DataFrames). Returns a PERSISTED (id, component) table —
+    ``component`` = min id reachable; callers ``.unpersist()`` it when done.
+    """
     both = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
     both = both.persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (
+    cached = (
         both.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cached.count()
+    labels = cached
     for _ in range(max_iterations):
         neighbor_min = (
             both.join(labels, both["v"] == labels["id"])
@@ -462,11 +466,18 @@ def connected_components(
                 F.least(F.col("component"), F.coalesce("n_min", F.col("component"))).alias("component"),
                 (F.coalesce("n_min", F.col("component")) < F.col("component")).alias("_changed"),
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.where(F.col("_changed")).limit(1).count()
+        changed = updated.where(F.col("_changed")).limit(1).count()  # materializes
+        cached.unpersist(blocking=False)
+        cached = updated
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    # re-cache the final projection under ITS OWN plan so the caller's
+    # .unpersist() releases everything this function created
+    final = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    final.count()
+    cached.unpersist(blocking=False)
     both.unpersist(blocking=False)
-    return labels
+    return final

@@ -4,8 +4,8 @@ already-oracled operator:
 
   1. QUALITY   gopher-style heuristic flags → drop failing docs
   2. EXACT DEDUP   md5 fingerprint groupBy → keep one doc per fingerprint
-  3. NEAR DEDUP    MinHash-LSH + exact-Jaccard verify → drop the higher id
-                   of every near-dup pair (keep-first policy)
+  3. NEAR DEDUP    MinHash-LSH + exact-Jaccard verify → connected
+                   components → keep the canonical (min-id) doc per cluster
   4. DECONTAMINATE n-gram overlap vs a benchmark table → drop contaminated
   5. PII REDACT    emails / IPv4 / long digit runs → [PII]
   6. WRITE         curated parquet + one-row stats (kept/dropped per stage)
@@ -63,12 +63,17 @@ def curate_corpus(
     exact = keyed.join(first, ["_fp", id_col], "left_semi").drop("_fp")
     stats["after_exact_dedup"] = exact.count()
 
-    # 3. near dedup: drop the HIGHER id of every verified near-dup pair
+    # 3. near dedup at CLUSTER granularity: pairs → connected components →
+    # keep the canonical (min-id) doc per component. Dropping one side of
+    # each pair would over/under-delete transitive duplicate chains.
+    from article_extraction_spark.operators.dedup import connected_components
+
     pairs = minhash_dedup(exact, id_col, text_col, threshold=jaccard_threshold)
-    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    comp = connected_components(pairs)
+    drop_ids = comp.where(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
     near = exact.join(drop_ids, id_col, "left_anti")
-    pairs.unpersist()
     stats["after_near_dedup"] = near.count()
+    pairs.unpersist()
 
     # 4. decontamination vs the benchmark table
     contam = contamination_check(near, benchmark, id_col, text_col, ngram=contamination_ngram)
@@ -83,6 +88,7 @@ def curate_corpus(
     curated.write.mode("overwrite").parquet(f"{out_dir}/curated")
     stats["output"] = stats["after_decontamination"]
     spark.createDataFrame([stats]).write.mode("overwrite").json(f"{out_dir}/stats")
+    comp.unpersist(blocking=True)  # last consumer (the write) is done
     return stats
 
 
