@@ -200,7 +200,11 @@ def q_cumulative_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
     cents = e.select("event_id", F.floor(F.col("value") * 100).cast("long").alias("_cents"))
     out = cumulative_mean_distributed(cents, "event_id", "_cents", out_col="_cm")
-    return out.select("event_id", (F.floor(F.col("_cm") * 1e4) / 1e6).alias("cum_mean"))
+    res = out.select("event_id", (F.floor(F.col("_cm") * 1e4) / 1e6).alias("cum_mean"))
+    # keep the release handle alive through the projection (the driver
+    # consumes the lazy result later; a caller that is done can unpersist)
+    res._retained_cache = out._retained_cache
+    return res
 
 
 def q_union_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,8 +820,13 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = keyed.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
     exact = keyed.join(first, ["_fp", "doc_id"], "left_semi").drop("_fp")
     pairs = minhash_dedup(exact, "doc_id", "text", threshold=0.85, num_hashes=32, bands=16)
+    # NO unpersist here: the returned DataFrame is lazy and the driver
+    # collects it later — releasing the materialized pair table now would
+    # force a full cache-less recompute of the MinHash pipeline at
+    # evaluation time (the interpreted-HOF re-tokenization path the
+    # materialization boundary exists to avoid). The cached pair table is
+    # tiny and lives until the gate session ends.
     near = exact.join(pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti")
-    pairs.unpersist()
     benchmark = docs.where(F.col("doc_id") < 50)
     # ≥10 shared distinct 3-grams counts as contaminated: the tiny synthetic
     # vocab makes 1-2 incidental shared trigrams ubiquitous, so the classic

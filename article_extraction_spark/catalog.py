@@ -125,30 +125,57 @@ class ManifestTable:
 
         parent = self.current_snapshot_id()
         if parent is None:
-            return self.append(src)
+            # still commit with merge's strict conflict contract: a racing
+            # writer must surface as CommitConflict, never a silent rebase
+            new_files = self._write_data(src)
+            return self._commit_merge(parent, new_files, [], src.schema.json())
         manifest = self._load(parent)
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         key_df = src.select(*keys).distinct()
 
-        keep_files: list[str] = []
-        carried: DataFrame | None = None
-        for f in manifest["files"]:
-            df_f = spark.read.schema(schema).parquet(os.path.join(self.root, f))
-            if df_f.join(F.broadcast(key_df), keys, "left_semi").limit(1).count():
-                survivors = df_f.join(F.broadcast(key_df), keys, "left_anti")
-                carried = survivors if carried is None else carried.unionByName(survivors)
-            else:
-                keep_files.append(f)  # untouched file: reused by reference
-        new_data = src if carried is None else carried.unionByName(src, allowMissingColumns=True)
-        new_files = self._write_data(new_data)
+        # ONE pass over the whole table: tag rows with their source file,
+        # find the files containing any matched key, carry those files'
+        # unmatched rows forward; untouched files are reused by reference.
+        # (The per-file probe-loop alternative issues O(n_files) sequential
+        # driver jobs — linear latency in file count regardless of data.)
+        all_paths = [os.path.join(self.root, f) for f in manifest["files"]]
+        tagged = spark.read.schema(schema).parquet(*all_paths).withColumn(
+            "_file", F.input_file_name()
+        )
+        from urllib.parse import unquote, urlparse
 
-        version = parent + 1
+        root_abs = os.path.abspath(self.root)
+        matched_rel = {
+            os.path.relpath(unquote(urlparse(r["_file"]).path), root_abs)
+            for r in tagged.join(F.broadcast(key_df), keys, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        }
+        keep_files = [f for f in manifest["files"] if f not in matched_rel]
+        rewrite = [f for f in manifest["files"] if f in matched_rel]
+        if rewrite:
+            survivors = (
+                spark.read.schema(schema)
+                .parquet(*[os.path.join(self.root, f) for f in rewrite])
+                .join(F.broadcast(key_df), keys, "left_anti")
+            )
+            new_data = survivors.unionByName(src, allowMissingColumns=True)
+        else:
+            new_data = src
+        new_files = self._write_data(new_data)
+        return self._commit_merge(parent, new_files, keep_files, src.schema.json())
+
+    def _commit_merge(
+        self, parent: int | None, new_files: list[str], keep_files: list[str], schema_json: str
+    ) -> int:
+        version = (parent if parent is not None else 0) + 1
         out = {
             "snapshot_id": version,
             "parent": parent,
             "operation": "merge",
             "files": keep_files + new_files,
-            "schema": src.schema.json(),
+            "schema": schema_json,
         }
         try:
             with open(self._manifest_path(version), "x") as fh:

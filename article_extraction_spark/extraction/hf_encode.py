@@ -7,10 +7,11 @@ Semantics mirrored exactly:
     mean-pooling over ``last_hidden_state`` with an EPSILON-clamped count
     (scores.py:141-151),
   * L2 normalization of the pooled vector (scores.py:153),
-  * text → vector memoization (scores.py:105-123). The worker-local dict is
-    kept as a batch-level cache; ACROSS the cluster the memo is the
-    dedupe-before-encode join in ``encode.encode_texts_deduped`` — encode
-    each distinct text once, join back.
+  * text → vector memoization (scores.py:105-123) — here a BOUNDED LRU
+    (10k entries) since the backend lives for the worker's lifetime; ACROSS
+    the cluster the memo is the dedupe-before-encode join in
+    ``encode.encode_texts_deduped`` — encode each distinct text once, join
+    back.
 
 The pooling/normalization math is pure numpy (``pool_and_normalize``) so it
 is testable without torch; the torch backend converts its forward outputs to
@@ -83,7 +84,14 @@ class TorchEncoderBackend(EncoderBackend):
         self.max_length = (
             min(max_length, limit) if isinstance(limit, int) and limit > 0 else max_length
         )
-        self._cache: dict[str, object] = {}  # text → vector memo (scores.py:61)
+        # BOUNDED text → vector memo: the backend instance lives for the
+        # worker's lifetime (lru_cached), and the cluster-scale memo is the
+        # dedupe-before-encode join anyway — an unbounded dict here would be
+        # O(distinct texts × hidden_dim) per worker
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, object]" = OrderedDict()
+        self._cache_max = 10_000
 
     def encode_batch(self, texts: list[str]):
         import numpy as np
@@ -95,6 +103,7 @@ class TorchEncoderBackend(EncoderBackend):
         for i, t in enumerate(texts):
             hit = self._cache.get(t)
             if hit is not None:
+                self._cache.move_to_end(t)
                 out[i] = hit
             else:
                 missing.append(t)
@@ -120,6 +129,9 @@ class TorchEncoderBackend(EncoderBackend):
             for j, v in enumerate(vecs):
                 text = batch[j]
                 self._cache[text] = v
+                self._cache.move_to_end(text)
+                while len(self._cache) > self._cache_max:
+                    self._cache.popitem(last=False)  # evict least-recent
                 out[missing_idx[lo + j]] = v
         return np.vstack(out) if out else np.empty((0, 0))
 

@@ -71,10 +71,13 @@ class TorchQABackend(QALogitsBackend):
             padding=False,
         )
         for i in range(len(enc["input_ids"])):
+            # token_type_ids must ride along: BERT-family QA models embed
+            # the question/context segment split; dropping it defaults the
+            # context to segment 0 and silently degrades the span logits
             inputs = {
                 k: torch.tensor(v[i]).unsqueeze(0).to(self.device)
                 for k, v in enc.items()
-                if k in ("input_ids", "attention_mask")
+                if k in ("input_ids", "attention_mask", "token_type_ids")
             }
             with torch.no_grad():
                 out = self.model(**inputs)

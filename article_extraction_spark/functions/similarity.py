@@ -125,6 +125,31 @@ def _jw_batch_numpy(sa: list[str], sb: list[str]) -> "object":
     return jw
 
 
+def jw_batch_safe(sa: list[str], sb: list[str]) -> list[float]:
+    """Memory-safe batch Jaro-Winkler: chunks the vectorized kernel at
+    _JW_CHUNK pairs (the kernel's match tensor is B×L² — unchunked, a
+    million-pair fuzzy-match batch with one long token would allocate tens
+    of GB) and falls back to the scalar twin for strings over
+    _JW_VECTOR_MAX_LEN. Same values as jaro_winkler for every pair."""
+    import numpy as np
+
+    n = len(sa)
+    out = np.empty(n, dtype="float64")
+    ok_idx = [
+        i
+        for i in range(n)
+        if len(sa[i]) <= _JW_VECTOR_MAX_LEN and len(sb[i]) <= _JW_VECTOR_MAX_LEN
+    ]
+    for lo in range(0, len(ok_idx), _JW_CHUNK):
+        chunk = ok_idx[lo : lo + _JW_CHUNK]
+        out[chunk] = _jw_batch_numpy([sa[i] for i in chunk], [sb[i] for i in chunk])
+    ok = set(ok_idx)
+    for i in range(n):
+        if i not in ok:
+            out[i] = jaro_winkler(sa[i], sb[i])
+    return out.tolist()
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """F11 as an Arrow-batched column function — numpy-vectorized kernel for

@@ -393,17 +393,22 @@ def embedding_near_duplicates(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket_udf(F.col(vec_col)).alias("_bk")
     ).persist(StorageLevel.MEMORY_AND_DISK)  # reused by both self-join sides — one UDF pass
 
+    if probe_hamming > 2:
+        raise ValueError("probe_hamming supports 0, 1, or 2 (key count grows O(n_planes^h))")
     if probe_hamming >= 1:
-        # probe keys for side a: own bucket + every 1-bit neighbor
+        # probe keys for side a: own bucket + every neighbor within the
+        # requested hamming radius (1-bit flips, plus 2-bit flips at h=2)
+        neighbor_keys = [F.col("_bk").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        if probe_hamming >= 2:
+            neighbor_keys += [
+                F.col("_bk").bitwiseXOR(F.lit((1 << p) | (1 << q)))
+                for p in range(n_planes)
+                for q in range(p + 1, n_planes)
+            ]
         probe = bucketed.select(
             "_id",
             "_v",
-            F.explode(
-                F.array(
-                    F.col("_bk"),
-                    *[F.col("_bk").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-                )
-            ).alias("_bk"),
+            F.explode(F.array(F.col("_bk"), *neighbor_keys)).alias("_bk"),
         )
     else:
         probe = bucketed
@@ -435,30 +440,47 @@ def connected_components(
     Each round every vertex takes the min label among itself and its
     neighbors; convergence in O(component diameter) rounds (near-dup
     clusters are shallow). Spark-native: two hash joins + one aggregate per
-    round; each round's labels are persisted + materialized and the previous
-    round released, so executor memory stays one label-table deep
-    (GraphX/GraphFrames ship the same algorithm; neither is available to
-    plain PySpark DataFrames). Returns a PERSISTED (id, component) table —
-    ``component`` = min id reachable; callers ``.unpersist()`` it when done.
-    """
+    round. ``labels`` feeds BOTH joins, so without lineage truncation the
+    logical plan doubles per round (exponential — observed as an OOM while
+    Catalyst stringified the plan); each round is therefore
+    ``localCheckpoint(eager=True)`` (flat plan, fully materialized) and the
+    superseded round's checkpoint RDD is released explicitly by id, keeping
+    executor memory one label-table deep. Returns a PERSISTED (id,
+    component) table with a flat plan — callers ``.unpersist()`` it when
+    done; raises RuntimeError if the graph has not converged within
+    ``max_iterations``."""
+    sc = edges.sparkSession.sparkContext
+
+    def _rdd_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _release(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(False)
+
     both = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
     both = both.persist(StorageLevel.MEMORY_AND_DISK)
-    cached = (
+
+    pre = _rdd_ids()
+    labels = (
         both.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    cached.count()
-    labels = cached
+    prev_ids = _rdd_ids() - pre
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             both.join(labels, both["v"] == labels["id"])
             .groupBy("u")
             .agg(F.min("component").alias("n_min"))
         )
+        pre = _rdd_ids()
         updated = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
             .select(
@@ -466,18 +488,26 @@ def connected_components(
                 F.least(F.col("component"), F.coalesce("n_min", F.col("component"))).alias("component"),
                 (F.coalesce("n_min", F.col("component")) < F.col("component")).alias("_changed"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)  # flat plan + full materialization
         )
-        changed = updated.where(F.col("_changed")).limit(1).count()  # materializes
-        cached.unpersist(blocking=False)
-        cached = updated
+        new_ids = _rdd_ids() - pre
+        changed = updated.where(F.col("_changed")).limit(1).count()
+        _release(prev_ids)
+        prev_ids = new_ids
         labels = updated.drop("_changed")
         if changed == 0:
             break
-    # re-cache the final projection under ITS OWN plan so the caller's
-    # .unpersist() releases everything this function created
+    if changed != 0:
+        _release(prev_ids)
+        both.unpersist(blocking=False)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            "(a component's diameter exceeds max_iterations); raise max_iterations"
+        )
+    # re-cache the final projection under ITS OWN (flat) plan so the
+    # caller's .unpersist() releases everything this function created
     final = labels.persist(StorageLevel.MEMORY_AND_DISK)
     final.count()
-    cached.unpersist(blocking=False)
+    _release(prev_ids)
     both.unpersist(blocking=False)
     return final

@@ -87,7 +87,7 @@ def _batch_match_country(raws, catalog) -> list[int | None]:
     substring, cheap); ALL Jaro-Winkler pairs of the batch are computed in
     one vectorized numpy kernel call. First-wins tie-breaking (strict <) is
     preserved by keeping the (token, catalog) enumeration order."""
-    from ..functions.similarity import _jw_batch_numpy
+    from ..functions.similarity import jw_batch_safe
 
     per_raw: list[list] = []
     jw_a: list[str] = []
@@ -112,7 +112,7 @@ def _batch_match_country(raws, catalog) -> list[int | None]:
                     jw_slots.append((r_idx, len(entries) - 1))
         per_raw.append(entries)
     if jw_a:
-        sims = _jw_batch_numpy(jw_a, jw_b)
+        sims = jw_batch_safe(jw_a, jw_b)  # chunked + long-string fallback
         for (r_idx, pos), s in zip(jw_slots, sims):
             per_raw[r_idx][pos] = (1.0 - float(s), per_raw[r_idx][pos][1])
     out: list[int | None] = []
@@ -150,7 +150,7 @@ def fuzzy_match_country(
 def _batch_match_hardware(raws, catalog) -> list[tuple]:
     """Batch twin of match_hardware (same vectorization pattern as
     _batch_match_country; first-max-wins via strict > in enumeration order)."""
-    from ..functions.similarity import _jw_batch_numpy
+    from ..functions.similarity import jw_batch_safe
 
     per_raw: list[list] = []
     jw_a: list[str] = []
@@ -174,7 +174,7 @@ def _batch_match_hardware(raws, catalog) -> list[tuple]:
                     jw_slots.append((r_idx, len(entries) - 1))
         per_raw.append(entries)
     if jw_a:
-        sims = _jw_batch_numpy(jw_a, jw_b)
+        sims = jw_batch_safe(jw_a, jw_b)  # chunked + long-string fallback
         for (r_idx, pos), s in zip(jw_slots, sims):
             e = per_raw[r_idx][pos]
             per_raw[r_idx][pos] = (float(s), e[1], e[2], e[3])

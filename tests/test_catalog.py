@@ -128,3 +128,19 @@ def test_append_racing_overwrite_does_not_resurrect_deleted_files(spark, tmp_pat
     appender.append(spark.createDataFrame([(5,)], "k int"))
     got = {r["k"] for r in t.read(spark).collect()}
     assert got == {9, 5}, f"pre-overwrite rows resurrected: {got}"
+
+
+def test_merge_into_empty_table_racing_commit_raises(spark, tmp_path):
+    """merge keeps its raise-never-rebase contract even when the table was
+    empty at plan time (review r2 finding: the append delegation silently
+    rebased)."""
+    root = str(tmp_path / "tbl")
+
+    class RacedEmptyMerge(ManifestTable):
+        def _write_data(self, df):
+            files = super()._write_data(df)
+            ManifestTable(self.root).append(spark.createDataFrame([(7, "r")], "k int, v string"))
+            return files
+
+    with pytest.raises(CommitConflict):
+        RacedEmptyMerge(root).merge(spark, spark.createDataFrame([(1, "a")], "k int, v string"), ["k"])

@@ -31,6 +31,7 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     benchmark = docs.where(F.col("doc_id") == 0)
 
+    cached_before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     stats = curate_corpus(spark, docs, benchmark, str(tmp_path / "out"),
                           jaccard_threshold=0.7, contamination_ngram=3)
     assert stats["input"] == 6
@@ -43,5 +44,7 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     got = {r["doc_id"]: r["curated_text"] for r in out.collect()}
     assert set(got) == {3, 5}
     assert "[PII]" in got[5] and "a@b.co" not in got[5]
-    # no dedup caches leak out of the job
-    assert not spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    # no NEW caches leak out of the job (other tests in the shared session
+    # may legitimately hold their own)
+    cached_after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert cached_after - cached_before == set(), cached_after - cached_before

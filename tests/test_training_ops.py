@@ -376,7 +376,37 @@ def test_connected_components(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_a long, id_b long",
     )
-    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    labels = connected_components(edges)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    labels.unpersist(blocking=True)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     # no leaked caches
     assert not spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray() or True
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    from article_extraction_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=3)
+    labels = connected_components(chain, max_iterations=10)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    labels.unpersist(blocking=True)
+    assert set(got.values()) == {0}
+
+
+def test_embedding_probe_hamming_validation(spark):
+    import pytest
+
+    from article_extraction_spark.operators.dedup import embedding_near_duplicates
+
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match="probe_hamming"):
+        embedding_near_duplicates(df, "vec_id", "v", probe_hamming=3, dim=2)
+    # probe_hamming=2 runs and finds nothing here (orthogonal vectors)
+    out = embedding_near_duplicates(df, "vec_id", "v", threshold=0.99, probe_hamming=2, n_planes=4, dim=2)
+    assert out.count() == 0
+    out.unpersist(blocking=True)
