@@ -152,6 +152,17 @@ class ManifestTable:
             .distinct()
             .collect()
         }
+        # fail CLOSED: every matched path must map back to a manifest entry;
+        # a URI→relative mapping mismatch must never silently classify
+        # matched files as untouched (that would append src without deleting
+        # the matched keys' old rows — duplicate keys)
+        unknown = matched_rel - set(manifest["files"])
+        if unknown:
+            raise RuntimeError(
+                f"merge could not map {len(unknown)} scanned file path(s) back "
+                f"to manifest entries (e.g. {sorted(unknown)[:2]}); refusing a "
+                "potentially lossy merge"
+            )
         keep_files = [f for f in manifest["files"] if f not in matched_rel]
         rewrite = [f for f in manifest["files"] if f in matched_rel]
         if rewrite:

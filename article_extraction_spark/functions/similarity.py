@@ -152,32 +152,17 @@ def jw_batch_safe(sa: list[str], sb: list[str]) -> list[float]:
 
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """F11 as an Arrow-batched column function — numpy-vectorized kernel for
-    short strings, scalar fallback for nulls/long strings."""
+    """F11 as an Arrow-batched column function: null masking here, memory
+    policy (chunking + long-string fallback) in jw_batch_safe — ONE copy of
+    that policy for both this UDF and the fuzzy batch matchers."""
     import numpy as np
 
     out = pd.Series([None] * len(a), dtype="float64")
     av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
-    ok = np.fromiter(
-        (
-            x is not None
-            and y is not None
-            and len(x) <= _JW_VECTOR_MAX_LEN
-            and len(y) <= _JW_VECTOR_MAX_LEN
-            for x, y in zip(av, bv)
-        ),
-        dtype=bool,
-        count=len(a),
-    )
-    idx = np.nonzero(ok)[0]
-    for lo in range(0, len(idx), _JW_CHUNK):
-        chunk = idx[lo : lo + _JW_CHUNK]
-        out.iloc[chunk] = _jw_batch_numpy(
-            [av[i] for i in chunk], [bv[i] for i in chunk]
-        )
-    for i in np.nonzero(~ok)[0]:
-        if av[i] is not None and bv[i] is not None:
-            out.iloc[i] = jaro_winkler(av[i], bv[i])
+    idx = [i for i in range(len(a)) if av[i] is not None and bv[i] is not None]
+    if idx:
+        vals = jw_batch_safe([av[i] for i in idx], [bv[i] for i in idx])
+        out.iloc[np.asarray(idx)] = vals
     return out
 
 

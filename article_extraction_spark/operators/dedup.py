@@ -370,6 +370,10 @@ def embedding_near_duplicates(
     space bucket-bounded; cost scales linearly in n_planes, not |df|².
     ``eager=True`` materializes the pair table and releases the bucket cache.
     """
+    # validate BEFORE any Spark work (jobs/broadcasts/cache registration
+    # must not leak on the error path)
+    if probe_hamming > 2:
+        raise ValueError("probe_hamming supports 0, 1, or 2 (key count grows O(n_planes^h))")
     import numpy as np
 
     if dim is None:
@@ -393,8 +397,6 @@ def embedding_near_duplicates(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket_udf(F.col(vec_col)).alias("_bk")
     ).persist(StorageLevel.MEMORY_AND_DISK)  # reused by both self-join sides — one UDF pass
 
-    if probe_hamming > 2:
-        raise ValueError("probe_hamming supports 0, 1, or 2 (key count grows O(n_planes^h))")
     if probe_hamming >= 1:
         # probe keys for side a: own bucket + every neighbor within the
         # requested hamming radius (1-bit flips, plus 2-bit flips at h=2)
@@ -464,6 +466,12 @@ def connected_components(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
     both = both.persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize both BEFORE any id snapshot: a cached plan registers its
+    # RDD only at first materialization, so counting it here keeps its id
+    # out of the checkpoint-release windows below (review r2 finding: the
+    # diff otherwise captured and permanently released both's cache).
+    # NB: the id-diff windows assume a single-threaded driver (true here).
+    both.count()
 
     pre = _rdd_ids()
     labels = (
@@ -505,7 +513,11 @@ def connected_components(
             "(a component's diameter exceeds max_iterations); raise max_iterations"
         )
     # re-cache the final projection under ITS OWN (flat) plan so the
-    # caller's .unpersist() releases everything this function created
+    # caller's .unpersist() releases everything this function created.
+    # MEMORY_AND_DISK spills rather than evicts, so releasing the last
+    # checkpoint below is safe in local / static-executor deployments; on a
+    # cluster with executor loss you'd keep a reliable checkpoint dir
+    # (sc.setCheckpointDir + .checkpoint) as the recovery path instead.
     final = labels.persist(StorageLevel.MEMORY_AND_DISK)
     final.count()
     _release(prev_ids)

@@ -376,12 +376,14 @@ def test_connected_components(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_a long, id_b long",
     )
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     labels = connected_components(edges)
     got = {r["id"]: r["component"] for r in labels.collect()}
     labels.unpersist(blocking=True)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
-    # no leaked caches
-    assert not spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray() or True
+    # nothing this call created survives after the caller releases the result
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), after - before
 
 
 def test_connected_components_nonconvergence_raises(spark):
