@@ -119,6 +119,27 @@ def main() -> None:
         )
     )
 
+    from article_extraction_spark.operators.sessions import range_join
+
+    ev2 = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "ts")
+    import datetime as dt
+
+    wins = spark.createDataFrame(
+        [(w, dt.datetime(2024, 1, 1) + dt.timedelta(hours=36 * w),
+          dt.datetime(2024, 1, 1) + dt.timedelta(hours=36 * w + 10)) for w in range(5)],
+        "win long, start timestamp, stop timestamp",
+    )
+    sections.append(
+        (
+            "Range join",
+            "Interval join via time-bucket quantization: the join is an "
+            "EQUI-join on the bucket key (right side exploded per bucket), "
+            "never BroadcastNestedLoopJoin/CartesianProduct; the exact range "
+            "predicate filters after the match.",
+            plan_str(range_join(ev2, wins, "ts", "start", "stop")),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/dump_plans.py)\n"]
     for title, note, plan in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
