@@ -50,7 +50,7 @@ def main() -> None:
 
     # min of N iterations: the shared sandbox host fluctuates ±4x; min is
     # the standard noise-robust estimator (matches tools/bench_scaling.py)
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITER", "2"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITER", "3"))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
