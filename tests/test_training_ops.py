@@ -391,6 +391,8 @@ def test_connected_components_nonconvergence_raises(spark):
 
     from article_extraction_spark.operators.dedup import connected_components
 
+    # min-label propagation reaches one hop per round: an 8-deep chain
+    # cannot converge in 3 rounds but does within 10
     chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iterations=3)
