@@ -171,11 +171,16 @@ class ManifestTable:
                 .parquet(*[os.path.join(self.root, f) for f in rewrite])
                 .join(F.broadcast(key_df), keys, "left_anti")
             )
-            new_data = survivors.unionByName(src, allowMissingColumns=True)
         else:
-            new_data = src
+            survivors = spark.createDataFrame([], schema)
+        # union even when nothing is rewritten so the committed schema is the
+        # TABLE ∪ src schema: committing src's (possibly narrower) schema
+        # would hide existing columns from every later read — silent data
+        # loss Iceberg MERGE never produces. Parquet files lacking a schema
+        # column read back as NULL, so widening is always safe.
+        new_data = survivors.unionByName(src, allowMissingColumns=True)
         new_files = self._write_data(new_data)
-        return self._commit_merge(parent, new_files, keep_files, src.schema.json())
+        return self._commit_merge(parent, new_files, keep_files, new_data.schema.json())
 
     def _commit_merge(
         self, parent: int | None, new_files: list[str], keep_files: list[str], schema_json: str

@@ -74,3 +74,16 @@ def normalise_cell_col(c: Column) -> Column:
         collapsed.isNull() | F.lower(collapsed).isin("nan", "none", "null", ""),
         F.lit(""),
     ).otherwise(collapsed)
+
+
+def alnum_tokens_col(c):
+    """THE shared vocabulary definition: lower → split on non-alnum → drop
+    empties. Shingling (dedup/contamination), top_terms, and
+    repetition_stats must tokenize identically — their DuckDB oracles
+    replicate this exact expression — so there is exactly ONE copy of it."""
+    from pyspark.sql import functions as F
+
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"[^a-z0-9]+"),
+        lambda w: F.length(w) > 0,
+    )

@@ -82,9 +82,12 @@ def aggregate_answers(
     if mode in ("best", "longest"):
         k = s if mode == "best" else F.length(a)
         # struct key: primary = score/length, tiebreak = first-in-order
-        # (-order) when an order exists, else the answer value itself
+        # (-order) when an order exists, else the answer value itself.
+        # NULL primary keys must stay NULL keys (max_by ignores them), not
+        # become comparable struct(NULL, tie) — a group whose scores are all
+        # NULL returns NULL, like bare max_by(a, s) did
         tie = (-o) if o is not None else a
-        agg = F.max_by(a, F.struct(k.alias("k"), tie.alias("t")))
+        agg = F.max_by(a, F.when(k.isNotNull(), F.struct(k.alias("k"), tie.alias("t"))))
     elif mode == "concat":
         if o is not None:
             sort_struct = F.struct(o.alias("k1"), (-s).alias("k2"), a.alias("a"))
@@ -166,9 +169,12 @@ def cumulative_mean_distributed(
         *itertools.chain.from_iterable((F.lit(k), F.lit(v)) for k, v in off_c.items())
     )
     w = Window.partitionBy("_pid").orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    # coalesce the local sum: an all-NULL local prefix must still carry the
+    # prior partitions' running mean (matching the single-task twin); the
+    # genuinely-empty case stays NULL via 0/0
     out = part.withColumn(
         out_col,
-        (F.sum(value).over(w) + sum_map[F.col("_pid")])
+        (F.coalesce(F.sum(value).over(w), F.lit(0)) + sum_map[F.col("_pid")])
         / (F.count(value).over(w) + cnt_map[F.col("_pid")]),
     ).drop("_pid")
     out._retained_cache = part  # caller releases after consumption

@@ -43,10 +43,9 @@ _TOKEN_RE = re.compile(r"[^a-z0-9]+")
 
 
 def _tokens(c: Column) -> Column:
-    return F.filter(
-        F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"[^a-z0-9]+"),
-        lambda w: F.length(w) > 0,
-    )
+    from ..functions.textnorm import alnum_tokens_col
+
+    return alnum_tokens_col(c)
 
 
 def shingles_col(c: Column, n: int = 3) -> Column:

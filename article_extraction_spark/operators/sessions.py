@@ -113,19 +113,26 @@ def range_join(
     once), so no dedup pass is needed. Cost scales with
     |L| + Σ interval_length/bucket — pick bucket_seconds near the typical
     interval length; AQE handles residual bucket skew."""
+    if "_rj_bk" in left.columns or "_rj_bk" in right.columns:
+        raise ValueError("range_join reserves the column name '_rj_bk'")
     secs = F.lit(bucket_seconds)
-    lb = left.withColumn("_bk", F.floor(F.unix_timestamp(F.col(ts_col)) / secs))
+    # aliased sides: the range predicate must resolve unambiguously even
+    # when left and right share column names (e.g. both carry a 'ts')
+    lb = left.withColumn("_rj_bk", F.floor(F.unix_timestamp(F.col(ts_col)) / secs)).alias("_rj_l")
     rb = right.withColumn(
-        "_bk",
+        "_rj_bk",
         F.explode(
             F.sequence(
                 F.floor(F.unix_timestamp(F.col(start_col)) / secs),
                 F.floor(F.unix_timestamp(F.col(end_col)) / secs),
             )
         ),
-    )
+    ).alias("_rj_r")
     return (
-        lb.join(rb, "_bk")
-        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
-        .drop("_bk")
+        lb.join(rb, F.col("_rj_l._rj_bk") == F.col("_rj_r._rj_bk"))
+        .where(
+            (F.col(f"_rj_l.{ts_col}") >= F.col(f"_rj_r.{start_col}"))
+            & (F.col(f"_rj_l.{ts_col}") <= F.col(f"_rj_r.{end_col}"))
+        )
+        .drop("_rj_bk")
     )

@@ -198,10 +198,9 @@ def top_terms(df: "DataFrame", text_col: str, k: int = 20) -> "DataFrame":
     before ONE shuffle on the term; orderBy+limit is TakeOrderedAndProject
     (per-partition heaps). Ties break on the term, so the top-k set is a
     total order — deterministic at any partitioning."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"[^a-z0-9]+"),
-        lambda w: F.length(w) > 0,
-    )
+    from ..functions.textnorm import alnum_tokens_col
+
+    toks = alnum_tokens_col(F.col(text_col))
     return (
         df.select(F.explode(toks).alias("term"))
         .groupBy("term")
@@ -220,10 +219,9 @@ def repetition_stats(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame"
     interpreted lambda expressions re-evaluate subtrees quadratically, while
     the explode formulation is two hash aggregates that scale with total
     token count."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"[^a-z0-9]+"),
-        lambda w: F.length(w) > 0,
-    )
+    from ..functions.textnorm import alnum_tokens_col
+
+    toks = alnum_tokens_col(F.col(text_col))
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).select(
         "_id",
         F.size("_t").alias("n_words"),

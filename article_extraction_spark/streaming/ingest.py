@@ -93,6 +93,11 @@ def streaming_dedup(
     dropDuplicates whose state grows forever. ``by_content=True`` dedups on
     the md5 content fingerprint (streaming twin of exact_duplicates)."""
     if by_content:
+        if keys is not None:
+            raise ValueError(
+                "pass either keys or by_content=True, not both — combining "
+                "them silently changes which rows count as duplicates"
+            )
         extracted = extracted.withColumn(
             "_fp", F.md5(F.coalesce(F.col("extracted_text"), F.lit("")).cast("binary"))
         )

@@ -50,6 +50,8 @@ def curate_corpus(
         redact_pii,
     )
 
+    from pyspark import StorageLevel
+
     stats: dict[str, int] = {"input": docs.count()}
 
     # 1. quality filter
@@ -57,10 +59,14 @@ def curate_corpus(
     quality = flagged.where(F.col("_g.passes")).drop("_g")
     stats["after_quality"] = quality.count()
 
-    # 2. exact dedup: keep the lowest id per fingerprint (one shuffle)
+    # 2. exact dedup: keep the lowest id per fingerprint (one shuffle).
+    # Persist the spine: exact feeds the stage count, the MinHash pass, the
+    # contamination pass, AND the final write — uncached, the gopher filter
+    # and fingerprint shuffle would re-execute ~5×
     keyed = quality.withColumn("_fp", fingerprint_col(F.col(text_col)))
     first = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     exact = keyed.join(first, ["_fp", id_col], "left_semi").drop("_fp")
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     stats["after_exact_dedup"] = exact.count()
 
     # 3. near dedup at CLUSTER granularity: pairs → connected components →
@@ -89,6 +95,7 @@ def curate_corpus(
     stats["output"] = stats["after_decontamination"]
     spark.createDataFrame([stats]).write.mode("overwrite").json(f"{out_dir}/stats")
     comp.unpersist(blocking=True)  # last consumer (the write) is done
+    exact.unpersist(blocking=True)
     return stats
 
 
