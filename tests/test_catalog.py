@@ -144,3 +144,13 @@ def test_merge_into_empty_table_racing_commit_raises(spark, tmp_path):
 
     with pytest.raises(CommitConflict):
         RacedEmptyMerge(root).merge(spark, spark.createDataFrame([(1, "a")], "k int, v string"), ["k"])
+
+
+def test_merge_with_narrower_src_keeps_table_columns(spark, tmp_path):
+    """A merge whose src lacks existing table columns must not hide them
+    from later reads (review r2: src.schema was committed verbatim)."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "k int, v string, w double"))
+    t.merge(spark, spark.createDataFrame([(2, "B!"), (9, "new")], "k int, v string"), ["k"])
+    got = {r["k"]: (r["v"], r["w"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B!", None), 9: ("new", None)}

@@ -76,3 +76,16 @@ def test_range_join(spark):
     # no cartesian product in the plan
     plan = range_join(left, right, "ts", "start", "stop")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_with_shared_column_names(spark):
+    """left and right both carrying 'ts' (and any shared name) must not
+    raise AMBIGUOUS_REFERENCE (review r2 finding)."""
+    from article_extraction_spark.operators.sessions import range_join
+
+    left = spark.createDataFrame([(1, _ts(5))], "ev long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(0), _ts(60), _ts(0))], "win long, start timestamp, stop timestamp, ts timestamp"
+    )
+    got = range_join(left, right, "ts", "start", "stop").collect()
+    assert len(got) == 1 and got[0]["ev"] == 1 and got[0]["win"] == 10
