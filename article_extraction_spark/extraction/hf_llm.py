@@ -29,7 +29,7 @@ from functools import lru_cache
 from .prompts import FIELD_TEMPLATES, render_prompt
 
 DEFAULT_MODEL_ID = "google/flan-t5-small"
-MAX_CONTEXT_TOKENS = 4096  # reference config.py MAX_CONTEXT_TOKENS analog
+MAX_CONTEXT_TOKENS = 100_000  # reference config.py:4 (upper cap on detected limits)
 DEFAULT_MAX_NEW_TOKENS = 64
 DEFAULT_TEMPERATURE = 0.0
 DEFAULT_TOP_P = 1.0
