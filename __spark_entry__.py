@@ -760,6 +760,29 @@ def _range_windows() -> list[tuple[int, str, str]]:
     return out
 
 
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile bucketing: NTILE(4) within each event_type ordered
+    by (value, event_id) — a per-group window, every partition parallel
+    (never a global single-task window)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return e.select("event_id", "event_type", F.ntile(4).over(w).alias("quartile"))
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sliding-window mean over the last 5 events (ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW), integer-cents math for engine portability."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-4, 0)
+    ma = F.floor(F.sum(cents).over(w).cast("double") / F.count(cents).over(w) * 1e4) / 1e6
+    return e.select("user_id", "event_id", ma.alias("moving_avg"))
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: MinHash near-dup pairs -> connected
     components (iterative min-label propagation). The oracle recomputes the
@@ -956,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
+        "ntile": q_ntile,
+        "moving_avg": q_moving_avg,
     }
 
 
@@ -1370,6 +1395,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a3 AS answer,
                    CAST(len(list_distinct([a3, a7, a30])) AS INTEGER) AS n_candidates
             FROM spans
+        """,
+        "ntile": """
+            SELECT event_id, event_type,
+                   CAST(ntile(4) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS INTEGER) AS quartile
+            FROM events
+        """,
+        "moving_avg": """
+            SELECT user_id, event_id,
+                   floor(CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w * 1e4) / 1e6
+                       AS moving_avg
+            FROM (SELECT user_id, event_id,
+                         CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "dedup_components": """
             WITH RECURSIVE docs500 AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
