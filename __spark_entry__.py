@@ -783,6 +783,18 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("user_id", "event_id", ma.alias("moving_avg"))
 
 
+def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median over integer cents (interpolated midpoint of
+    two ints is FP-exact in both engines) + per-group count."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(F.median("cents").alias("median_cents"), F.count("*").alias("n"))
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: MinHash near-dup pairs -> connected
     components (iterative min-label propagation). The oracle recomputes the
@@ -980,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
         "ntile": q_ntile,
+        "grouped_median": q_grouped_median,
         "moving_avg": q_moving_avg,
     }
 
@@ -1395,6 +1408,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a3 AS answer,
                    CAST(len(list_distinct([a3, a7, a30])) AS INTEGER) AS n_candidates
             FROM spans
+        """,
+        "grouped_median": """
+            SELECT event_type,
+                   median(CAST(floor(value * 100) AS BIGINT)) AS median_cents,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "ntile": """
             SELECT event_id, event_type,
