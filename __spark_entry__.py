@@ -828,13 +828,20 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate clusters on a corpus with planted copies: fingerprint
-    groupBy -> groups with >1 member (one shuffle)."""
+    """Exact-duplicate clusters on a corpus with planted copies: NORMALIZED
+    fingerprint groupBy -> groups with >1 member (one shuffle). The second
+    copy set is UPPERCASED with trailing punctuation so the oracle match
+    certifies the fingerprint normalization itself (ADVICE r2: with
+    byte-identical copies the normalization was invisible to the oracle)."""
     from article_extraction_spark.operators.dedup import exact_duplicates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("doc_id") < 500)
     copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    corpus = docs.unionByName(copies)
+    shouty = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!!")).alias("text"),
+    )
+    corpus = docs.unionByName(copies).unionByName(shouty)
     return exact_duplicates(corpus, "doc_id", "text")
 
 
@@ -1508,8 +1515,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text FROM documents WHERE doc_id < 500
               UNION ALL
               SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 500
+              UNION ALL
+              SELECT doc_id + 2000000, upper(text) || '!!!' FROM documents WHERE doc_id < 500
             )
-            SELECT md5(coalesce(text, '')) AS fingerprint,
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                       '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint,
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1

@@ -25,7 +25,7 @@ from functools import lru_cache
 
 import pandas as pd
 
-EPSILON = 1e-9  # scores.py EPSILON analog (clamp for empty attention masks)
+EPSILON = 1e-12  # scores.py:25 EPSILON, exact (clamp for empty masks/zero norms)
 DEFAULT_BATCH_SIZE = 16  # scores.py:23
 DEFAULT_MAX_LENGTH = 512  # scores.py:24
 

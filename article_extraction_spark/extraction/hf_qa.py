@@ -71,13 +71,15 @@ class TorchQABackend(QALogitsBackend):
             padding=False,
         )
         for i in range(len(enc["input_ids"])):
-            # token_type_ids must ride along: BERT-family QA models embed
-            # the question/context segment split; dropping it defaults the
-            # context to segment 0 and silently degrades the span logits
+            # ONLY input_ids/attention_mask, matching the reference's
+            # _qa_candidates (qa_squad.py:117-120) exactly — it does not
+            # forward token_type_ids, so neither do we: real-model logits
+            # must be bit-comparable to the reference's, even though BERT-
+            # family models would use the segment ids if given (ADVICE r2).
             inputs = {
                 k: torch.tensor(v[i]).unsqueeze(0).to(self.device)
                 for k, v in enc.items()
-                if k in ("input_ids", "attention_mask", "token_type_ids")
+                if k in ("input_ids", "attention_mask")
             }
             with torch.no_grad():
                 out = self.model(**inputs)

@@ -386,6 +386,78 @@ def test_connected_components(spark):
     assert after - before == set(), after - before
 
 
+def test_connected_components_cleans_checkpoints(spark):
+    """r3: CC uses public reliable .checkpoint() (no _jsc bookkeeping);
+    superseded rounds' checkpoint files are swept, only the final round's
+    files survive as the executor-loss recovery path."""
+    import os
+
+    from article_extraction_spark.operators.dedup import (
+        _checkpoint_rdd_dirs,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(100, 101)], "id_a long, id_b long"
+    )
+    before = _checkpoint_rdd_dirs(spark.sparkContext.getCheckpointDir())
+    labels = connected_components(edges)
+    resolved = spark.sparkContext.getCheckpointDir()
+    assert resolved is not None
+    survivors = _checkpoint_rdd_dirs(resolved) - before
+    # exactly one label table's files remain from THIS call (converged round)
+    assert len(survivors) == 1, survivors
+    assert all(os.path.isdir(d) for d in survivors)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    labels.unpersist(blocking=True)
+    assert set(got.values()) == {0, 100}
+
+
+def test_simhash_batch_kernel_parity():
+    """Property test (VERDICT r3 item 3): the whole-batch simhash kernel is
+    bit-equal to the per-row scalar twin across chunk boundaries, empty/None
+    rows, memo churn, and non-ASCII — no SparkSession needed."""
+    import random
+    import string
+
+    import pandas as pd
+
+    import article_extraction_spark.operators.dedup as D
+
+    rng = random.Random(1234)
+
+    def rand_text():
+        c = rng.random()
+        if c < 0.06:
+            return None
+        if c < 0.12:
+            return ""
+        if c < 0.18:
+            return "!!! ??? ... ---"
+        n = rng.randint(1, 120)
+        alphabet = string.ascii_letters + string.digits + "éß漢!,. "
+        return " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            for _ in range(n)
+        )
+
+    texts = [rand_text() for _ in range(400)]
+    expected = [D._simhash64_scalar(t) for t in texts]
+    saved = (D._SIMHASH_CHUNK_TOKENS, D._SIMHASH_MEMO_MAX)
+    try:
+        for chunk, memo_max in [(1 << 18, 1_000_000), (17, 1_000_000), (64, 5)]:
+            D._SIMHASH_CHUNK_TOKENS = chunk
+            D._SIMHASH_MEMO_MAX = memo_max
+            D._SIMHASH_MEMO.clear()
+            D._SIMHASH_BUFS.clear()
+            got = list(D._simhash64_batch(pd.Series(texts, dtype=object)))
+            assert got == expected, (chunk, memo_max)
+    finally:
+        D._SIMHASH_CHUNK_TOKENS, D._SIMHASH_MEMO_MAX = saved
+        D._SIMHASH_MEMO.clear()
+        D._SIMHASH_BUFS.clear()
+
+
 def test_connected_components_nonconvergence_raises(spark):
     import pytest
 
