@@ -454,6 +454,35 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
 
 
+def q_lsh_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB ANN storage path: write the corpus parquet PARTITIONED BY
+    the hyperplane sign-key (write_lsh_bucketed), then probe via partition
+    pruning (lsh_topk_bucketed — only probed bucket= dirs are opened;
+    plan-audited in tests/test_plans.py). Same planted-copy recall oracle
+    as lsh_topk: top-10 must be exactly {query, 9 copies} at cosine 1.0."""
+    import os
+
+    from article_extraction_spark.operators.similarity_search import (
+        lsh_topk_bucketed,
+        write_lsh_bucketed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    planted = emb.where(F.col("vec_id") == 0).select(
+        F.explode(F.sequence(F.lit(1_000_000), F.lit(1_000_008))).alias("vec_id"),
+        "embedding",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    path = f"/tmp/aes_ann_bucketed_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_lsh_bucketed(corpus, path, "embedding", n_planes=8, seed=42)
+    top = lsh_topk_bucketed(
+        spark, path, "embedding", list(query), k=10, probe_hamming=1,
+        schema="vec_id bigint, embedding array<float>",
+    )
+    return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
+
+
 def q_char_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: char windowing with stride, fanned out via posexplode."""
     from article_extraction_spark.extraction.windows import explode_windows
@@ -969,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "lsh_topk": q_lsh_topk,
+        "lsh_topk_bucketed": q_lsh_topk_bucketed,
         "char_windows": q_char_windows,
         "token_windows": q_token_windows,
         "extract_fields": q_extract_fields,
@@ -1393,6 +1423,11 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id < 1000
         """,
         "lsh_topk": """
+            SELECT CAST(0 AS BIGINT) AS vec_id, 1.0 AS cosine_r
+            UNION ALL
+            SELECT 1000000 + CAST(i AS BIGINT), 1.0 FROM generate_series(0, 8) t(i)
+        """,
+        "lsh_topk_bucketed": """
             SELECT CAST(0 AS BIGINT) AS vec_id, 1.0 AS cosine_r
             UNION ALL
             SELECT 1000000 + CAST(i AS BIGINT), 1.0 FROM generate_series(0, 8) t(i)

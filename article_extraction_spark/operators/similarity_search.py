@@ -53,6 +53,30 @@ def hyperplane_bucket_udf(dim: int, n_planes: int, seed: int, spark) -> "F.panda
     return bucket
 
 
+def query_probe_keys(
+    query: list[float], n_planes: int = 8, probe_hamming: int = 1, seed: int = 42
+) -> list[int]:
+    """The query vector's sign-bucket plus every bucket within
+    ``probe_hamming`` bit-flips (multiprobe), using the SAME seeded
+    hyperplanes as hyperplane_bucket_udf — query-side and data-side hashing
+    must agree bit-for-bit or recall silently collapses."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(len(query), n_planes).astype("float64")
+    qsigns = (np.asarray(query, dtype="float64") @ planes) > 0
+    qkey = int((qsigns * (1 << np.arange(n_planes))).sum())
+
+    keys = {qkey}
+    if probe_hamming >= 1:
+        keys |= {qkey ^ (1 << b) for b in range(n_planes)}
+    if probe_hamming >= 2:
+        for b1 in range(n_planes):
+            for b2 in range(b1 + 1, n_planes):
+                keys.add(qkey ^ (1 << b1) ^ (1 << b2))
+    return sorted(keys)
+
+
 def lsh_topk(
     df: DataFrame,
     vec_col: str,
@@ -64,27 +88,61 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: scan only buckets whose sign-key is within
-    ``probe_hamming`` bits of the query's bucket (multiprobe). At 100 TB the
-    bucketed table is written partitioned by bucket key, so this becomes
-    partition pruning — here it is a filter that AQE turns into a small scan.
-    """
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    dim = len(query)
-    planes = rng.randn(dim, n_planes).astype("float64")
-    qsigns = (np.asarray(query, dtype="float64") @ planes) > 0
-    qkey = int((qsigns * (1 << np.arange(n_planes))).sum())
-
-    probe_keys = {qkey}
-    if probe_hamming >= 1:
-        probe_keys |= {qkey ^ (1 << b) for b in range(n_planes)}
-    if probe_hamming >= 2:
-        for b1 in range(n_planes):
-            for b2 in range(b1 + 1, n_planes):
-                probe_keys.add(qkey ^ (1 << b1) ^ (1 << b2))
-
-    bucket = hyperplane_bucket_udf(dim, n_planes, seed, df.sparkSession)
+    ``probe_hamming`` bits of the query's bucket (multiprobe), as a filter
+    over an unbucketed table. For the 100 TB path use write_lsh_bucketed +
+    lsh_topk_bucketed, where the probe becomes partition PRUNING (only the
+    probed buckets' files are read)."""
+    keys = query_probe_keys(query, n_planes, probe_hamming, seed)
+    bucket = hyperplane_bucket_udf(len(query), n_planes, seed, df.sparkSession)
     bucketed = df.withColumn("_bk", bucket(F.col(vec_col)))
-    candidates = bucketed.where(F.col("_bk").isin(sorted(probe_keys)))
+    candidates = bucketed.where(F.col("_bk").isin(keys))
     return brute_force_topk(candidates, vec_col, query, k, id_col)
+
+
+def write_lsh_bucketed(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the ANN storage layout: parquet partitioned by the
+    hyperplane sign-key (``bucket=<key>/`` directories, ≤2^n_planes of
+    them). One UDF pass at write time; every subsequent probe is partition
+    pruning — the scan touches only the probed buckets' files, so query
+    cost is O(corpus/2^n_planes × probes), independent of corpus size."""
+    if dim is None:
+        dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
+    bucket = hyperplane_bucket_udf(dim, n_planes, seed, df.sparkSession)
+    df.withColumn("bucket", bucket(F.col(vec_col))).write.partitionBy("bucket").mode(
+        mode
+    ).parquet(path)
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+    schema=None,
+) -> DataFrame:
+    """Approximate top-k over a write_lsh_bucketed table. The probe-key
+    filter lands on the partition column, so Catalyst prunes to the probed
+    ``bucket=`` directories at planning time (PartitionFilters in the scan
+    node — plan-audited in tests/test_plans.py); non-probed buckets are
+    never opened.
+
+    Pass ``schema`` (data columns only — ``bucket`` is discovered from the
+    directory layout) on large tables: it skips footer-sampling schema
+    inference, so planning never touches any data file."""
+    keys = query_probe_keys(query, n_planes, probe_hamming, seed)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    t = reader.parquet(path).where(F.col("bucket").isin(keys))
+    return brute_force_topk(t, vec_col, query, k, id_col)
