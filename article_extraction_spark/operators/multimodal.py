@@ -1,10 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are NOT in this container, so the decode
-kernels are deterministic fakes behind ``_HAVE_CODECS`` (clearly marked) —
-the Spark-side contract (schema, Arrow batch shape, partitioning, UDF
-signatures) is real and tested. Swapping in PIL/ffmpeg later changes only
-the kernel bodies.
+Decode coverage (round 3): raw-rgb8 / pcm16 AND compressed PNG / WAV are
+REAL decodes — PNG via stdlib zlib + filter reconstruction, WAV via stdlib
+``wave`` (functions/codecs.py); no external codec library needed. PIL /
+soundfile remain optional backends for the other compressed formats (JPEG,
+FLAC, ...), surfacing a per-row decode_error when absent. The generic
+extract_media_features kernel is still the deterministic digest fake
+(clearly marked) — its Spark-side contract (schema, Arrow batch shape,
+partitioning, UDF signatures) is the tested part.
 """
 
 from __future__ import annotations
@@ -95,16 +98,18 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL decode kernels over raw formats (round 2): no codec library is needed
-# to do genuine pixel/sample math when the payload is raw — the container
-# convention is mime="image/raw-rgb8" (uint8 RGB, width*height*3 bytes) and
-# mime="audio/pcm16" (mono int16 little-endian). Compressed formats still
-# need PIL/soundfile (requirements-optional.txt) and surface a clearly
-# marked error per row rather than failing the task.
+# REAL decode kernels (rounds 2-3): raw payloads (mime="image/raw-rgb8" =
+# uint8 RGB width*height*3 bytes; "audio/pcm16" = mono int16 LE) plus
+# compressed PNG/WAV via the stdlib codecs in functions/codecs.py. Other
+# compressed formats (JPEG, FLAC, ...) need PIL/soundfile
+# (requirements-optional.txt) and surface a clearly marked per-row error
+# rather than failing the task.
 # ---------------------------------------------------------------------------
 
 RAW_RGB8 = "image/raw-rgb8"
 PCM16 = "audio/pcm16"
+PNG = "image/png"
+WAV = "audio/wav"
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
@@ -164,11 +169,17 @@ def image_pixel_features(media: DataFrame, out_w: int = 8, out_h: int = 8) -> Da
                         raise ValueError("null payload")
                     if mime == RAW_RGB8:
                         img = decode_raw_rgb8(bytes(payload), int(w), int(h))
+                    elif mime == PNG:
+                        # REAL stdlib decode (zlib inflate + filter
+                        # reconstruction) — no PIL needed for PNG
+                        from ..functions.codecs import decode_png
+
+                        img = decode_png(bytes(payload))
                     else:
                         try:
                             import io
 
-                            from PIL import Image  # optional backend
+                            from PIL import Image  # optional backend (JPEG, ...)
                         except Exception as exc:  # noqa: BLE001
                             raise NotImplementedError(
                                 f"compressed mime {mime!r} needs PIL (requirements-optional.txt)"
@@ -202,9 +213,18 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
                 try:
-                    if payload is None or mime != PCM16:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    if mime == PCM16:
+                        pcm = np.frombuffer(bytes(payload), dtype="<i2").astype(np.float64) / 32768.0
+                    elif mime == WAV:
+                        # REAL stdlib decode (wave module); stats over all
+                        # channels' samples
+                        from ..functions.codecs import decode_wav
+
+                        pcm = decode_wav(bytes(payload))[0].ravel()
+                    else:
                         raise NotImplementedError(f"audio mime {mime!r} needs soundfile")
-                    pcm = np.frombuffer(bytes(payload), dtype="<i2").astype(np.float64) / 32768.0
                     rows.append(
                         (
                             mid,

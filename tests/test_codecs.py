@@ -1,0 +1,188 @@
+"""Pure-stdlib PNG/WAV codecs (functions/codecs.py): round-trips, an
+independent from-the-spec unfilter twin over random filter sequences, error
+paths, and the Spark mapInPandas wiring in operators/multimodal.py."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from article_extraction_spark.functions.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+)
+
+
+def _png_from_scanlines(width, height, color, scanlines: bytes) -> bytes:
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _reference_unfilter(raw_rows, ftypes, stride, bpp):
+    """Slow, straight-from-RFC-2083 per-byte unfilter — the independent
+    twin the vectorized decoder must match."""
+    out = []
+    prev = [0] * stride
+    for row_bytes, ft in zip(raw_rows, ftypes):
+        cur = list(row_bytes)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                rec = cur[x]
+            elif ft == 1:
+                rec = cur[x] + a
+            elif ft == 2:
+                rec = cur[x] + b
+            elif ft == 3:
+                rec = cur[x] + ((a + b) >> 1)
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec = cur[x] + pred
+            cur[x] = rec & 0xFF
+        out.append(cur)
+        prev = cur
+    return out
+
+
+def test_png_roundtrip_random_rgb():
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (7, 5), (32, 17)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_all_filter_types_match_spec_reference():
+    rng = np.random.default_rng(11)
+    w, h, channels = 9, 20, 3
+    stride = w * channels
+    ftypes = [rng.integers(0, 5) for _ in range(h)]
+    raw_rows = [bytes(rng.integers(0, 256, size=stride, dtype=np.uint8)) for _ in range(h)]
+    scanlines = b"".join(bytes([ft]) + row for ft, row in zip(ftypes, raw_rows))
+    got = decode_png(_png_from_scanlines(w, h, 2, scanlines))
+    ref = np.array(_reference_unfilter(raw_rows, ftypes, stride, channels), dtype=np.uint8)
+    assert np.array_equal(got, ref.reshape(h, w, channels))
+
+
+def test_png_gray_and_rgba_normalize_to_rgb():
+    rng = np.random.default_rng(5)
+    w, h = 6, 4
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    scan = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    img = decode_png(_png_from_scanlines(w, h, 0, scan))
+    assert img.shape == (h, w, 3)
+    assert np.array_equal(img[:, :, 0], gray) and np.array_equal(img[:, :, 2], gray)
+
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    scan = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    img = decode_png(_png_from_scanlines(w, h, 6, scan))
+    assert np.array_equal(img, rgba[:, :, :3])  # alpha dropped
+
+
+def test_png_error_paths():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF not a png")
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(img)
+    # flip bit depth to 16 inside IHDR (offset: 8 sig + 8 hdr + 8 w/h)
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(bad_depth))
+    bad_interlace = bytearray(good)
+    bad_interlace[28] = 1
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(bytes(bad_interlace))
+    with pytest.raises(Exception):
+        decode_png(good[:40])  # truncated
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(7)
+    mono = rng.uniform(-1, 1, size=300)
+    got, rate = decode_wav(encode_wav(mono, rate=8000))
+    assert rate == 8000 and got.shape == (300, 1)
+    assert np.allclose(got[:, 0], mono, atol=5e-5)
+    stereo = rng.uniform(-1, 1, size=(200, 2))
+    got, rate = decode_wav(encode_wav(stereo, rate=44100))
+    assert rate == 44100 and got.shape == (200, 2)
+    assert np.allclose(got, stereo, atol=5e-5)
+
+
+def test_wav_8bit_and_garbage():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([0, 128, 255]))
+    got, rate = decode_wav(buf.getvalue())
+    assert got.shape == (3, 1)
+    assert got[1, 0] == 0.0 and got[0, 0] == -1.0 and got[2, 0] < 1.0
+    with pytest.raises(Exception):
+        decode_wav(b"RIFFgarbage")
+
+
+def test_spark_png_wav_media_features(spark):
+    """The compressed-codec branch through the real mapInPandas operators:
+    PNG rows decode (channel means match the source pixels), WAV rows get
+    RMS/peak, junk rows surface decode_error instead of failing the task."""
+    from article_extraction_spark.operators.multimodal import (
+        audio_pcm_stats,
+        image_pixel_features,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    png = encode_png(img)
+    tone = np.sin(np.arange(800) / 10.0) * 0.5
+    wav = encode_wav(tone, rate=16000)
+    rows = [
+        (1, "image", bytearray(png), "image/png", None, None, None),
+        (2, "image", bytearray(b"\x89PNG but junk"), "image/png", None, None, None),
+        (3, "audio", bytearray(wav), "audio/wav", None, None, 50),
+        (4, "audio", bytearray(b"RIFF junk"), "audio/wav", None, None, 50),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    imgs = {r["media_id"]: r for r in image_pixel_features(media).collect()}
+    assert imgs[1]["decode_error"] is None
+    expected_mean = img.reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(imgs[1]["channel_mean"], expected_mean, atol=1e-9)
+    assert len(imgs[1]["thumb"]) == 8 * 8 * 3
+    assert imgs[2]["decode_error"] is not None and imgs[2]["channel_mean"] is None
+
+    auds = {r["media_id"]: r for r in audio_pcm_stats(media).collect()}
+    assert auds[3]["decode_error"] is None and auds[3]["n_samples"] == 800
+    # 16-bit quantization: match direct numpy stats on the quantized signal
+    q = np.round(tone * 32767.0) / 32768.0
+    assert abs(auds[3]["rms"] - float(np.sqrt((q**2).mean()))) < 1e-9
+    assert abs(auds[3]["peak"] - float(np.abs(q).max())) < 1e-9
+    assert auds[4]["decode_error"] is not None
