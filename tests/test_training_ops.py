@@ -302,7 +302,8 @@ def test_image_pixel_features_raw_rgb8(spark):
     rows = [
         (1, "image", bytearray(img.tobytes()), RAW_RGB8, 12, 16, None),
         (2, "image", bytearray(b"short"), RAW_RGB8, 12, 16, None),  # bad length
-        (3, "image", bytearray(b"\x89PNG..."), "image/png", 4, 4, None),  # needs PIL
+        # JPEG needs PIL (PNG no longer does — stdlib codec, test_codecs.py)
+        (3, "image", bytearray(b"\xff\xd8\xff\xe0..."), "image/jpeg", 4, 4, None),
     ]
     from article_extraction_spark.operators.multimodal import MEDIA_SCHEMA
 
