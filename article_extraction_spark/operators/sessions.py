@@ -46,6 +46,7 @@ def asof_join(
     ts_col: str = "ts",
     right_value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    skew_buckets: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row of the same key
     with right.ts <= left.ts.
@@ -53,9 +54,18 @@ def asof_join(
     Spark lacks a native ASOF JOIN; the scalable formulation is the
     union-tag trick: tag both streams, sort per key by (ts, tag), and carry
     the last-seen right values forward with last(ignoreNulls) — ONE shuffle
-    on the key, no range explosion, skew handled by AQE. (The
-    applyInPandas/merge_asof alternative ships whole groups to Python.)
-    """
+    on the key, no range explosion. (The applyInPandas/merge_asof
+    alternative ships whole groups to Python.)
+
+    Skew: the per-key window serializes each key into ONE task — AQE cannot
+    split a running window the way it splits a skewed join. For mega-keys
+    (one conversation/entity with millions of events) pass
+    ``skew_buckets=N``: the carry becomes a two-phase distributed scan —
+    phase 1 windows over (key, time-bucket) so a hot key fans out N-ways;
+    phase 2 carries the per-bucket LAST right row across buckets (N rows
+    per key — tiny) and joins it back. Evidence: tests/test_skew.py runs a
+    10^6-row single key through both paths and checks equality + phase-1
+    task fan-out."""
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, ts_col)
     ]
@@ -79,18 +89,69 @@ def asof_join(
         "_l", F.lit(None).cast(tagged_left.schema["_l"].dataType)
     )
     unioned = tagged_left.unionByName(tagged_right)
-    # right rows sort BEFORE left rows at equal ts (tag 0 < 1) → ties match
-    w = (
-        Window.partitionBy(on)
-        .orderBy("_ts", "_is_left")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.select(
-        "*", F.last("_r", ignorenulls=True).over(w).alias("_rlast")
-    )
+    if skew_buckets is None:
+        # right rows sort BEFORE left rows at equal ts (tag 0 < 1) → ties
+        # match
+        w = (
+            Window.partitionBy(on)
+            .orderBy("_ts", "_is_left")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = unioned.select(
+            "*", F.last("_r", ignorenulls=True).over(w).alias("_rlast")
+        )
+    else:
+        carried = _carry_two_phase(unioned, on, skew_buckets)
     return carried.where(F.col("_is_left") == 1).select(
         "_l.*",
         *[F.col(f"_rlast.{c}").alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+
+
+def _carry_two_phase(unioned: DataFrame, on: str, n_buckets: int) -> DataFrame:
+    """Distributed last-carry for skewed keys: uniform time buckets
+    (width_bucket over the observed [min, max] span), within-bucket window
+    carry (parallel — partitioned by key AND bucket), then a cross-bucket
+    prefix carry over the per-bucket summaries (n_buckets rows per key)
+    joined back. Exactly the two-phase prefix-scan shape of
+    aggregates.cumulative_mean_distributed."""
+    from pyspark.sql import types as T
+
+    ts_num = (
+        F.unix_timestamp("_ts")
+        if isinstance(unioned.schema["_ts"].dataType, T.TimestampType)
+        else F.col("_ts").cast("double")
+    )
+    lo, hi = unioned.agg(F.min(ts_num), F.max(ts_num)).first()
+    if lo is None or hi is None or hi <= lo:  # empty or degenerate span
+        lo, hi = 0, 1
+    b = unioned.withColumn(
+        "_bkt", F.width_bucket(ts_num, F.lit(lo), F.lit(hi + 1), F.lit(n_buckets))
+    )
+    w_in = (
+        Window.partitionBy(on, "_bkt")
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = b.select("*", F.last("_r", ignorenulls=True).over(w_in).alias("_rin"))
+    # per-bucket summary: the latest right ROW in the bucket (max_by skips
+    # rows whose ordering key is NULL, i.e. left rows)
+    summaries = b.groupBy(on, "_bkt").agg(
+        F.max_by(
+            "_r",
+            F.when(F.col("_is_left") == 0, F.struct("_ts", "_is_left")),
+        ).alias("_rbkt")
+    )
+    w_prev = (
+        Window.partitionBy(on)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = summaries.select(
+        on, "_bkt", F.last("_rbkt", ignorenulls=True).over(w_prev).alias("_rprev")
+    )
+    return within.join(prev, [on, "_bkt"], "left").withColumn(
+        "_rlast", F.coalesce("_rin", "_rprev")
     )
 
 

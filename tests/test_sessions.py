@@ -31,11 +31,13 @@ def test_asof_join(spark):
         [(1, _ts(3), 100.0), (1, _ts(10), 200.0), (2, _ts(9), 300.0)],
         "user_id long, ts timestamp, score double",
     )
-    out = {r["ev"]: r["score_asof"] for r in asof_join(left, right, "user_id").collect()}
-    assert out["early"] is None        # no right row at or before ts=2
-    assert out["a"] == 100.0           # latest right ≤ 5 is ts=3
-    assert out["b"] == 200.0           # latest right ≤ 20 is ts=10
-    assert out["c"] == 300.0           # equal timestamps match (right ≤ left)
+    for sb in (None, 4):  # plain window and two-phase skew path agree
+        out = {r["ev"]: r["score_asof"]
+               for r in asof_join(left, right, "user_id", skew_buckets=sb).collect()}
+        assert out["early"] is None    # no right row at or before ts=2
+        assert out["a"] == 100.0       # latest right ≤ 5 is ts=3
+        assert out["b"] == 200.0       # latest right ≤ 20 is ts=10
+        assert out["c"] == 300.0       # equal timestamps match (right ≤ left)
 
 
 def test_asof_join_null_value_of_matched_row_preserved(spark):
@@ -50,9 +52,11 @@ def test_asof_join_null_value_of_matched_row_preserved(spark):
         [(1, _ts(3), 100.0, "x"), (1, _ts(10), None, "y")],
         "user_id long, ts timestamp, score double, tag string",
     )
-    out = {r["ev"]: (r["score_asof"], r["tag_asof"]) for r in asof_join(left, right, "user_id").collect()}
-    assert out["mid"] == (100.0, "x")   # matched ts=3 row
-    assert out["late"] == (None, "y")   # matched ts=10 row: NULL score preserved
+    for sb in (None, 4):
+        out = {r["ev"]: (r["score_asof"], r["tag_asof"])
+               for r in asof_join(left, right, "user_id", skew_buckets=sb).collect()}
+        assert out["mid"] == (100.0, "x")   # matched ts=3 row
+        assert out["late"] == (None, "y")   # matched ts=10: NULL preserved
 
 
 def test_range_join(spark):
