@@ -874,6 +874,22 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(corpus, "doc_id", "text")
 
 
+def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (GPT-style concat-and-chunk): lay documents end to
+    end in doc_id order, cut into 512-token blocks, emit one row per
+    (doc × block) span. The engine computes the global prefix sum with the
+    two-phase distributed scan (no single-task global window); the oracle
+    recomputes the layout with a window cumsum + generate_series explode."""
+    from article_extraction_spark.operators.packing import concat_chunk_plan
+    from article_extraction_spark.operators.textstats import token_count_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("_n")
+    )
+    plan = concat_chunk_plan(docs, "_n", 512, order_col="doc_id")
+    return plan.select("doc_id", "block_id", "doc_offset", "block_offset", "n_tokens")
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL curation pipeline as one value-oracled query: gopher quality
     filter -> exact dedup (keep lowest id per fingerprint) -> MinHash
@@ -1026,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "curation_funnel": q_curation_funnel,
         "exact_dup_groups": q_exact_dup_groups,
+        "pack_blocks": q_pack_blocks,
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
         "ntile": q_ntile,
@@ -1558,6 +1575,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "pack_blocks": """
+            WITH counts AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, n,
+                     coalesce(sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+              FROM counts WHERE n > 0
+            )
+            SELECT p.doc_id,
+                   b.block_id,
+                   greatest(0, b.block_id * 512 - p.start) AS doc_offset,
+                   greatest(0, p.start - b.block_id * 512) AS block_offset,
+                   least(p.n, (b.block_id + 1) * 512 - p.start)
+                     - greatest(0, b.block_id * 512 - p.start) AS n_tokens
+            FROM pos p
+            JOIN LATERAL (
+              SELECT unnest(generate_series(CAST(p.start // 512 AS BIGINT),
+                                            CAST((p.start + p.n - 1) // 512 AS BIGINT))) AS block_id
+            ) b ON TRUE
         """,
         "curation_funnel": """
             WITH w AS (

@@ -487,3 +487,50 @@ def test_embedding_probe_hamming_validation(spark):
     out = embedding_near_duplicates(df, "vec_id", "v", threshold=0.99, probe_hamming=2, n_planes=4, dim=2)
     assert out.count() == 0
     out.unpersist(blocking=True)
+
+
+def test_concat_chunk_plan_invariants(spark):
+    """Sequence-packing plan: blocks tile the concatenated token stream
+    exactly — full blocks sum to block_tokens, per-doc spans sum to the
+    doc's count, doc and block offsets are gapless, zero-token docs vanish."""
+    import random
+
+    from article_extraction_spark.operators.packing import concat_chunk_plan
+
+    rng = random.Random(17)
+    rows = [(i, rng.choice([0, 1, 3, 7, 50, 128, 513])) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    B = 128
+    plan = concat_chunk_plan(df, "n_tok", B, order_col="doc_id")
+    got = plan.collect()
+    plan._retained_cache.unpersist()
+
+    total = sum(c for _, c in rows)
+    n_blocks = -(-total // B)
+    by_block = {}
+    by_doc = {}
+    for r in got:
+        by_block.setdefault(r["block_id"], []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert 0 < r["n_tokens"] <= B
+    assert set(by_block) == set(range(n_blocks))
+    for bid, spans in by_block.items():
+        spans.sort(key=lambda r: r["block_offset"])
+        expected = B if bid < n_blocks - 1 else total - B * (n_blocks - 1)
+        assert sum(r["n_tokens"] for r in spans) == expected
+        pos = 0
+        for s in spans:  # gapless tiling of the block
+            assert s["block_offset"] == pos
+            pos += s["n_tokens"]
+    counts = dict(rows)
+    assert set(by_doc) == {i for i, c in rows if c > 0}
+    for did, spans in by_doc.items():
+        spans.sort(key=lambda r: r["doc_offset"])
+        assert sum(r["n_tokens"] for r in spans) == counts[did]
+        pos = 0
+        for s in spans:  # gapless tiling of the doc
+            assert s["doc_offset"] == pos
+            pos += s["n_tokens"]
+        # consecutive blocks
+        bids = [s["block_id"] for s in spans]
+        assert bids == list(range(bids[0], bids[0] + len(bids)))
