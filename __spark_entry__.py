@@ -890,6 +890,22 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("doc_id", "block_id", "doc_offset", "block_offset", "n_tokens")
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter, fully relational: train an add-1
+    bigram model on the doc_id<500 slice, score each doc by mean bigram
+    log-probability. Micros are FLOORED (not rounded) because Spark rounds
+    HALF_UP while DuckDB rounds half-even — floor semantics agree."""
+    from article_extraction_spark.operators.textstats import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("doc_id") < 500)
+    out = bigram_lm_score(docs, "doc_id", "text", round_digits=None)
+    return out.select(
+        "doc_id",
+        F.floor(F.col("lm_score") * 1_000_000).cast("long").alias("lm_score_micro"),
+        "n_bigrams",
+    )
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL curation pipeline as one value-oracled query: gopher quality
     filter -> exact dedup (keep lowest id per fingerprint) -> MinHash
@@ -1043,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "exact_dup_groups": q_exact_dup_groups,
         "pack_blocks": q_pack_blocks,
+        "bigram_lm_score": q_bigram_lm_score,
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
         "ntile": q_ntile,
@@ -1575,6 +1592,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "bigram_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                                 w -> length(w) > 0) AS t
+              FROM documents WHERE doc_id < 500
+            ),
+            bi AS (
+              SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t) - 1)) AS i
+              ) g
+              WHERE len(t) >= 2
+            ),
+            lm12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+            uni AS (
+              SELECT w1, count(*) AS n1
+              FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1
+            ),
+            v AS (SELECT count(*) AS v FROM uni),
+            scored AS (
+              SELECT b.doc_id,
+                     avg(ln((coalesce(l.n12, 0) + 1.0)
+                            / (coalesce(u.n1, 0) + 1.0 * v.v))) AS lm_score,
+                     count(*) AS n_bigrams
+              FROM bi b
+              LEFT JOIN lm12 l ON b.w1 = l.w1 AND b.w2 = l.w2
+              LEFT JOIN uni u ON b.w1 = u.w1
+              CROSS JOIN v
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(floor(s.lm_score * 1000000) AS BIGINT) AS lm_score_micro,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams
+            FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 500) d
+            LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
         "pack_blocks": """
             WITH counts AS (

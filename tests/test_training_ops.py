@@ -534,3 +534,40 @@ def test_concat_chunk_plan_invariants(spark):
         # consecutive blocks
         bids = [s["block_id"] for s in spans]
         assert bids == list(range(bids[0], bids[0] + len(bids)))
+
+
+def test_bigram_lm_score(spark):
+    """Add-1 bigram LM scoring: repeated in-domain bigrams score higher
+    than unseen ones; hand-checked probabilities on a 3-doc corpus."""
+    import math
+
+    from article_extraction_spark.operators.textstats import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b"),
+            (3, "z q"),      # bigram seen once, by itself
+            (4, "x"),        # single token: no bigrams -> NULL score
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs, "doc_id", "text").collect()}
+    # corpus: unigrams a:3 b:3 z:1 q:1 x:1 (V=5);
+    # bigrams ab:3 (2 from doc1 + 1 from doc2), ba:1, zq:1
+    p_ab = (3 + 1) / (3 + 5)
+    p_ba = (1 + 1) / (3 + 5)
+    p_zq = (1 + 1) / (1 + 5)
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["lm_score"] - round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)) < 1e-9
+    assert abs(got[2]["lm_score"] - round(math.log(p_ab), 6)) < 1e-9
+    assert abs(got[3]["lm_score"] - round(math.log(p_zq), 6)) < 1e-9
+    assert got[4]["lm_score"] is None and got[4]["n_bigrams"] == 0
+    # in-domain (repeated) text outscores the one-off bigram
+    assert got[1]["lm_score"] > got[3]["lm_score"]
+    # scoring NEW text against a trained LM: unseen bigrams get the floor
+    new = spark.createDataFrame([(9, "q a")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           bigram_lm_score(new, "doc_id", "text", lm_corpus=docs).collect()}
+    p_floor = (0 + 1) / (1 + 5)  # n(qa)=0, n(q.)=1
+    assert abs(out[9]["lm_score"] - round(math.log(p_floor), 6)) < 1e-9
