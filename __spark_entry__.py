@@ -906,6 +906,30 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet/RefinedWeb): a banner line is
+    planted into EVERY doc (doc frequency ~500 >> threshold) plus a rare
+    two-doc line (at the threshold, kept); the op must strip exactly the
+    banner while preserving remaining line order."""
+    from article_extraction_spark.operators.textstats import remove_boilerplate_lines
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("Subscribe to our newsletter!\n"),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") < 2, F.lit("\nrare footer line")).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    out = remove_boilerplate_lines(docs, "doc_id", "text", max_doc_freq=2)
+    return out.select("doc_id", "text_clean", "n_lines", "n_lines_kept")
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL curation pipeline as one value-oracled query: gopher quality
     filter -> exact dedup (keep lowest id per fingerprint) -> MinHash
@@ -1060,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "pack_blocks": q_pack_blocks,
         "bigram_lm_score": q_bigram_lm_score,
+        "boilerplate_lines": q_boilerplate_lines,
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
         "ntile": q_ntile,
@@ -1592,6 +1617,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "boilerplate_lines": """
+            WITH base AS (
+              SELECT doc_id,
+                     'Subscribe to our newsletter!' || chr(10) || coalesce(text, '')
+                       || CASE WHEN doc_id < 2 THEN chr(10) || 'rare footer line' ELSE '' END AS text
+              FROM documents WHERE doc_id < 500
+            ),
+            lined AS (
+              SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS l FROM base
+            ),
+            expl AS (
+              SELECT doc_id, i AS idx, l[i] AS line, trim(l[i]) AS lnt
+              FROM lined, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g
+            ),
+            freq AS (
+              SELECT lnt, count(DISTINCT doc_id) AS df
+              FROM expl WHERE length(lnt) >= 1 GROUP BY 1
+            ),
+            kept AS (
+              SELECT e.doc_id, e.idx, e.line,
+                     (length(e.lnt) >= 1 AND coalesce(f.df, 0) <= 2) AS keep
+              FROM expl e LEFT JOIN freq f ON e.lnt = f.lnt
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx)
+                            FILTER (WHERE keep), '') AS text_clean,
+                   count(*) AS n_lines,
+                   coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS n_lines_kept
+            FROM kept GROUP BY doc_id
         """,
         "bigram_lm_score": """
             WITH toks AS (

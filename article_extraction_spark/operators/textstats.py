@@ -353,3 +353,67 @@ def bigram_lm_score(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (round 3) — the CCNet/RefinedWeb trick:
+# lines that repeat across many documents (nav bars, cookie banners,
+# signatures) are boilerplate; strip them while preserving each document's
+# remaining line order. Fully relational: posexplode -> line-frequency
+# count -> join -> re-assemble with array_sort + concat.
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Strip lines that appear (trim-normalized) in more than
+    ``max_doc_freq`` DISTINCT documents; lines shorter than
+    ``min_line_chars`` after trim are dropped outright (blank-ish).
+
+    Returns (id, text_clean, n_lines, n_lines_kept). Shape: one posexplode,
+    one groupBy on the line hash (map-side partial agg — the line-frequency
+    table is vocabulary-sized), one equi-join back, one groupBy re-assembly
+    ordered by original line index. The line table carries xxhash64(line),
+    not the line text, through the shuffle. No UDF."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "_ln_idx", "_ln"
+        ),
+    ).withColumn("_lnt", F.trim("_ln")).withColumn("_h", F.xxhash64(F.col("_lnt")))
+    freq = (
+        lines.where(F.length("_lnt") >= min_line_chars)
+        .groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_df"))
+    )
+    kept = (
+        lines.join(freq, "_h", "left")
+        .withColumn(
+            "_keep",
+            (F.length("_lnt") >= min_line_chars)
+            & (F.coalesce("_df", F.lit(0)) <= max_doc_freq),
+        )
+    )
+    out = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_ln_idx", F.col("_ln")))
+                    )
+                ),
+                lambda s: s["_ln"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
+    )
+    return out.select(
+        F.col("_id").alias(id_col), "text_clean", "n_lines", "n_lines_kept"
+    )

@@ -571,3 +571,27 @@ def test_bigram_lm_score(spark):
            bigram_lm_score(new, "doc_id", "text", lm_corpus=docs).collect()}
     p_floor = (0 + 1) / (1 + 5)  # n(qa)=0, n(q.)=1
     assert abs(out[9]["lm_score"] - round(math.log(p_floor), 6)) < 1e-9
+
+
+def test_remove_boilerplate_lines(spark):
+    from article_extraction_spark.operators.textstats import remove_boilerplate_lines
+
+    banner = "SUBSCRIBE NOW"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nreal content one\n\n  {banner}  \nmore text"),
+            (2, f"{banner}\nsecond doc body"),
+            (3, f"{banner}\nthird doc body"),
+            (4, "no banner here\njust text"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(docs, "doc_id", "text", max_doc_freq=2).collect()}
+    # banner appears (trim-normalized) in 3 distinct docs > threshold 2
+    assert got[1]["text_clean"] == "real content one\nmore text"
+    assert got[1]["n_lines"] == 5 and got[1]["n_lines_kept"] == 2
+    assert got[2]["text_clean"] == "second doc body"
+    assert got[4]["text_clean"] == "no banner here\njust text"
+    assert got[5]["text_clean"] == "" and got[5]["n_lines_kept"] == 0
