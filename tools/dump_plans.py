@@ -140,6 +140,54 @@ def main() -> None:
         )
     )
 
+    import tempfile
+
+    from article_extraction_spark.operators.similarity_search import (
+        lsh_topk_bucketed,
+        write_lsh_bucketed,
+    )
+
+    emb2 = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    qvec = [float(x) for x in emb2.first()["embedding"]]
+    ann_path = tempfile.mkdtemp(prefix="plans-ann-") + "/t"
+    write_lsh_bucketed(emb2, ann_path, "embedding", n_planes=6)
+    sections.append(
+        (
+            "Bucketed ANN probe (round 3)",
+            "The probe keys land on the PARTITION column of the "
+            "write_lsh_bucketed layout: the scan node carries them as "
+            "PartitionFilters, so only probed bucket= directories are listed "
+            "and opened — query cost is O(corpus/2^planes × probes), "
+            "independent of corpus size. Passing an explicit schema skips "
+            "footer-sampling inference (zero data files touched at planning).",
+            plan_str(
+                lsh_topk_bucketed(
+                    spark, ann_path, "embedding", qvec, k=5, n_planes=6,
+                    schema="vec_id bigint, embedding array<float>",
+                )
+            ),
+        )
+    )
+
+    from article_extraction_spark.operators.packing import concat_chunk_plan
+    from article_extraction_spark.operators.textstats import token_count_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("_n")
+    )
+    pk = concat_chunk_plan(docs, "_n", 512, order_col="doc_id", num_partitions=4)
+    sections.append(
+        (
+            "Sequence packing (round 3)",
+            "concat-and-chunk block planning: the only Window is partitioned "
+            "by the range-partition id (two-phase prefix sum — no single-task "
+            "global window); block fan-out is a native sequence+explode, fully "
+            "codegen'd, no Python.",
+            plan_str(pk),
+        )
+    )
+    pk._retained_cache.unpersist()
+
     out = ["# PLANS — physical-plan evidence (generated by tools/dump_plans.py)\n"]
     for title, note, plan in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
