@@ -930,6 +930,40 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_clean", "n_lines", "n_lines_kept")
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + MERGE through the catalog layer, value-oracled:
+    build a ManifestTable from orders (k ≤ 20), MERGE an update set (double
+    v for k ≤ 10, insert two new keys), then read BOTH snapshots — the
+    union tagged by snapshot must match the oracle's relational replay.
+    Exercises the commit protocol, copy-on-write MERGE, and time travel."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    root = f"{tempfile.gettempdir()}/aes_catalog_{__import__('os').path.basename(__import__('os').path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") <= 20).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    t = ManifestTable(root)
+    t.append(base)
+    s1 = t.current_snapshot_id()
+    src = (
+        base.where(F.col("k") <= 10).select("k", (F.col("v") * 2).alias("v"))
+        .unionByName(
+            orders.where(F.col("o_orderkey") <= 2).select(
+                (F.col("o_orderkey") + 1_000_000).alias("k"), F.col("o_totalprice").alias("v")
+            )
+        )
+    )
+    t.merge(spark, src, ["k"])
+    v1 = t.read(spark, snapshot_id=s1).select(F.lit("v1").alias("snap"), "k", "v")
+    v2 = t.read(spark).select(F.lit("v2").alias("snap"), "k", "v")
+    return v1.unionByName(v2)
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL curation pipeline as one value-oracled query: gopher quality
     filter -> exact dedup (keep lowest id per fingerprint) -> MinHash
@@ -1085,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_blocks": q_pack_blocks,
         "bigram_lm_score": q_bigram_lm_score,
         "boilerplate_lines": q_boilerplate_lines,
+        "time_travel": q_time_travel,
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
         "ntile": q_ntile,
@@ -1617,6 +1652,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "time_travel": """
+            WITH base AS (
+              SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey <= 20
+            ),
+            merged AS (
+              SELECT k, CASE WHEN k <= 10 THEN v * 2 ELSE v END AS v FROM base
+              UNION ALL
+              SELECT o_orderkey + 1000000, o_totalprice FROM orders WHERE o_orderkey <= 2
+            )
+            SELECT 'v1' AS snap, k, v FROM base
+            UNION ALL
+            SELECT 'v2' AS snap, k, v FROM merged
         """,
         "boilerplate_lines": """
             WITH base AS (

@@ -106,3 +106,39 @@ def streaming_dedup(
         keys = ["conv_id", "turn_idx"]
     out = extracted.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return out.drop("_fp") if by_content else out
+
+
+def run_available_now_merge(
+    df: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    query_name: str = "extract-merge",
+) -> None:
+    """Incremental batch with UPSERT semantics: each micro-batch MERGEs into
+    a catalog.ManifestTable on ``keys`` via foreachBatch.
+
+    Exactly-once across restarts comes from TWO layers: the streaming
+    checkpoint replays each epoch's exact input files, and a replayed
+    micro-batch (same rows, same keys) MERGEs idempotently — re-upserting
+    identical rows is a no-op for the final table state. This is the
+    streaming twin of sinks.upsert/ManifestTable.merge, and the standard
+    Structured-Streaming pattern for sinks with no native transactional
+    stream support (an Iceberg deployment would writeStream straight into
+    the table instead)."""
+    from ..catalog import ManifestTable
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ManifestTable(table_root).merge(batch_df.sparkSession, batch_df, keys)
+
+    q = (
+        df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()

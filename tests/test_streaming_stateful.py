@@ -89,3 +89,47 @@ def test_available_now_stop_restart_exactly_once(spark, tmp_path):
     # a third restart with nothing new appends nothing
     run_available_now(streaming_extract(spark, in_dir), out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == len(out2)
+
+
+def test_available_now_merge_upserts_into_manifest_table(spark, tmp_path):
+    """foreachBatch MERGE sink: run 1 inserts; run 2 (new input files with
+    overlapping keys) UPDATES matched rows and inserts new ones — table
+    state converges with no duplicate keys across restarts."""
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.streaming.ingest import run_available_now_merge
+
+    in_dir, root, ckpt = str(tmp_path / "in"), str(tmp_path / "tbl"), str(tmp_path / "ck")
+    schema = "conv_id string, turn_idx int, extracted_text string"
+    spark.createDataFrame(
+        [("c1", 0, "v1"), ("c1", 1, "v1"), ("c2", 0, "v1")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    run_available_now_merge(stream, root, ckpt, keys=["conv_id", "turn_idx"])
+    t = ManifestTable(root)
+    got = {(r["conv_id"], r["turn_idx"]): r["extracted_text"]
+           for r in t.read(spark).collect()}
+    assert got == {("c1", 0): "v1", ("c1", 1): "v1", ("c2", 0): "v1"}
+    first_snapshot = t.current_snapshot_id()
+
+    # second batch: update (c1,0), insert (c3,0)
+    spark.createDataFrame([("c1", 0, "v2"), ("c3", 0, "v2")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    run_available_now_merge(stream, root, ckpt, keys=["conv_id", "turn_idx"])
+    t = ManifestTable(root)
+    got = {(r["conv_id"], r["turn_idx"]): r["extracted_text"]
+           for r in t.read(spark).collect()}
+    assert got == {
+        ("c1", 0): "v2", ("c1", 1): "v1", ("c2", 0): "v1", ("c3", 0): "v2",
+    }
+    # no-new-input restart: no table change
+    before = t.current_snapshot_id()
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    run_available_now_merge(stream, root, ckpt, keys=["conv_id", "turn_idx"])
+    assert ManifestTable(root).current_snapshot_id() == before
+    # time travel still sees run-1 state
+    old = {(r["conv_id"], r["turn_idx"]): r["extracted_text"]
+           for r in ManifestTable(root).read(spark, snapshot_id=first_snapshot).collect()}
+    assert old[("c1", 0)] == "v1" and ("c3", 0) not in old
