@@ -2,7 +2,9 @@
 the composition a 100 TB corpus run would actually execute, each stage an
 already-oracled operator:
 
+  0. BOILERPLATE  (optional) strip lines repeating across > N docs
   1. QUALITY   gopher-style heuristic flags → drop failing docs
+  1b. LM SCORE (optional) drop docs below a bigram-LM log-prob floor
   2. EXACT DEDUP   md5 fingerprint groupBy → keep one doc per fingerprint
   3. NEAR DEDUP    MinHash-LSH + exact-Jaccard verify → connected
                    components → keep the canonical (min-id) doc per cluster
@@ -39,6 +41,8 @@ def curate_corpus(
     text_col: str = "text",
     jaccard_threshold: float = 0.85,
     contamination_ngram: int = 3,
+    boilerplate_max_doc_freq: int | None = None,
+    lm_score_floor: float | None = None,
 ) -> dict:
     from article_extraction_spark.operators.dedup import (
         contamination_check,
@@ -54,10 +58,37 @@ def curate_corpus(
 
     stats: dict[str, int] = {"input": docs.count()}
 
+    # 0. (optional) line-level boilerplate removal — BEFORE quality/dedup so
+    # banners don't mask real content similarity or inflate quality stats
+    if boilerplate_max_doc_freq is not None:
+        from article_extraction_spark.operators.textstats import (
+            remove_boilerplate_lines,
+        )
+
+        cleaned = remove_boilerplate_lines(
+            docs, id_col, text_col, max_doc_freq=boilerplate_max_doc_freq
+        ).select(id_col, F.col("text_clean").alias(text_col))
+        other_cols = [c for c in docs.columns if c not in (id_col, text_col)]
+        if other_cols:
+            cleaned = cleaned.join(docs.select(id_col, *other_cols), id_col)
+        docs = cleaned
+
     # 1. quality filter
     flagged = docs.withColumn("_g", gopher_flags_col(F.col(text_col)))
     quality = flagged.where(F.col("_g.passes")).drop("_g")
     stats["after_quality"] = quality.count()
+
+    # 1b. (optional) bigram-LM fit floor (CCNet-style) — trained on the
+    # post-quality corpus itself
+    if lm_score_floor is not None:
+        from article_extraction_spark.operators.textstats import bigram_lm_score
+
+        lm = bigram_lm_score(quality, id_col, text_col)
+        keep = lm.where(
+            F.col("lm_score").isNull() | (F.col("lm_score") >= lm_score_floor)
+        ).select(id_col)
+        quality = quality.join(keep, id_col, "left_semi")
+        stats["after_lm_score"] = quality.count()
 
     # 2. exact dedup: keep the lowest id per fingerprint (one shuffle).
     # Persist the spine: exact feeds the stage count, the MinHash pass, the
@@ -108,6 +139,10 @@ def main() -> None:
     ap.add_argument("--jaccard", type=float, default=0.85)
     ap.add_argument("--contamination-ngram", type=int, default=13,
                     help="classic 13-gram rule; lower only for short-doc corpora")
+    ap.add_argument("--boilerplate-max-doc-freq", type=int, default=None,
+                    help="strip lines repeating across more than N docs (off by default)")
+    ap.add_argument("--lm-score-floor", type=float, default=None,
+                    help="drop docs with mean bigram log-prob below this (off by default)")
     args = ap.parse_args()
 
     # build the session BEFORE importing engine modules: under spark-submit
@@ -131,6 +166,8 @@ def main() -> None:
         args.out,
         jaccard_threshold=args.jaccard,
         contamination_ngram=args.contamination_ngram,
+        boilerplate_max_doc_freq=args.boilerplate_max_doc_freq,
+        lm_score_floor=args.lm_score_floor,
     )
     print(json.dumps(stats))
 

@@ -48,3 +48,57 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     # may legitimately hold their own)
     cached_after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert cached_after - cached_before == set(), cached_after - cached_before
+
+
+def test_curate_corpus_optional_stages(spark, tmp_path):
+    """Round 3: boilerplate stripping + LM-score floor as opt-in stages.
+    The banner line repeats across all docs and must be gone from the
+    curated text; the LM floor drops the out-of-domain doc."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from curate_corpus import curate_corpus
+
+    def doc(prefix: str, stem: str) -> str:
+        body = " ".join(f"{stem}{i:02d} the {stem}x{i:02d}" for i in range(20))
+        return f"{prefix} {body}"
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY PLEASE"
+    # in-domain docs share the 'delta' vocabulary; the odd one out is 'omega'
+    rows = [
+        (1, banner + "\n" + doc("first document body", "delta")),
+        (2, banner + "\n" + doc("second document body", "delta")),
+        (3, banner + "\n" + doc("third document body", "delta")),
+        (4, banner + "\n" + doc("fourth odd one out", "omega")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    benchmark = spark.createDataFrame([(99, "nothing shared")], "doc_id long, text string")
+
+    # compute every doc's LM score (after boilerplate strip) to place the
+    # floor between the in-domain docs and the outlier
+    from article_extraction_spark.operators.textstats import (
+        bigram_lm_score,
+        remove_boilerplate_lines,
+    )
+
+    stripped = remove_boilerplate_lines(docs, "doc_id", "text", max_doc_freq=2).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    scores = {r["doc_id"]: r["lm_score"]
+              for r in bigram_lm_score(stripped, "doc_id", "text").collect()}
+    in_domain = [scores[i] for i in (1, 2, 3)]
+    assert scores[4] < min(in_domain), f"fixture degenerate: {scores}"
+    floor = (scores[4] + min(in_domain)) / 2  # between outlier and in-domain
+
+    stats = curate_corpus(
+        spark, docs, benchmark, str(tmp_path / "out2"),
+        jaccard_threshold=0.7, contamination_ngram=3,
+        boilerplate_max_doc_freq=2, lm_score_floor=floor,
+    )
+    assert stats["after_lm_score"] == 3          # omega doc dropped
+    # docs 1-3 share the same delta body → near-dedup keeps the canonical 1
+    assert stats["after_near_dedup"] == 1
+    out = spark.read.parquet(str(tmp_path / "out2" / "curated"))
+    got = {r["doc_id"]: r["curated_text"] for r in out.collect()}
+    assert set(got) == {1}
+    assert all(banner not in t for t in got.values())
