@@ -930,6 +930,66 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_clean", "n_lines", "n_lines_kept")
 
 
+def q_answer_agg_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 answer aggregation (reference qa_squad._aggregate semantics) with
+    a VALUE oracle for all three modes: best = argmax by (score, first-in-
+    order), longest = argmax by (length, first-in-order), concat = non-empty
+    answers joined in window order. Candidates derived deterministically
+    from documents (prefix answer, modular score, doc_id order)."""
+    from article_extraction_spark.operators.aggregates import aggregate_answers
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    base = docs.select(
+        (F.col("doc_id") % 40).alias("g"),
+        F.col("doc_id").alias("o"),
+        F.substring(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " "), 1, 30).alias("a"),
+        (F.col("doc_id") % 97).cast("double").alias("s"),
+    )
+    outs = []
+    for mode in ("best", "longest", "concat"):
+        outs.append(
+            aggregate_answers(base, "g", "a", "s", mode, order_col="o").select(
+                F.lit(mode).alias("mode"), "g", "answer"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q_clean_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5/F15 value oracle: _clean_value (strip, empty→NULL), comma-
+    stripped numeric coercion, and W→kW with a 0 clip — over deterministic
+    messy strings derived from orders (padded, comma-grouped, negative,
+    junk)."""
+    from article_extraction_spark.functions.casts import (
+        clean_value_col,
+        to_float_comma_col,
+        to_int_comma_col,
+    )
+    from article_extraction_spark.functions.physics import watts_to_kilowatts_col
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    messy = orders.select(
+        F.col("o_orderkey").alias("k"),
+        # '  1,234,567  ' style for k%4==0; '' for 1; junk for 2; '-42' for 3
+        F.when(F.col("o_orderkey") % 4 == 0,
+               F.concat(F.lit("  "), F.format_number(F.col("o_orderkey") * 1000, 0), F.lit("  ")))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit(""))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit("n/a"))
+        .otherwise(F.lit("-42")).alias("raw"),
+        (F.col("o_totalprice") - 100000).alias("watts"),
+    )
+    return messy.select(
+        "k",
+        clean_value_col(F.col("raw")).alias("cleaned"),
+        to_float_comma_col(F.col("raw")).alias("as_float"),
+        to_int_comma_col(F.col("raw")).alias("as_int"),
+        F.round(watts_to_kilowatts_col(F.col("watts")), 6).alias("kw_clipped"),
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation + MERGE through the catalog layer, value-oracled:
     build a ManifestTable from orders (k ≤ 20), MERGE an update set (double
@@ -1120,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": q_bigram_lm_score,
         "boilerplate_lines": q_boilerplate_lines,
         "time_travel": q_time_travel,
+        "answer_agg_modes": q_answer_agg_modes,
+        "clean_convert": q_clean_convert,
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
         "ntile": q_ntile,
@@ -1652,6 +1714,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "clean_convert": """
+            WITH messy AS (
+              SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 4 = 0 THEN '  ' || format('{:,}', o_orderkey * 1000) || '  '
+                          WHEN o_orderkey % 4 = 1 THEN ''
+                          WHEN o_orderkey % 4 = 2 THEN 'n/a'
+                          ELSE '-42' END AS raw,
+                     o_totalprice - 100000 AS watts
+              FROM orders WHERE o_orderkey <= 2000
+            )
+            SELECT k,
+                   nullif(trim(raw), '') AS cleaned,
+                   try_cast(replace(trim(raw), ',', '') AS DOUBLE) AS as_float,
+                   CAST(try_cast(replace(trim(raw), ',', '') AS DOUBLE) AS BIGINT) AS as_int,
+                   round(greatest(watts * 0.001, 0.0), 6) AS kw_clipped
+            FROM messy
+        """,
+        "answer_agg_modes": """
+            WITH base AS (
+              SELECT doc_id % 40 AS g, doc_id AS o,
+                     substr(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'), 1, 30) AS a,
+                     CAST(doc_id % 97 AS DOUBLE) AS s
+              FROM documents WHERE doc_id < 500
+            ),
+            ranked_best AS (
+              SELECT g, a, row_number() OVER (PARTITION BY g ORDER BY s DESC, o ASC) AS rn
+              FROM base
+            ),
+            ranked_long AS (
+              SELECT g, a, row_number() OVER (PARTITION BY g ORDER BY length(a) DESC, o ASC) AS rn
+              FROM base
+            )
+            SELECT 'best' AS mode, g, a AS answer FROM ranked_best WHERE rn = 1
+            UNION ALL
+            SELECT 'longest', g, a FROM ranked_long WHERE rn = 1
+            UNION ALL
+            SELECT 'concat', g,
+                   coalesce(string_agg(a, ' ' ORDER BY o) FILTER (WHERE a IS NOT NULL AND a <> ''), '')
+            FROM base GROUP BY g
         """,
         "time_travel": """
             WITH base AS (
