@@ -883,27 +883,45 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from article_extraction_spark.operators.packing import concat_chunk_plan
     from article_extraction_spark.operators.textstats import token_count_col
 
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", token_count_col(F.col("text")).cast("long").alias("_n")
     )
     plan = concat_chunk_plan(docs, "_n", 512, order_col="doc_id")
-    return plan.select("doc_id", "block_id", "doc_offset", "block_offset", "n_tokens")
+    # materialize the (small) plan table, then release the range-partitioned
+    # input cache the operator retained — leaving it pinned would hold the
+    # full documents projection for the rest of the gate session (review r3)
+    out = plan.select(
+        "doc_id", "block_id", "doc_offset", "block_offset", "n_tokens"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    plan._retained_cache.unpersist()
+    return out
 
 
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter, fully relational: train an add-1
     bigram model on the doc_id<500 slice, score each doc by mean bigram
-    log-probability. Micros are FLOORED (not rounded) because Spark rounds
-    HALF_UP while DuckDB rounds half-even — floor semantics agree."""
+    log-probability. Scores are FLOORED (not rounded — Spark rounds HALF_UP
+    while DuckDB rounds half-even) at 1e-4 quanta (coarse enough that
+    cross-engine summation-order ULP noise cannot straddle a boundary)."""
     from article_extraction_spark.operators.textstats import bigram_lm_score
 
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("doc_id") < 500)
-    out = bigram_lm_score(docs, "doc_id", "text", round_digits=None)
-    return out.select(
+    scored = bigram_lm_score(docs, "doc_id", "text", round_digits=None)
+    # floor at 1e-4 quanta: coarse enough that cross-engine ULP noise in the
+    # avg's summation order (~1e-12) cannot straddle a boundary (review r3)
+    out = scored.select(
         "doc_id",
-        F.floor(F.col("lm_score") * 1_000_000).cast("long").alias("lm_score_micro"),
+        F.floor(F.col("lm_score") * 10_000).cast("long").alias("lm_score_q"),
         "n_bigrams",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    scored._retained_cache.unpersist()
+    return out
 
 
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1830,7 +1848,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1
             )
             SELECT d.doc_id,
-                   CAST(floor(s.lm_score * 1000000) AS BIGINT) AS lm_score_micro,
+                   CAST(floor(s.lm_score * 10000) AS BIGINT) AS lm_score_q,
                    coalesce(s.n_bigrams, 0) AS n_bigrams
             FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 500) d
             LEFT JOIN scored s ON d.doc_id = s.doc_id

@@ -23,13 +23,34 @@ import zlib
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _paeth(a, b, c):
-    """Paeth predictor (PNG spec §6.6) vectorized over int16 numpy arrays."""
-    import numpy as np
+def _unfilter_avg_row(cur: list, prev: list, stride: int, bpp: int) -> list:
+    """Average filter reconstruction — plain-Python ints (the x-recurrence
+    is sequential; numpy SCALAR ops per byte are ~20× slower than int math,
+    review r3)."""
+    for x in range(stride):
+        left = cur[x - bpp] if x >= bpp else 0
+        cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+    return cur
 
-    p = a + b - c
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+def _unfilter_paeth_row(cur: list, prev: list, stride: int, bpp: int) -> list:
+    """Paeth predictor reconstruction (PNG spec §6.6) — plain-Python ints."""
+    for x in range(stride):
+        a = cur[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        p = a + b - c
+        pa = p - a if p >= a else a - p
+        pb = p - b if p >= b else b - p
+        pc = p - c if p >= c else c - p
+        if pa <= pb and pa <= pc:
+            pred = a
+        elif pb <= pc:
+            pred = b
+        else:
+            pred = c
+        cur[x] = (cur[x] + pred) & 0xFF
+    return cur
 
 
 def decode_png(payload: bytes):
@@ -95,15 +116,16 @@ def decode_png(payload: bytes):
             )
         elif ft == 2:  # Up
             cur = (cur + prev) & 0xFF
-        elif ft == 3:  # Average
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                ul = prev[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + _paeth(left, prev[x], ul)) & 0xFF
+        elif ft == 3:  # Average — sequential x-recurrence, python-int loop
+            cur = np.asarray(
+                _unfilter_avg_row(cur.tolist(), prev.tolist(), stride, bpp),
+                dtype=np.int16,
+            )
+        elif ft == 4:  # Paeth — sequential x-recurrence, python-int loop
+            cur = np.asarray(
+                _unfilter_paeth_row(cur.tolist(), prev.tolist(), stride, bpp),
+                dtype=np.int16,
+            )
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = cur

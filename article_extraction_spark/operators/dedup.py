@@ -620,23 +620,23 @@ def connected_components(
     both = both.persist(StorageLevel.MEMORY_AND_DISK)
     both.count()
 
-    def _sweep(before: set[str], keep: set[str]) -> set[str]:
-        """Delete rdd-* dirs created since ``before`` except ``keep``;
-        return the surviving new set."""
-        now = _checkpoint_rdd_dirs(resolved)
-        created = now - before
-        for d in created - keep:
-            shutil.rmtree(d, ignore_errors=True)
-        return created & keep
+    def _checkpointed(df: DataFrame, before: set[str]) -> tuple[DataFrame, set[str]]:
+        """Reliable-checkpoint ``df`` WITHOUT computing it twice: the eager
+        count job and the separate checkpoint-WRITE job would each execute
+        an unpersisted lineage (review r3 finding), so persist for the
+        duration of the two jobs and release after. Returns the flat-plan
+        DataFrame and the rdd-* dirs this checkpoint created."""
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.checkpoint(eager=True)  # count job + write job, both cached
+        df.unpersist(blocking=False)
+        return out, _checkpoint_rdd_dirs(resolved) - before
 
-    pre = _checkpoint_rdd_dirs(resolved)
-    labels = (
+    labels, prev_dirs = _checkpointed(
         both.select(F.col("u").alias("id"))
         .distinct()
-        .withColumn("component", F.col("id"))
-        .checkpoint(eager=True)
+        .withColumn("component", F.col("id")),
+        _checkpoint_rdd_dirs(resolved),
     )
-    prev_dirs = _checkpoint_rdd_dirs(resolved) - pre
     changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
@@ -644,17 +644,15 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("n_min"))
         )
-        pre = _checkpoint_rdd_dirs(resolved)
-        updated = (
+        updated, new_dirs = _checkpointed(
             labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
             .select(
                 "id",
                 F.least(F.col("component"), F.coalesce("n_min", F.col("component"))).alias("component"),
                 (F.coalesce("n_min", F.col("component")) < F.col("component")).alias("_changed"),
-            )
-            .checkpoint(eager=True)  # flat plan, data in checkpoint files
+            ),
+            _checkpoint_rdd_dirs(resolved),
         )
-        new_dirs = _checkpoint_rdd_dirs(resolved) - pre
         changed = updated.where(F.col("_changed")).limit(1).count()
         # the superseded round's files are dead: `updated` is materialized
         # in its own checkpoint and no plan references the old round
@@ -673,7 +671,15 @@ def connected_components(
             "(a component's diameter exceeds max_iterations); raise max_iterations"
         )
     # cache the final projection so repeated consumption doesn't re-read
-    # checkpoint files; the files stay as the executor-loss recovery path.
+    # checkpoint files.
     final = labels.persist(StorageLevel.MEMORY_AND_DISK)
     final.count()
+    # In local mode the MEMORY_AND_DISK cache spills rather than evicts, so
+    # the final round's files are not needed as a recovery path — delete
+    # them too or repeated calls leak one label table per call (review r3).
+    # On a cluster they stay as the executor-loss recovery source; set
+    # spark.cleaner.referenceTracking.cleanCheckpoints there for auto-GC.
+    if sc.master.startswith("local"):
+        for d in prev_dirs:
+            shutil.rmtree(d, ignore_errors=True)
     return final

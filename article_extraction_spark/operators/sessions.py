@@ -63,9 +63,11 @@ def asof_join(
     ``skew_buckets=N``: the carry becomes a two-phase distributed scan —
     phase 1 windows over (key, time-bucket) so a hot key fans out N-ways;
     phase 2 carries the per-bucket LAST right row across buckets (N rows
-    per key — tiny) and joins it back. Evidence: tests/test_skew.py runs a
-    10^6-row single key through both paths and checks equality + phase-1
-    task fan-out."""
+    per key — tiny) and joins it back. In skew mode the result carries the
+    persisted union input as ``_retained_cache`` (three consumers need it);
+    ``.unpersist()`` it after consuming the result. Evidence:
+    tests/test_skew.py runs a 10^6-row single key through both paths and
+    checks equality + phase-1 task fan-out."""
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, ts_col)
     ]
@@ -102,10 +104,15 @@ def asof_join(
         )
     else:
         carried = _carry_two_phase(unioned, on, skew_buckets)
-    return carried.where(F.col("_is_left") == 1).select(
+    result = carried.where(F.col("_is_left") == 1).select(
         "_l.*",
         *[F.col(f"_rlast.{c}").alias(f"{c}{suffix}") for c in right_value_cols],
     )
+    if skew_buckets is not None:
+        # the two-phase carry persists its union input; hand the handle to
+        # the caller (``.unpersist()`` after consuming the result)
+        result._retained_cache = carried._retained_cache  # type: ignore[attr-defined]
+    return result
 
 
 def _carry_two_phase(unioned: DataFrame, on: str, n_buckets: int) -> DataFrame:
@@ -122,6 +129,12 @@ def _carry_two_phase(unioned: DataFrame, on: str, n_buckets: int) -> DataFrame:
         if isinstance(unioned.schema["_ts"].dataType, T.TimestampType)
         else F.col("_ts").cast("double")
     )
+    from pyspark import StorageLevel
+
+    # three consumers (min/max action, within-bucket window, summaries agg)
+    # would each recompute the union + upstream scans — persist for the
+    # call; the handle rides on the result as _retained_cache (review r3)
+    unioned = unioned.persist(StorageLevel.MEMORY_AND_DISK)
     lo, hi = unioned.agg(F.min(ts_num), F.max(ts_num)).first()
     if lo is None or hi is None or hi <= lo:  # empty or degenerate span
         lo, hi = 0, 1
@@ -150,9 +163,11 @@ def _carry_two_phase(unioned: DataFrame, on: str, n_buckets: int) -> DataFrame:
     prev = summaries.select(
         on, "_bkt", F.last("_rbkt", ignorenulls=True).over(w_prev).alias("_rprev")
     )
-    return within.join(prev, [on, "_bkt"], "left").withColumn(
+    out = within.join(prev, [on, "_bkt"], "left").withColumn(
         "_rlast", F.coalesce("_rin", "_rprev")
     )
+    out._retained_cache = unioned  # type: ignore[attr-defined]
+    return out
 
 
 def range_join(

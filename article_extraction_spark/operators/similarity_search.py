@@ -114,7 +114,13 @@ def write_lsh_bucketed(
     pruning — the scan touches only the probed buckets' files, so query
     cost is O(corpus/2^n_planes × probes), independent of corpus size."""
     if dim is None:
-        dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None or first["d"] is None or first["d"] < 0:
+            raise ValueError(
+                "cannot infer vector dim (empty input or NULL first vector) "
+                "— pass dim= explicitly"
+            )
+        dim = int(first["d"])
     bucket = hyperplane_bucket_udf(dim, n_planes, seed, df.sparkSession)
     df.withColumn("bucket", bucket(F.col(vec_col))).write.partitionBy("bucket").mode(
         mode

@@ -285,8 +285,10 @@ def bigram_lm_score(
     the smoothed floor, so out-of-domain text scores low rather than NULL.
     Docs with <2 tokens return NULL score (no bigrams). The score is
     rounded to ``round_digits`` so cross-engine float reproduction is
-    exact (None = raw double; the gate query floors micros instead, since
-    Spark rounds HALF_UP but DuckDB half-even)."""
+    exact (None = raw double; the gate query floors instead, since Spark
+    rounds HALF_UP but DuckDB half-even). The result carries the persisted
+    unigram table as ``_retained_cache`` — ``.unpersist()`` it after
+    consuming the result."""
     from ..functions.textnorm import alnum_tokens_col
 
     lm_corpus = lm_corpus if lm_corpus is not None else corpus
@@ -310,6 +312,12 @@ def bigram_lm_score(
         .groupBy("w1")
         .agg(F.count("*").alias("n1"))
     )
+    # the unigram table feeds the V count AND the scoring join; persisted so
+    # the corpus is tokenized once for it, not twice (review r3 — vocab-
+    # sized, cheap to hold; handed back via _retained_cache below)
+    from pyspark import StorageLevel
+
+    lm_uni = lm_uni.persist(StorageLevel.MEMORY_AND_DISK)
     # vocabulary size for the smoothing denominator (distinct unigrams)
     v = lm_uni.count()
 
@@ -343,7 +351,7 @@ def bigram_lm_score(
             F.count("*").alias("n_bigrams"),
         )
     )
-    return (
+    out = (
         corpus.select(id_col)
         .distinct()
         .join(scored, id_col, "left")
@@ -353,6 +361,8 @@ def bigram_lm_score(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         )
     )
+    out._retained_cache = lm_uni  # type: ignore[attr-defined]
+    return out
 
 
 # ---------------------------------------------------------------------------

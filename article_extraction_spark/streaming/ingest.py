@@ -98,9 +98,12 @@ def streaming_dedup(
                 "pass either keys or by_content=True, not both — combining "
                 "them silently changes which rows count as duplicates"
             )
-        extracted = extracted.withColumn(
-            "_fp", F.md5(F.coalesce(F.col("extracted_text"), F.lit("")).cast("binary"))
-        )
+        # the SAME normalized fingerprint as batch exact_duplicates — raw
+        # md5 here silently diverged from the batch twin once the batch key
+        # became normalization-aware (review r3)
+        from ..operators.textstats import fingerprint_col
+
+        extracted = extracted.withColumn("_fp", fingerprint_col(F.col("extracted_text")))
         keys = ["_fp"]
     elif keys is None:
         keys = ["conv_id", "turn_idx"]

@@ -89,6 +89,11 @@ def curate_corpus(
         ).select(id_col)
         quality = quality.join(keep, id_col, "left_semi")
         stats["after_lm_score"] = quality.count()
+        # NOTE: released after `exact` materializes — the semi-join plan
+        # (and so the LM count tables) re-executes inside exact's build
+        lm_cache = lm._retained_cache
+    else:
+        lm_cache = None
 
     # 2. exact dedup: keep the lowest id per fingerprint (one shuffle).
     # Persist the spine: exact feeds the stage count, the MinHash pass, the
@@ -99,6 +104,8 @@ def curate_corpus(
     exact = keyed.join(first, ["_fp", id_col], "left_semi").drop("_fp")
     exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     stats["after_exact_dedup"] = exact.count()
+    if lm_cache is not None:
+        lm_cache.unpersist(blocking=False)
 
     # 3. near dedup at CLUSTER granularity: pairs → connected components →
     # keep the canonical (min-id) doc per component. Dropping one side of

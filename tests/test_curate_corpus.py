@@ -84,8 +84,9 @@ def test_curate_corpus_optional_stages(spark, tmp_path):
     stripped = remove_boilerplate_lines(docs, "doc_id", "text", max_doc_freq=2).select(
         "doc_id", F.col("text_clean").alias("text")
     )
-    scores = {r["doc_id"]: r["lm_score"]
-              for r in bigram_lm_score(stripped, "doc_id", "text").collect()}
+    _scored = bigram_lm_score(stripped, "doc_id", "text")
+    scores = {r["doc_id"]: r["lm_score"] for r in _scored.collect()}
+    _scored._retained_cache.unpersist()
     in_domain = [scores[i] for i in (1, 2, 3)]
     assert scores[4] < min(in_domain), f"fixture degenerate: {scores}"
     floor = (scores[4] + min(in_domain)) / 2  # between outlier and in-domain

@@ -392,6 +392,7 @@ def test_connected_components_cleans_checkpoints(spark):
     superseded rounds' checkpoint files are swept, only the final round's
     files survive as the executor-loss recovery path."""
     import os
+    import re
 
     from article_extraction_spark.operators.dedup import (
         _checkpoint_rdd_dirs,
@@ -406,9 +407,11 @@ def test_connected_components_cleans_checkpoints(spark):
     resolved = spark.sparkContext.getCheckpointDir()
     assert resolved is not None
     survivors = _checkpoint_rdd_dirs(resolved) - before
-    # exactly one label table's files remain from THIS call (converged round)
-    assert len(survivors) == 1, survivors
-    assert all(os.path.isdir(d) for d in survivors)
+    # local mode: the persisted result is the only copy needed — ALL of this
+    # call's checkpoint files are swept (review r3: one leaked label table
+    # per call otherwise); on a cluster the final round's files would remain
+    assert survivors == set(), survivors
+    assert os.path.isdir(re.sub(r"^file:/{0,2}(?=/)", "", resolved))
     got = {r["id"]: r["component"] for r in labels.collect()}
     labels.unpersist(blocking=True)
     assert set(got.values()) == {0, 100}
@@ -552,7 +555,9 @@ def test_bigram_lm_score(spark):
         ],
         "doc_id long, text string",
     )
-    got = {r["doc_id"]: r for r in bigram_lm_score(docs, "doc_id", "text").collect()}
+    scored = bigram_lm_score(docs, "doc_id", "text")
+    got = {r["doc_id"]: r for r in scored.collect()}
+    scored._retained_cache.unpersist()
     # corpus: unigrams a:3 b:3 z:1 q:1 x:1 (V=5);
     # bigrams ab:3 (2 from doc1 + 1 from doc2), ba:1, zq:1
     p_ab = (3 + 1) / (3 + 5)
@@ -567,8 +572,9 @@ def test_bigram_lm_score(spark):
     assert got[1]["lm_score"] > got[3]["lm_score"]
     # scoring NEW text against a trained LM: unseen bigrams get the floor
     new = spark.createDataFrame([(9, "q a")], "doc_id long, text string")
-    out = {r["doc_id"]: r for r in
-           bigram_lm_score(new, "doc_id", "text", lm_corpus=docs).collect()}
+    scored_new = bigram_lm_score(new, "doc_id", "text", lm_corpus=docs)
+    out = {r["doc_id"]: r for r in scored_new.collect()}
+    scored_new._retained_cache.unpersist()
     p_floor = (0 + 1) / (1 + 5)  # n(qa)=0, n(q.)=1
     assert abs(out[9]["lm_score"] - round(math.log(p_floor), 6)) < 1e-9
 
