@@ -1008,6 +1008,40 @@ def q_clean_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF LAYOUT analysis (north rule: column detection, reading-order
+    sort, header/footer removal), value-oracled: 20 deterministic two-page
+    PDFs — page 1 is two-column positioned text, page 2 carries a running
+    header/footer that must be stripped — go through the Arrow-batched
+    layout kernel; the oracle derives the expected reading-order text from
+    the same id formula in pure SQL."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from article_extraction_spark.extract.pdf_layout import pdf_layout_extract_fn
+    from article_extraction_spark.fixtures.synth import make_layout_pdf_bytes
+
+    rows = []
+    for i in range(20):
+        pdf = make_layout_pdf_bytes(
+            pages=[
+                [[f"left {i} a", f"left {i} b"], [f"right {i} a"]],
+                [[f"tail {i}"]],
+            ],
+            header="Conf Proc",
+            footer="draft",
+            compress=(i % 2 == 0),
+        )
+        rows.append((i, bytearray(pdf)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def _kernel(p):
+        return p.map(pdf_layout_extract_fn)
+
+    layout_udf = F.pandas_udf(_kernel, T.StringType())
+    return df.select("doc_id", layout_udf("payload").alias("text"))
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation + MERGE through the catalog layer, value-oracled:
     build a ManifestTable from orders (k ≤ 20), MERGE an update set (double
@@ -1200,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "answer_agg_modes": q_answer_agg_modes,
         "clean_convert": q_clean_convert,
+        "pdf_layout": q_pdf_layout,
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
         "ntile": q_ntile,
@@ -1732,6 +1767,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "pdf_layout": """
+            SELECT i AS doc_id,
+                   'left ' || i || ' a' || chr(10) ||
+                   'left ' || i || ' b' || chr(10) ||
+                   'right ' || i || ' a' || chr(10) || chr(10) ||
+                   'tail ' || i || chr(10) AS text
+            FROM generate_series(0, 19) t(i)
         """,
         "clean_convert": """
             WITH messy AS (

@@ -73,6 +73,79 @@ def make_pdf_bytes(lines: list[str], compress: bool = False) -> bytes:
     return bytes(out)
 
 
+def make_layout_pdf_bytes(
+    pages: list[list[list[str]]],
+    header: str | None = None,
+    footer: str | None = None,
+    compress: bool = False,
+    col_x: tuple = (50, 330),
+    page_h: int = 792,
+) -> bytes:
+    """Multi-page, multi-COLUMN PDF with positioned text (Tm operators) and
+    optional running header/footer — the layout-analysis fixture
+    (extract/pdf_layout.py). ``pages`` = per page, per column, list of
+    lines. Lines are placed bottom of a 720-start ladder, 14pt leading."""
+    streams = []
+    for pno, cols in enumerate(pages):
+        ops = ["BT", "/F1 12 Tf"]
+        if header:
+            ops.append(f"1 0 0 1 {col_x[0]} {page_h - 30} Tm")
+            ops.append(f"({_pdf_escape(header + ' ' + str(pno + 1))}) Tj")
+        if footer:
+            ops.append(f"1 0 0 1 {col_x[0]} 25 Tm")
+            ops.append(f"({_pdf_escape(footer + ' ' + str(pno + 1))}) Tj")
+        for ci, lines in enumerate(cols):
+            xpos = col_x[ci % len(col_x)]
+            for li, line in enumerate(lines):
+                ops.append(f"1 0 0 1 {xpos} {720 - 14 * li} Tm")
+                ops.append(f"({_pdf_escape(line)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1")
+        filt = b""
+        if compress:
+            stream = zlib.compress(stream)
+            filt = b" /Filter /FlateDecode"
+        streams.append((stream, filt))
+
+    n_pages = len(streams)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    font_obj_num = 3 + 2 * n_pages
+    for i, (stream, filt) in enumerate(streams):
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 {page_h}] "
+                f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 "
+                f"{font_obj_num} 0 R >> >> >>"
+            ).encode()
+        )
+        objs.append(
+            b"<< /Length " + str(len(stream)).encode() + filt + b" >>\nstream\n" + stream + b"\nendstream"
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
 # --------------------------------------------------------------------------
 # payload templates — each returns (payload_text, expected_extracted_text)
 # expected values are constructed from the injected content, matching the
