@@ -32,8 +32,10 @@ def test_asof_join(spark):
         "user_id long, ts timestamp, score double",
     )
     for sb in (None, 4):  # plain window and two-phase skew path agree
-        out = {r["ev"]: r["score_asof"]
-               for r in asof_join(left, right, "user_id", skew_buckets=sb).collect()}
+        res = asof_join(left, right, "user_id", skew_buckets=sb)
+        out = {r["ev"]: r["score_asof"] for r in res.collect()}
+        if sb is not None:
+            res._retained_cache.unpersist()
         assert out["early"] is None    # no right row at or before ts=2
         assert out["a"] == 100.0       # latest right ≤ 5 is ts=3
         assert out["b"] == 200.0       # latest right ≤ 20 is ts=10
@@ -53,8 +55,10 @@ def test_asof_join_null_value_of_matched_row_preserved(spark):
         "user_id long, ts timestamp, score double, tag string",
     )
     for sb in (None, 4):
-        out = {r["ev"]: (r["score_asof"], r["tag_asof"])
-               for r in asof_join(left, right, "user_id", skew_buckets=sb).collect()}
+        res = asof_join(left, right, "user_id", skew_buckets=sb)
+        out = {r["ev"]: (r["score_asof"], r["tag_asof"]) for r in res.collect()}
+        if sb is not None:
+            res._retained_cache.unpersist()
         assert out["mid"] == (100.0, "x")   # matched ts=3 row
         assert out["late"] == (None, "y")   # matched ts=10: NULL preserved
 

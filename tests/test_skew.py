@@ -119,6 +119,7 @@ def test_asof_join_mega_key_two_phase(spark):
         F.sum("quote_asof").alias("s"),
         F.sum(F.hash("seq", "quote_asof").cast("long")).alias("h"),
     ).first()
+    skewed._retained_cache.unpersist(blocking=True)
     elapsed = time.time() - t0
     assert agg_skew["n"] == n
     # completes within bound even with one mega-key (plain path would be a
