@@ -1042,6 +1042,52 @@ def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", layout_udf("payload").alias("text"))
 
 
+def q_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc consecutive-duplicate-line collapse: every doc gets a
+    stuttered banner prepended (3× the same line) plus a duplicated final
+    line; the op must keep one of each run, preserving order. Oracle =
+    lag-window replay in SQL."""
+    from article_extraction_spark.operators.textstats import collapse_repeated_lines
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("Menu\nMenu\nMenu\n"),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("\nfooter\nfooter"),
+            ).alias("text"),
+        )
+    )
+    return collapse_repeated_lines(docs, "doc_id", "text")
+
+
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for dedup keys (scheme/host case, default
+    ports, fragments, utm/fbclid/gclid params, trailing slash). Inputs are
+    generated from a deterministic id formula; the oracle derives the
+    expected canonical form from the SAME formula — any canonicalization
+    drift breaks the hash match."""
+    from article_extraction_spark.functions.urls import canonical_url_col
+
+    kk = F.col("o_orderkey")
+    k = kk.cast("string")
+    raw = (
+        F.when(kk % 5 == 0, F.concat(F.lit("HTTP://EX"), k, F.lit(".COM:80/P"), k, F.lit("/?utm_source=x&q="), k, F.lit("#frag")))
+        .when(kk % 5 == 1, F.concat(F.lit("https://ex"), k, F.lit(".com:443/a")))
+        .when(kk % 5 == 2, F.concat(F.lit("https://ex"), k, F.lit(".com/a?q="), k, F.lit("&fbclid=zz&r=2")))
+        .when(kk % 5 == 3, F.concat(F.lit("ftp://ex"), k, F.lit(".com/x")))
+        .otherwise(F.concat(F.lit("https://Ex"), k, F.lit(".com/")))
+    )
+    orders = _t(spark, sf_dir, "orders").where(kk <= 2000)
+    return orders.select(
+        kk.alias("k"), canonical_url_col(raw).alias("canon")
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation + MERGE through the catalog layer, value-oracled:
     build a ManifestTable from orders (k ≤ 20), MERGE an update set (double
@@ -1235,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "answer_agg_modes": q_answer_agg_modes,
         "clean_convert": q_clean_convert,
         "pdf_layout": q_pdf_layout,
+        "collapse_lines": q_collapse_lines,
+        "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
         "ntile": q_ntile,
@@ -1767,6 +1815,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "collapse_lines": """
+            WITH base AS (
+              SELECT doc_id,
+                     'Menu' || chr(10) || 'Menu' || chr(10) || 'Menu' || chr(10)
+                       || coalesce(text, '') || chr(10) || 'footer' || chr(10) || 'footer' AS text
+              FROM documents WHERE doc_id < 500
+            ),
+            lined AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM base),
+            expl AS (
+              SELECT doc_id, i AS idx, l[i] AS line, trim(l[i]) AS lnt
+              FROM lined, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g
+            ),
+            marked AS (
+              SELECT doc_id, idx, line,
+                     (lag(lnt) OVER (PARTITION BY doc_id ORDER BY idx) IS NULL
+                      OR lnt <> lag(lnt) OVER (PARTITION BY doc_id ORDER BY idx)
+                      OR length(lnt) = 0) AS keep
+              FROM expl
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx)
+                            FILTER (WHERE keep), '') AS text_clean,
+                   count(*) AS n_lines,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_collapsed
+            FROM marked GROUP BY doc_id
+        """,
+        "canonical_urls": """
+            SELECT o_orderkey AS k,
+                   CASE
+                     WHEN o_orderkey % 5 = 0 THEN 'http://ex' || o_orderkey || '.com/P' || o_orderkey || '?q=' || o_orderkey
+                     WHEN o_orderkey % 5 = 1 THEN 'https://ex' || o_orderkey || '.com/a'
+                     WHEN o_orderkey % 5 = 2 THEN 'https://ex' || o_orderkey || '.com/a?q=' || o_orderkey || '&r=2'
+                     WHEN o_orderkey % 5 = 3 THEN NULL
+                     ELSE 'https://ex' || o_orderkey || '.com/'
+                   END AS canon
+            FROM orders WHERE o_orderkey <= 2000
         """,
         "pdf_layout": """
             SELECT i AS doc_id,

@@ -56,3 +56,31 @@ def solve_url_col(c: Column) -> Column:
     )
     probable = candidate.rlike(r"(?i)^https?://\S+$") & ~candidate.contains(",")
     return F.when(probable, candidate).otherwise(first_url_col(wiley))
+
+
+def canonical_url_col(c: Column) -> Column:
+    """Canonical URL for dedup keys (round 3): lowercase scheme+host, drop
+    the fragment, drop utm_*/fbclid/gclid tracking params, drop default
+    ports (:80 http / :443 https), strip a single trailing slash on the
+    path. Pure regexp chain — codegen'd, and replicable verbatim in the
+    DuckDB oracle. NULL/empty and non-http(s) inputs pass through NULL."""
+    u = F.trim(F.coalesce(c, F.lit("")))
+    valid = u.rlike(r"(?i)^https?://")
+    # 1. drop fragment
+    x = F.regexp_replace(u, r"#.*$", "")
+    # 2. lowercase scheme+authority (group 1), keep the rest as-is
+    scheme_host = F.lower(F.regexp_extract(x, r"^([^/]+//[^/?#]+)", 1))
+    rest = F.regexp_replace(x, r"^[^/]+//[^/?#]+", "")
+    # 3. default ports
+    scheme_host = F.regexp_replace(scheme_host, r"^(http://[^:/]+):80$", r"$1")
+    scheme_host = F.regexp_replace(scheme_host, r"^(https://[^:/]+):443$", r"$1")
+    # 4. tracking params (handles first/middle/last positions)
+    rest = F.regexp_replace(rest, r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", r"$1")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    # 5. single trailing slash on a bare path (not the root '//')
+    rest = F.regexp_replace(rest, r"^(/[^?]*?)/(\?|$)", r"$1$2")
+    return F.when(valid, F.concat(scheme_host, rest)).otherwise(
+        F.lit(None).cast("string")
+    )

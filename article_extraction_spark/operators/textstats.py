@@ -427,3 +427,52 @@ def remove_boilerplate_lines(
     return out.select(
         F.col("_id").alias(id_col), "text_clean", "n_lines", "n_lines_kept"
     )
+
+
+def collapse_repeated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Collapse CONSECUTIVE duplicate lines within each document (the
+    intra-doc cousin of remove_boilerplate_lines — scraped pages often
+    stutter nav/widget lines back-to-back). Trim-normalized comparison;
+    the FIRST occurrence survives with its original whitespace. Returns
+    (id, text_clean, n_lines, n_collapsed). posexplode → lag window keyed
+    by (doc, line index) → order-preserving reassembly; one shuffle."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "_ln_idx", "_ln"
+        ),
+    )
+    w = Window.partitionBy("_id").orderBy("_ln_idx")
+    marked = lines.withColumn(
+        "_dup",
+        F.trim("_ln") != "",
+    ).withColumn(
+        "_keep",
+        F.lag(F.trim("_ln")).over(w).isNull()
+        | (F.trim("_ln") != F.lag(F.trim("_ln")).over(w))
+        | ~F.col("_dup"),  # blank lines never collapse (paragraph breaks)
+    )
+    out = marked.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_ln_idx", F.col("_ln")))
+                    )
+                ),
+                lambda s: s["_ln"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count("*").alias("n_lines"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_collapsed"),
+    )
+    return out.select(
+        F.col("_id").alias(id_col), "text_clean", "n_lines", "n_collapsed"
+    )

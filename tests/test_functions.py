@@ -195,3 +195,22 @@ def test_physics_guards(spark):
     df = spark.createDataFrame([(None, 300.0, 100), (1e21, 0.0, 100)], "tc double, hc double, hn int")
     got = df.select(training_time_hours_col(F.col("tc"), F.col("hc"), F.col("hn")).alias("h")).collect()
     assert [r["h"] for r in got] == [None, None]
+
+
+def test_canonical_url(spark):
+    from article_extraction_spark.functions.urls import canonical_url_col
+
+    cases = [
+        ("HTTP://Example.COM:80/Path/?utm_source=x&q=1#frag", "http://example.com/Path?q=1"),
+        ("https://example.com:443/a/", "https://example.com/a"),
+        ("https://example.com/a?utm_campaign=c", "https://example.com/a"),
+        ("https://example.com/a?q=1&fbclid=zzz&r=2", "https://example.com/a?q=1&r=2"),
+        ("https://example.com/", "https://example.com/"),  # root slash kept
+        ("ftp://example.com/x", None),
+        ("", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url_col(F.col("u")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i], got[i])

@@ -601,3 +601,27 @@ def test_remove_boilerplate_lines(spark):
     assert got[2]["text_clean"] == "second doc body"
     assert got[4]["text_clean"] == "no banner here\njust text"
     assert got[5]["text_clean"] == "" and got[5]["n_lines_kept"] == 0
+
+
+def test_collapse_repeated_lines(spark):
+    from article_extraction_spark.operators.textstats import collapse_repeated_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Menu\nMenu\nMenu\nreal text\nmore text\nmore text"),
+            (2, "a\n\na\na"),          # blank separates; then a duplicate
+            (3, "only line"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           collapse_repeated_lines(docs, "doc_id", "text").collect()}
+    assert got[1]["text_clean"] == "Menu\nreal text\nmore text"
+    assert got[1]["n_collapsed"] == 3
+    # 'a' after a blank is NOT consecutive with the first 'a'; the second
+    # pair collapses
+    assert got[2]["text_clean"] == "a\n\na"
+    assert got[2]["n_collapsed"] == 1
+    assert got[3]["text_clean"] == "only line" and got[3]["n_collapsed"] == 0
+    assert got[4]["text_clean"] == "" and got[4]["n_lines"] == 1
