@@ -1088,6 +1088,28 @@ def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset window breadth in one oracled query: rank,
+    dense_rank, percent_rank, lag, lead over (customer, totalprice desc,
+    orderkey) — the deterministic composite order makes every function's
+    output unique."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 4000)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prnk"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation + MERGE through the catalog layer, value-oracled:
     build a ManifestTable from orders (k ≤ 20), MERGE an update set (double
@@ -1282,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_convert": q_clean_convert,
         "pdf_layout": q_pdf_layout,
         "collapse_lines": q_collapse_lines,
+        "window_suite": q_window_suite,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
@@ -1815,6 +1838,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "window_suite": """
+            SELECT o_orderkey, o_custkey,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   round(percent_rank() OVER w, 9) AS prnk,
+                   lag(o_orderkey) OVER w AS prev_key,
+                   lead(o_orderkey) OVER w AS next_key
+            FROM orders WHERE o_orderkey <= 4000
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         """,
         "collapse_lines": """
             WITH base AS (
