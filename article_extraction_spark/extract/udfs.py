@@ -98,3 +98,41 @@ def classify_payload_col(text: Column) -> Column:
         )
         .otherwise(F.lit("txt"))
     )
+
+
+@F.pandas_udf(_EXTRACT_RESULT_TYPE)
+def _to_text_layout_udf_impl(doc_kind: pd.Series, payload: pd.Series) -> pd.DataFrame:
+    """Layout-analyzed variant: pdf payloads go through the positioned-run
+    parser (extract/pdf_layout.py — column detection, reading order,
+    header/footer removal; spans not applicable for binary sources), all
+    other kinds are identical to the simple path. Opt-in via
+    convert_transcripts(pdf_mode="layout") — the DEFAULT path stays
+    byte-parity with the reference's stream-order extraction."""
+    from .pdf_layout import pdf_layout_extract_fn
+
+    texts: list[str] = []
+    spans: list[list[dict[str, int]]] = []
+    errors: list[str | None] = []
+    for kind, data in zip(doc_kind, payload):
+        err = None
+        sp: list = []
+        if kind == "pdf":
+            try:
+                text = pdf_layout_extract_fn(data)
+                if text is None:
+                    text, err = "", "ValueError: undecodable PDF payload"
+            except Exception as exc:  # noqa: BLE001
+                text, err = "", f"{type(exc).__name__}: {exc}"[:500]
+        else:
+            try:
+                text, sp2 = to_text(kind, data)
+                sp = sp2
+            except Exception as exc:  # noqa: BLE001
+                text, err = "", f"{type(exc).__name__}: {exc}"[:500]
+        texts.append(text)
+        spans.append([{"start": s, "end": e} for s, e in sp])
+        errors.append(err)
+    return pd.DataFrame({"extracted_text": texts, "spans": spans, "error": errors})
+
+
+to_text_layout_udf = _to_text_layout_udf_impl.asNondeterministic()

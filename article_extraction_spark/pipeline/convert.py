@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..extract.udfs import classify_payload_col, to_text_udf
+from ..extract.udfs import classify_payload_col, to_text_layout_udf, to_text_udf
 from .partitioning import byte_balanced_partitions, salted_repartition
 
 
@@ -31,6 +31,7 @@ def convert_transcripts(
     drop_empty: bool = True,
     spread: bool = True,
     with_readability: bool = False,
+    pdf_mode: str = "simple",
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extracted turns.
 
@@ -42,7 +43,15 @@ def convert_transcripts(
     bucket(conv_id) tables, the 10^12-turn deployment) so mega-conversations
     can't straggle one task. For a source already uniformly partitioned,
     pass spread=False and save the full-payload shuffle.
+
+    ``pdf_mode``: "simple" (default — stream-order text, byte-parity with
+    the reference's extraction) or "layout" (extract/pdf_layout.py —
+    column detection, reading-order sort, running header/footer removal;
+    an intentional, opt-in deviation from reference parity).
     """
+    if pdf_mode not in ("simple", "layout"):
+        raise ValueError(f"pdf_mode must be 'simple' or 'layout', got {pdf_mode!r}")
+    udf = to_text_udf if pdf_mode == "simple" else to_text_layout_udf
     if num_partitions is None:
         num_partitions = byte_balanced_partitions(transcripts)
 
@@ -73,7 +82,7 @@ def convert_transcripts(
         needs_py = salted_repartition(needs_py, num_partitions, "conv_id", "turn_idx", salt=salt)
 
     py_out = needs_py.withColumn(
-        "_res", to_text_udf(F.col("doc_kind"), F.col("text"))
+        "_res", udf(F.col("doc_kind"), F.col("text"))
     ).select(
         *base,
         F.col("_res.extracted_text").alias("extracted_text"),

@@ -141,3 +141,40 @@ def test_spark_pdf_layout_udf(spark):
     assert got[1] == "one L\none R\n"
     assert got[2] == "p1\n\np2\n" and "Head" not in got[2]
     assert got[3] is None
+
+
+def test_convert_transcripts_pdf_mode_layout(spark):
+    """Pipeline opt-in: pdf_mode='layout' routes PDF turns through the
+    layout parser (columns in reading order), default mode keeps the
+    stream-order fallback; both leave html/txt turns identical."""
+    import base64
+    import datetime as dt
+
+    from article_extraction_spark.pipeline import convert_transcripts
+
+    pdf = make_layout_pdf_bytes(pages=[[["colA x", "colA y"], ["colB x"]]])
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", base64.b64encode(pdf).decode(), None, ts),
+        ("c1", 1, "assistant", "<p>hello html</p>", None, ts),
+        ("c1", 2, "tool", "plain text", None, ts),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    layout = {r["turn_idx"]: r["extracted_text"]
+              for r in convert_transcripts(t, pdf_mode="layout").collect()}
+    assert layout[0] == "colA x\ncolA y\ncolB x\n"
+    assert layout[1] == "hello html" and layout[2] == "plain text"
+
+    simple = {r["turn_idx"]: r["extracted_text"]
+              for r in convert_transcripts(t).collect()}
+    # default path: stream-order Tj scrape (same content, no column sort
+    # guarantees; here stream order equals layout order)
+    assert "colA x" in simple[0]
+    assert simple[1] == layout[1] and simple[2] == layout[2]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pdf_mode"):
+        convert_transcripts(t, pdf_mode="bogus")
