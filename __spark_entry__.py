@@ -1088,6 +1088,37 @@ def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile in one aggregate pass over the exploded
+    token stream: total/distinct tokens, hapax count, type-token ratio."""
+    from article_extraction_spark.functions.textnorm import alnum_tokens_col
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    toks = docs.select(F.explode(alnum_tokens_col(F.col("text"))).alias("w"))
+    per_word = toks.groupBy("w").agg(F.count("*").alias("n"))
+    return per_word.agg(
+        F.sum("n").alias("total_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        # same op ORDER as the oracle's (count*1e6)/sum — a different
+        # association could differ by one ulp and flip the floor
+        F.floor(F.count("*") * F.lit(1_000_000.0) / F.sum("n")).cast("long").alias("ttr_micro"),
+    )
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolation quantiles (p25/p50/p75) per event type —
+    Spark percentile vs DuckDB quantile_cont use the same formula; values
+    floored at 1e-6 quanta for cross-engine float safety."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    q = F.percentile(F.col("value"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return ev.groupBy("event_type").agg(
+        F.floor(q[0] * 1_000_000).cast("long").alias("p25_micro"),
+        F.floor(q[1] * 1_000_000).cast("long").alias("p50_micro"),
+        F.floor(q[2] * 1_000_000).cast("long").alias("p75_micro"),
+    )
+
+
 def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking/offset window breadth in one oracled query: rank,
     dense_rank, percent_rank, lag, lead over (customer, totalprice desc,
@@ -1305,6 +1336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_layout": q_pdf_layout,
         "collapse_lines": q_collapse_lines,
         "window_suite": q_window_suite,
+        "vocab_stats": q_vocab_stats,
+        "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
         "dedup_components": q_dedup_components,
@@ -1838,6 +1871,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "vocab_stats": """
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                            w -> length(w) > 0)) AS w
+              FROM documents WHERE doc_id < 500
+            ),
+            per_word AS (SELECT w, count(*) AS n FROM toks GROUP BY w)
+            SELECT sum(n) AS total_tokens,
+                   count(*) AS distinct_tokens,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax_count,
+                   CAST(floor(count(*) * 1000000.0 / sum(n)) AS BIGINT) AS ttr_micro
+            FROM per_word
+        """,
+        "grouped_quantiles": """
+            SELECT event_type,
+                   CAST(floor(quantile_cont(value, 0.25) * 1000000) AS BIGINT) AS p25_micro,
+                   CAST(floor(quantile_cont(value, 0.50) * 1000000) AS BIGINT) AS p50_micro,
+                   CAST(floor(quantile_cont(value, 0.75) * 1000000) AS BIGINT) AS p75_micro
+            FROM events GROUP BY event_type
         """,
         "window_suite": """
             SELECT o_orderkey, o_custkey,
