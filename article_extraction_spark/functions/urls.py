@@ -74,13 +74,17 @@ def canonical_url_col(c: Column) -> Column:
     # 3. default ports
     scheme_host = F.regexp_replace(scheme_host, r"^(http://[^:/]+):80$", r"$1")
     scheme_host = F.regexp_replace(scheme_host, r"^(https://[^:/]+):443$", r"$1")
-    # 4. tracking params (handles first/middle/last positions)
+    # 4. tracking params (any position; adjacent removals leave ?&&/&&
+    # runs, so collapse & runs FIRST, then the ?& seam, then trailing
+    # separators — property-tested idempotent in test_functions.py)
     rest = F.regexp_replace(rest, r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", r"$1")
-    rest = F.regexp_replace(rest, r"[?&]+$", "")
-    rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"&&+", "&")
-    # 5. single trailing slash on a bare path (not the root '//')
-    rest = F.regexp_replace(rest, r"^(/[^?]*?)/(\?|$)", r"$1$2")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    # 5. trailing slash RUN on the path (a single strip is not idempotent
+    # when the path ends '//', e.g. from empty segments — property test);
+    # the bare root '/' survives
+    rest = F.regexp_replace(rest, r"^(/[^?]*?)/+(\?|$)", r"$1$2")
     return F.when(valid, F.concat(scheme_host, rest)).otherwise(
         F.lit(None).cast("string")
     )

@@ -214,3 +214,46 @@ def test_canonical_url(spark):
     got = {r["i"]: r["c"] for r in df.select("i", canonical_url_col(F.col("u")).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i], got[i])
+
+
+def test_canonical_url_idempotent(spark):
+    """Property (hypothesis): canonicalization is idempotent — applying it
+    to its own output is a fixed point. A second pass that changes the
+    value means two 'canonical' forms exist for one URL."""
+    from hypothesis import given, settings, strategies as st
+
+    from article_extraction_spark.functions.urls import canonical_url_col
+
+    host = st.from_regex(r"[a-zA-Z][a-zA-Z0-9.-]{0,15}\.(com|org|io)", fullmatch=True)
+    path = st.from_regex(r"(/[a-zA-Z0-9._~-]{0,8}){0,3}/?", fullmatch=True)
+    params = st.lists(
+        st.sampled_from(["q=1", "utm_source=x", "fbclid=y", "r=2", "gclid=z", "a=b"]),
+        max_size=4,
+    )
+    scheme = st.sampled_from(["http://", "https://", "HTTP://", "HTTPS://"])
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    frag = st.sampled_from(["", "#top", "#a/b"])
+
+    @st.composite
+    def urls(draw):
+        q = "&".join(draw(params))
+        return (
+            draw(scheme) + draw(host) + draw(port) + draw(path)
+            + ("?" + q if q else "") + draw(frag)
+        )
+
+    collected: list[str] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(urls())
+    def _collect(u):
+        collected.append(u)
+
+    _collect()
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(collected)], "i long, u string")
+    once = df.select("i", canonical_url_col(F.col("u")).alias("c1"))
+    twice = once.select("i", "c1", canonical_url_col(F.col("c1")).alias("c2"))
+    bad = twice.where(
+        F.col("c1").isNotNull() & (F.col("c1") != F.col("c2"))
+    ).collect()
+    assert not bad, bad[:5]

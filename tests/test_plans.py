@@ -196,3 +196,51 @@ def test_lsh_bucketed_probe_prunes_partitions(spark, tmp_path):
     assert 7 in {r["vec_id"] for r in again.collect()}
     with pytest.raises(Exception):
         spark.read.schema(data_schema).parquet(path).count()
+
+
+def test_pack_blocks_no_global_window(spark):
+    """Sequence packing must never plan a single-task global window: the
+    only Window node is partitioned by the range-partition id."""
+    from article_extraction_spark.operators.packing import concat_chunk_plan
+
+    df = spark.createDataFrame([(i, 10 + i % 50) for i in range(500)], "doc_id long, n long")
+    plan = concat_chunk_plan(df, "n", 128, order_col="doc_id", num_partitions=4)
+    s = _plan(plan)
+    plan._retained_cache.unpersist()
+    # every Window node mentions _pid in its partition spec
+    for seg in s.split("Window ")[1:]:
+        head = seg.split("\n", 1)[0]
+        assert "_pid" in head, head
+    assert "Generate explode" in s or "explode" in s  # native block fan-out
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+
+
+def test_bigram_lm_no_cartesian(spark):
+    """LM scoring is equi-joins only — no BroadcastNestedLoopJoin or
+    CartesianProduct anywhere in the plan."""
+    from article_extraction_spark.operators.textstats import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(50)], "doc_id long, text string"
+    )
+    out = bigram_lm_score(docs, "doc_id", "text")
+    s = _plan(out)
+    out._retained_cache.unpersist()
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "ArrowEvalPython" not in s  # fully native
+
+
+def test_boilerplate_removal_shuffles_hashes_not_lines(spark):
+    """The line-frequency aggregate groups on the xxhash64 key (longs
+    through the shuffle), and the whole op stays JVM-native."""
+    from article_extraction_spark.operators.textstats import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(i, "header\nbody %d\nfooter" % i) for i in range(50)], "doc_id long, text string"
+    )
+    out = remove_boilerplate_lines(docs, "doc_id", "text")
+    s = _plan(out)
+    assert "xxhash64" in s
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+    assert "CartesianProduct" not in s
