@@ -204,6 +204,35 @@ class ManifestTable:
 
     # -- reads ----------------------------------------------------------------
 
+    def compact(
+        self, spark: SparkSession, target_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Small-file compaction (round 3): rewrite the CURRENT snapshot's
+        data into ~target_bytes files via an overwrite commit — the
+        transactional rewrite Iceberg's rewrite_data_files performs. Old
+        snapshots keep their original files (time travel intact); readers
+        at the old snapshot are unaffected; a concurrent commit loses to
+        optimistic concurrency as usual. Returns the new snapshot id.
+
+        Streaming ingest (run_available_now_merge) commits one file set per
+        micro-batch, so long-running tables accrete small files — schedule
+        this like any table-maintenance job."""
+        import os
+
+        snap = self.current_snapshot_id()
+        if snap is None:
+            raise ValueError("cannot compact an empty table")
+        manifest = self._load(snap)
+        total = 0
+        for f in manifest["files"]:
+            try:
+                total += os.path.getsize(os.path.join(self.root, f))
+            except OSError:
+                pass
+        n_out = max(1, -(-total // target_bytes))
+        df = self.read(spark, snapshot_id=snap).repartition(n_out)
+        return self.overwrite(df)
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if version is None:

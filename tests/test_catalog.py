@@ -154,3 +154,26 @@ def test_merge_with_narrower_src_keeps_table_columns(spark, tmp_path):
     t.merge(spark, spark.createDataFrame([(2, "B!"), (9, "new")], "k int, v string"), ["k"])
     got = {r["k"]: (r["v"], r["w"]) for r in t.read(spark).collect()}
     assert got == {1: ("a", 10.0), 2: ("B!", None), 9: ("new", None)}
+
+
+def test_compact_rewrites_small_files_transactionally(spark, tmp_path):
+    """10 tiny append commits accrete 10+ data files; compact() rewrites
+    the live snapshot into few files via an overwrite commit — same rows,
+    old snapshots untouched (time travel still reads pre-compaction)."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for i in range(10):
+        t.append(spark.createDataFrame([(i, f"v{i}")], "k long, v string"))
+    before_snap = t.current_snapshot_id()
+    before_files = t._load(before_snap)["files"]
+    assert len(before_files) >= 10
+
+    new_snap = t.compact(spark, target_bytes=1 << 30)  # everything → 1 file
+    after_files = t._load(new_snap)["files"]
+    assert len(after_files) < len(before_files)
+    rows = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert rows == {(i, f"v{i}") for i in range(10)}
+    # time travel to the pre-compaction snapshot still works
+    old = {(r["k"], r["v"]) for r in t.read(spark, snapshot_id=before_snap).collect()}
+    assert old == rows
