@@ -124,9 +124,13 @@ def _carry_two_phase(unioned: DataFrame, on: str, n_buckets: int) -> DataFrame:
     aggregates.cumulative_mean_distributed."""
     from pyspark.sql import types as T
 
+    # monotonic numeric image of the ts for bucketing only — both timestamp
+    # flavors (TZ and NTZ — parquet event tables are NTZ) via
+    # unix_timestamp; numerics cast directly
+    dt = unioned.schema["_ts"].dataType
     ts_num = (
         F.unix_timestamp("_ts")
-        if isinstance(unioned.schema["_ts"].dataType, T.TimestampType)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType))
         else F.col("_ts").cast("double")
     )
     from pyspark import StorageLevel

@@ -188,6 +188,28 @@ def main() -> None:
     )
     pk._retained_cache.unpersist()
 
+    from article_extraction_spark.operators.sessions import asof_join
+
+    left = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.lit("k").alias("k"), "ts", "event_id"
+    )
+    right = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.lit("k").alias("k"), "ts", F.col("value").alias("quote")
+    ).limit(200)
+    sk = asof_join(left, right, "k", "ts", skew_buckets=8)
+    sections.append(
+        (
+            "As-of join, mega-key mode (round 3)",
+            "Two-phase carry: the heavy window is partitioned by (key, "
+            "time-bucket) — a hot key fans out 8-ways instead of one task; "
+            "the cross-bucket prefix carry windows over 8 summary rows per "
+            "key and joins back. No single-key-single-task window on the "
+            "big input.",
+            plan_str(sk),
+        )
+    )
+    sk._retained_cache.unpersist()
+
     out = ["# PLANS — physical-plan evidence (generated by tools/dump_plans.py)\n"]
     for title, note, plan in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
