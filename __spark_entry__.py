@@ -1015,7 +1015,6 @@ def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     header/footer that must be stripped — go through the Arrow-batched
     layout kernel; the oracle derives the expected reading-order text from
     the same id formula in pure SQL."""
-    import pandas as pd
     from pyspark.sql import types as T
 
     from article_extraction_spark.extract.pdf_layout import pdf_layout_extract_fn

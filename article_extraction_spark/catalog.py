@@ -208,11 +208,14 @@ class ManifestTable:
         self, spark: SparkSession, target_bytes: int = 128 * 1024 * 1024
     ) -> int:
         """Small-file compaction (round 3): rewrite the CURRENT snapshot's
-        data into ~target_bytes files via an overwrite commit — the
+        data into ~target_bytes files via a VALIDATED rewrite commit — the
         transactional rewrite Iceberg's rewrite_data_files performs. Old
         snapshots keep their original files (time travel intact); readers
-        at the old snapshot are unaffected; a concurrent commit loses to
-        optimistic concurrency as usual. Returns the new snapshot id.
+        at the old snapshot are unaffected. The commit is conditional on
+        the head still being the snapshot that was read: a concurrent
+        commit in between raises CommitConflict (re-run compact against
+        the new head) — a rebasing overwrite here would silently DROP the
+        concurrent writer's rows (review r3). Returns the new snapshot id.
 
         Streaming ingest (run_available_now_merge) commits one file set per
         micro-batch, so long-running tables accrete small files — schedule
@@ -231,7 +234,24 @@ class ManifestTable:
                 pass
         n_out = max(1, -(-total // target_bytes))
         df = self.read(spark, snapshot_id=snap).repartition(n_out)
-        return self.overwrite(df)
+        new_files = self._write_data(df)
+        # exclusive-create of manifest snap+1 = compare-and-swap on the head
+        version = snap + 1
+        out = {
+            "snapshot_id": version,
+            "parent": snap,
+            "operation": "compact",
+            "files": new_files,
+            "schema": manifest["schema"],
+        }
+        try:
+            with open(self._manifest_path(version), "x") as fh:
+                json.dump(out, fh)
+        except FileExistsError as exc:
+            raise CommitConflict(
+                "concurrent commit during compact — re-run against the new head"
+            ) from exc
+        return version
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()

@@ -210,18 +210,27 @@ _PDF_TJ_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\]\\]|\\.)*\]\s*TJ")
 _PDF_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)")
 
 
+_PDF_ESC_RE = re.compile(rb"\\(n|r|t|b|f|\(|\)|\\|[0-7]{1,3})")
+_PDF_ESC_MAP = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
 def _pdf_unescape(raw: bytes) -> str:
-    out = raw.decode("latin-1")
-    for esc, rep in (
-        (r"\n", "\n"),
-        (r"\r", "\r"),
-        (r"\t", "\t"),
-        (r"\(", "("),
-        (r"\)", ")"),
-        ("\\\\", "\\"),
-    ):
-        out = out.replace(esc, rep)
-    return out
+    """PDF string-literal unescape in ONE regex pass (incl. \\ddd octal).
+
+    Sequential str.replace passes corrupt literal backslashes: in
+    ``(C:\\\\nightly)`` the ``\\n`` rule would fire INSIDE the escaped
+    ``\\\\`` before the ``\\\\`` rule ran (review r3 — both this and the
+    layout parser's former copy had the bug)."""
+
+    def _rep(m: "re.Match[bytes]") -> bytes:
+        g = m.group(1)
+        mapped = _PDF_ESC_MAP.get(g)
+        return mapped if mapped is not None else bytes([int(g, 8) & 0xFF])
+
+    return _PDF_ESC_RE.sub(_rep, raw).decode("latin-1")
 
 
 def _fallback_pdf_text(data: bytes) -> str:

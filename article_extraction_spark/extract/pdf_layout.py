@@ -47,16 +47,12 @@ _TOKEN_RE = re.compile(
     rb"|[A-Za-z'\"*]+"
 )
 
-_ESCAPES = (
-    (rb"\n", b"\n"), (rb"\r", b"\r"), (rb"\t", b"\t"),
-    (rb"\(", b"("), (rb"\)", b")"), (b"\\\\", b"\\"),
-)
-
-
 def _unescape(raw: bytes) -> str:
-    for esc, rep in _ESCAPES:
-        raw = raw.replace(esc, rep)
-    return raw.decode("latin-1")
+    # shared single-pass unescape (see core._pdf_unescape — the sequential
+    # replace variant corrupted literal backslashes)
+    from .core import _pdf_unescape
+
+    return _pdf_unescape(raw)
 
 
 class Run:
@@ -266,7 +262,11 @@ def extract_pdf_layout(data: bytes) -> str:
 
 def pdf_layout_extract_fn(payload) -> str | None:
     """Per-payload kernel for the Arrow-batched UDF: base64 or raw bytes in,
-    layout text out; None for undecodable payloads (dropped upstream)."""
+    layout text out; None for undecodable payloads (dropped upstream).
+
+    Decoding mirrors core.to_text's pdf branch EXACTLY (JVBERi0-prefix →
+    lenient b64decode): a validate=True decode rejected line-wrapped base64
+    that the simple path accepts (review r3)."""
     import base64
     import binascii
 
@@ -274,9 +274,12 @@ def pdf_layout_extract_fn(payload) -> str | None:
         return None
     data = payload
     if isinstance(data, str):
-        try:
-            data = base64.b64decode(data, validate=True)
-        except (binascii.Error, ValueError):
+        if data.startswith("JVBERi0"):  # base64 of b"%PDF-" (core.to_text)
+            try:
+                data = base64.b64decode(data)
+            except (binascii.Error, ValueError):
+                return None  # invalid base64 IS a conversion failure
+        else:
             data = data.encode("latin-1", "ignore")
     try:
         return extract_pdf_layout(bytes(data))

@@ -77,7 +77,9 @@ def canonical_url_col(c: Column) -> Column:
     # 4. tracking params (any position; adjacent removals leave ?&&/&&
     # runs, so collapse & runs FIRST, then the ?& seam, then trailing
     # separators — property-tested idempotent in test_functions.py)
-    rest = F.regexp_replace(rest, r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", r"$1")
+    rest = F.regexp_replace(
+        rest, r"([?&])(?i:utm_[a-z_]+|fbclid|gclid)=[^&#]*", r"$1"
+    )
     rest = F.regexp_replace(rest, r"&&+", "&")
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"[?&]+$", "")

@@ -124,15 +124,24 @@ def _carry_two_phase(unioned: DataFrame, on: str, n_buckets: int) -> DataFrame:
     aggregates.cumulative_mean_distributed."""
     from pyspark.sql import types as T
 
-    # monotonic numeric image of the ts for bucketing only — both timestamp
-    # flavors (TZ and NTZ — parquet event tables are NTZ) via
-    # unix_timestamp; numerics cast directly
+    # monotonic numeric image of the ts for bucketing only. NTZ wall times
+    # must NOT go through unix_timestamp: under a DST session timezone the
+    # spring-forward gap maps out of order (review r3) — derive the number
+    # from the wall-clock fields themselves (tz-independent, monotonic;
+    # sub-second truncation only coarsens bucket boundaries, never
+    # correctness — the within-bucket window orders by the real _ts).
     dt = unioned.schema["_ts"].dataType
-    ts_num = (
-        F.unix_timestamp("_ts")
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType))
-        else F.col("_ts").cast("double")
-    )
+    if isinstance(dt, T.TimestampNTZType):
+        ts_num = (
+            F.unix_date(F.to_date("_ts")).cast("double") * 86400
+            + F.hour("_ts") * 3600
+            + F.minute("_ts") * 60
+            + F.second("_ts")
+        )
+    elif isinstance(dt, T.TimestampType):
+        ts_num = F.unix_timestamp("_ts")  # instant-based: monotonic
+    else:
+        ts_num = F.col("_ts").cast("double")
     from pyspark import StorageLevel
 
     # three consumers (min/max action, within-bucket window, summaries agg)

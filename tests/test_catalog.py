@@ -177,3 +177,39 @@ def test_compact_rewrites_small_files_transactionally(spark, tmp_path):
     # time travel to the pre-compaction snapshot still works
     old = {(r["k"], r["v"]) for r in t.read(spark, snapshot_id=before_snap).collect()}
     assert old == rows
+
+
+def test_compact_conflict_refuses_to_clobber(spark, tmp_path):
+    """review r3: a commit landing between compact's read and its commit
+    must raise CommitConflict — a rebasing overwrite would silently drop
+    the concurrent writer's rows."""
+    import json
+    import os
+
+    import pytest
+
+    from article_extraction_spark.catalog import CommitConflict, ManifestTable
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    snap = t.current_snapshot_id()
+    racing = {
+        "snapshot_id": snap + 1, "parent": snap, "operation": "append",
+        "files": t._load(snap)["files"], "schema": t._load(snap)["schema"],
+    }
+
+    # inject the racing commit AFTER compact has read the head (between its
+    # data write and its manifest commit)
+    orig_write = t._write_data
+
+    def hooked(df):
+        files = orig_write(df)
+        with open(t._manifest_path(snap + 1), "x") as fh:
+            json.dump(racing, fh)
+        return files
+
+    t._write_data = hooked
+    with pytest.raises(CommitConflict, match="compact"):
+        t.compact(spark)
+    # table head is the racing commit, untouched
+    assert t.current_snapshot_id() == snap + 1

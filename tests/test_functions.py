@@ -204,6 +204,8 @@ def test_canonical_url(spark):
         ("HTTP://Example.COM:80/Path/?utm_source=x&q=1#frag", "http://example.com/Path?q=1"),
         ("https://example.com:443/a/", "https://example.com/a"),
         ("https://example.com/a?utm_campaign=c", "https://example.com/a"),
+        ("https://example.com/a?UTM_Source=x", "https://example.com/a"),  # case-insens
+        ("https://example.com/a?utm_source_platform=p&q=1", "https://example.com/a?q=1"),
         ("https://example.com/a?q=1&fbclid=zzz&r=2", "https://example.com/a?q=1&r=2"),
         ("https://example.com/", "https://example.com/"),  # root slash kept
         ("ftp://example.com/x", None),

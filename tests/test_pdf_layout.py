@@ -178,3 +178,30 @@ def test_convert_transcripts_pdf_mode_layout(spark):
 
     with pytest.raises(ValueError, match="pdf_mode"):
         convert_transcripts(t, pdf_mode="bogus")
+
+
+def test_pdf_string_unescape_single_pass():
+    """review r3: sequential replaces corrupted literal backslashes —
+    (C:\\\\nightly) must unescape to C:\\nightly, not C:<LF>ightly; octal
+    escapes decode too."""
+    from article_extraction_spark.extract.core import _pdf_unescape
+
+    assert _pdf_unescape(rb"C:\\nightly\\results") == r"C:\nightly\results"
+    assert _pdf_unescape(rb"a\(b\)c\\d") == r"a(b)c\d"
+    assert _pdf_unescape(rb"\101\102\103") == "ABC"
+    assert _pdf_unescape(rb"line\nbreak\ttab") == "line\nbreak\ttab"
+
+    # end-to-end: a shown string containing escaped backslash-n
+    pdf = make_layout_pdf_bytes(pages=[[[r"C:\nightly"]]])
+    assert extract_pdf_layout(pdf) == "C:\\nightly\n"
+
+
+def test_pdf_layout_accepts_wrapped_base64():
+    """review r3: line-wrapped base64 (MIME transport) must decode like the
+    simple path does."""
+    import base64 as b64
+
+    pdf = make_layout_pdf_bytes(pages=[[["wrapped ok"]]])
+    wrapped = b64.encodebytes(pdf).decode()  # newline every 76 chars
+    assert "\n" in wrapped.strip()
+    assert pdf_layout_extract_fn(wrapped) == "wrapped ok\n"
