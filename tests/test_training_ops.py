@@ -625,3 +625,72 @@ def test_collapse_repeated_lines(spark):
     assert got[2]["n_collapsed"] == 1
     assert got[3]["text_clean"] == "only line" and got[3]["n_collapsed"] == 0
     assert got[4]["text_clean"] == "" and got[4]["n_lines"] == 1
+
+
+def test_connected_components_stress(spark):
+    """Moderate-scale stress for the reliable-checkpoint CC (r3 impl):
+    20k vertices / 40k random edges + a 30-hop chain — converges, labels
+    verified on the chain and by component-count sanity."""
+    import time
+
+    from pyspark.sql import functions as SF
+
+    from article_extraction_spark.operators.dedup import connected_components
+
+    edges = (
+        spark.range(40_000)
+        .select(
+            (SF.xxhash64("id") % 20_000).alias("id_a"),
+            (SF.xxhash64("id", SF.lit(1)) % 20_000).alias("id_b"),
+        )
+        .select(SF.abs("id_a").alias("id_a"), SF.abs("id_b").alias("id_b"))
+        .where(SF.col("id_a") != SF.col("id_b"))
+    )
+    chain = spark.createDataFrame(
+        [(100_000 + i, 100_000 + i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    t0 = time.time()
+    labels = connected_components(edges.unionByName(chain), max_iterations=40)
+    rows = labels.collect()
+    elapsed = time.time() - t0
+    got = {r["id"]: r["component"] for r in rows}
+    labels.unpersist(blocking=True)
+    # the 30-hop chain collapses to its min label
+    assert all(got[100_000 + i] == 100_000 for i in range(31))
+    # random-graph sanity: far fewer components than vertices (giant
+    # component emerges at 2 edges/vertex), every label is a member id
+    n_vertices = len(got)
+    n_components = len(set(got.values()))
+    assert n_components < n_vertices / 10
+    assert set(got.values()) <= set(got)
+    assert elapsed < 240, f"CC stress took {elapsed:.0f}s"
+
+
+def test_collapse_repeated_lines_idempotent(spark):
+    """Property: collapsing twice equals collapsing once (fixed point)."""
+    import random
+
+    from article_extraction_spark.operators.textstats import collapse_repeated_lines
+
+    rng = random.Random(5)
+    docs = []
+    for i in range(60):
+        lines = []
+        for _ in range(rng.randrange(0, 12)):
+            r = rng.random()
+            if r < 0.3:
+                lines.append("dup line")
+            elif r < 0.4:
+                lines.append("")
+            elif r < 0.5:
+                lines.append("  dup line  ")  # trim-equal variant
+            else:
+                lines.append(f"uniq {rng.randrange(1000)}")
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    once = collapse_repeated_lines(df, "doc_id", "text").select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    twice = collapse_repeated_lines(once, "doc_id", "text")
+    bad = {r["doc_id"]: r["n_collapsed"] for r in twice.collect() if r["n_collapsed"] > 0}
+    assert not bad, bad
