@@ -1119,24 +1119,27 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking/offset window breadth in one oracled query: rank,
-    dense_rank, percent_rank, lag, lead over (customer, totalprice desc,
-    orderkey) — the deterministic composite order makes every function's
-    output unique."""
+    """Ranking/offset window breadth in one oracled query. TWO windows so
+    the semantics are non-vacuous: ranking functions order by a COARSE key
+    (price bucket) that has real ties — rank must gap, dense_rank must not,
+    and tied rows share values (deterministic); offset functions use the
+    unique composite order so lag/lead are row-deterministic."""
     from pyspark.sql import Window
 
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 4000)
-    w = Window.partitionBy("o_custkey").orderBy(
+    bucket = F.floor(F.col("o_totalprice") / 50_000)
+    w_rank = Window.partitionBy("o_custkey").orderBy(bucket.desc())
+    w_off = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 9).alias("prnk"),
-        F.lag("o_orderkey").over(w).alias("prev_key"),
-        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.rank().over(w_rank).alias("rnk"),
+        F.dense_rank().over(w_rank).alias("drnk"),
+        F.round(F.percent_rank().over(w_rank), 9).alias("prnk"),
+        F.lag("o_orderkey").over(w_off).alias("prev_key"),
+        F.lead("o_orderkey").over(w_off).alias("next_key"),
     )
 
 
@@ -1893,13 +1896,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_suite": """
             SELECT o_orderkey, o_custkey,
-                   rank() OVER w AS rnk,
-                   dense_rank() OVER w AS drnk,
-                   round(percent_rank() OVER w, 9) AS prnk,
-                   lag(o_orderkey) OVER w AS prev_key,
-                   lead(o_orderkey) OVER w AS next_key
+                   rank() OVER wr AS rnk,
+                   dense_rank() OVER wr AS drnk,
+                   round(percent_rank() OVER wr, 9) AS prnk,
+                   lag(o_orderkey) OVER wo AS prev_key,
+                   lead(o_orderkey) OVER wo AS next_key
             FROM orders WHERE o_orderkey <= 4000
-            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            WINDOW wr AS (PARTITION BY o_custkey ORDER BY CAST(floor(o_totalprice / 50000) AS BIGINT) DESC),
+                   wo AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         """,
         "collapse_lines": """
             WITH base AS (
