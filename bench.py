@@ -96,6 +96,16 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(min(runs), 3)
 
+    # round-3 operators: timed once each into extras (NOT the headline
+    # total, which stays the fixed r1/r2 set for round-over-round
+    # comparability)
+    for name in ["pack_blocks", "bigram_lm_score", "boilerplate_lines", "pdf_layout"]:
+        if name in qs:
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            extras[f"{name}_seconds"] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
