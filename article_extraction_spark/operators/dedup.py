@@ -307,7 +307,9 @@ def _simhash64_scalar(text: str | None) -> int:
 _SIMHASH_MEMO: dict[str, int] = {}
 _SIMHASH_MEMO_MAX = 1_000_000
 # chunk budget: (64 × chunk) uint8 bits + float32 votes ≈ 40 MB per worker
-_SIMHASH_CHUNK_TOKENS = 1 << 18
+# (2^17 tokens: big enough to amortize numpy call overhead, small enough
+# that 32 workers' buffers stay ~1 GB total and chunks stay cache-warm)
+_SIMHASH_CHUNK_TOKENS = 1 << 17
 # reusable per-process buffers — this host (and any memory-pressured
 # executor) page-faults large fresh allocations at ~70 MB/s, so re-touching
 # warm pages beats reallocating per Arrow batch by ~40×
