@@ -1146,6 +1146,42 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9/S11 value-oracled as ROUND TRIPS: full-replace parquet, then
+    two appends, then a header CSV write + explicit-schema read-back (S4) —
+    the returned rows come from re-READING every sink, so format or schema
+    drift in any leg breaks the hash match. The oracle recomputes the
+    expected union relationally (never touches the files)."""
+    import os
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.sinks import append, create_or_replace, write_csv_metrics
+
+    base = tempfile.gettempdir()
+    root = os.path.join(base, f"aes_sinks_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+    pq = os.path.join(root, "pq")
+    create_or_replace(nation.where(F.col("n_nationkey") < 10), pq)   # S8
+    append(nation.where(F.col("n_nationkey") >= 10), pq)             # S9
+    append(nation.where(F.col("n_nationkey") < 3), pq)               # S9 again
+    pq_back = spark.read.parquet(pq).select(
+        F.lit("parquet").alias("sink"), "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    csv = os.path.join(root, "csv")
+    write_csv_metrics(nation, csv)                                   # S11
+    csv_back = (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("header", True)
+        .csv(csv)                                                    # S4 scan
+        .select(F.lit("csv").alias("sink"), "n_nationkey", "n_name", "n_regionkey")
+    )
+    return pq_back.unionByName(csv_back)
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation + MERGE through the catalog layer, value-oracled:
     build a ManifestTable from orders (k ≤ 20), MERGE an update set (double
@@ -1342,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_lines": q_collapse_lines,
         "window_suite": q_window_suite,
         "vocab_stats": q_vocab_stats,
+        "sink_roundtrip": q_sink_roundtrip,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -1876,6 +1913,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "sink_roundtrip": """
+            SELECT 'parquet' AS sink, n_nationkey, n_name, n_regionkey FROM nation
+            UNION ALL
+            SELECT 'parquet', n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 3
+            UNION ALL
+            SELECT 'csv', n_nationkey, n_name, n_regionkey FROM nation
         """,
         "vocab_stats": """
             WITH toks AS (
