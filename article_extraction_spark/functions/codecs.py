@@ -1,17 +1,22 @@
-"""Pure-stdlib media codecs: PNG (zlib + RFC 2083 filter reconstruction)
-and WAV (stdlib ``wave``).
+"""Pure-stdlib media codecs: PNG (zlib + RFC 2083 filter reconstruction),
+baseline JPEG (ITU-T T.81 huffman + IDCT), and WAV (stdlib ``wave``).
 
-The sandbox has no PIL/soundfile, but these two formats don't need them —
-PNG is DEFLATE (stdlib ``zlib``) plus five per-row byte filters, WAV is a
-RIFF header around raw PCM (stdlib ``wave``). Implemented from the public
-specs so compressed-media decode in operators/multimodal.py is REAL, with
-PIL/soundfile remaining the optional backends for every other format
-(JPEG, FLAC, ...).
+The sandbox has no PIL/soundfile, but these formats don't need them — PNG
+is DEFLATE plus five per-row byte filters, JPEG baseline is huffman
+entropy coding + dequant + 8×8 IDCT, WAV is a RIFF header around raw PCM.
+Implemented from the public specs so compressed-media decode in
+operators/multimodal.py is REAL, with PIL/soundfile remaining optional
+backends only for formats outside the scope below (progressive JPEG,
+FLAC, ...).
 
 Scope (documented, checked, errors surface per-row upstream):
 - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
   6 (RGBA), non-interlaced. Alpha is dropped (not composited). Palette
   (type 3), 16-bit, and Adam7 raise ValueError.
+- JPEG: baseline sequential (SOF0), 8-bit, grayscale/YCbCr, any sampling
+  factors, restart markers. Progressive/arithmetic/12-bit raise
+  ValueError. Decode pinned by a HAND-assembled DC-only fixture (spec
+  math) plus encoder round-trips at near-lossless quant.
 - WAV: integer PCM 8/16/32-bit, any channel count (channels preserved).
 """
 
@@ -212,3 +217,393 @@ def encode_wav(samples, rate: int = 16000) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / JFIF), pure stdlib + numpy — round 3.
+#
+# Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
+# 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers; progressive (SOF2),
+# arithmetic coding, and 12-bit raise ValueError. The encoder twin emits
+# 4:4:4 with standard Annex-K huffman tables and a configurable flat quant
+# table (quality=lossless-ish with all-1s) — used by the round-trip tests;
+# decode correctness is additionally pinned by HAND-assembled DC-only
+# fixtures whose expected pixels come from spec math, not from the encoder.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 typical huffman tables: (bits[1..16], huffval)
+_STD_DC_LUMA = (
+    [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _build_huff_decode(bits, vals):
+    """(code-length table per Annex C) → dict[(length, code)] = symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_huff_encode(bits, vals):
+    dec = _build_huff_decode(bits, vals)
+    return {sym: (length, code) for (length, code), sym in dec.items()}
+
+
+class _BitReader:
+    """JPEG entropy bitstream: 0xFF is followed by a stuffed 0x00; RST and
+    EOI markers end the current run."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data, self.pos = data, pos
+        self.buf, self.nbits = 0, 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.buf = (self.buf << 8) | 0
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller via sync()
+                    self.buf = (self.buf << 8) | 0
+                    self.nbits += 8
+                    continue
+                else:  # real marker (EOI/next segment): pad with zeros
+                    self.buf = (self.buf << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Drop to the byte boundary and consume an RSTn marker."""
+        self.buf, self.nbits = 0, 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _huff_decode(br: _BitReader, table) -> int:
+    code, length = 0, 0
+    for _ in range(16):
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: magnitude-category value → signed coefficient."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _idct_matrix():
+    """M[u, x] = 0.5 · c(u) · cos((2x+1)uπ/16) — forward DCT is
+    M @ block @ M.T, inverse is M.T @ coefs @ M (orthonormal)."""
+    import numpy as np
+
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    return 0.5 * np.where(u == 0, 1 / np.sqrt(2.0), 1.0) * np.cos((2 * x + 1) * u * np.pi / 16)
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (grayscale broadcast)."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq:  # 16-bit entries
+                    vals = [int.from_bytes(seg[i + 2 * j : i + 2 * j + 2], "big") for j in range(64)]
+                    i += 128
+                else:
+                    vals = list(seg[i : i + 64])
+                    i += 64
+                q = np.zeros(64)
+                for j, z in enumerate(_ZIGZAG):
+                    q[z] = vals[j]
+                qt[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = [0] + list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _build_huff_decode(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) JPEG supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan = {}
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan[cs] = (tdta >> 4, tdta & 0xF)
+            data_start = pos + 2 + seglen
+            return _decode_scan(payload, data_start, frame, scan, qt, huff, restart_interval)
+        pos += 2 + seglen
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
+    import numpy as np
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
+        planes.append(np.zeros((ph, pw)))
+    idct = _idct_matrix()
+
+    br = _BitReader(payload, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.sync_restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tab = huff[(0, scan[c["id"]][0])]
+                ac_tab = huff[(1, scan[c["id"]][1])]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64)
+                        t = _huff_decode(br, dc_tab)
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        block = np.zeros((8, 8))
+                        for j, z in enumerate(_ZIGZAG):
+                            block[z // 8][z % 8] = zz[j]
+                        block *= q
+                        spatial = idct.T @ block @ idct + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+
+    # upsample to full resolution and crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(img, quant: int = 1) -> bytes:
+    """(h, w, 3) uint8 → baseline JFIF bytes, 4:4:4, flat quant table of
+    ``quant`` (1 ≈ near-lossless), standard Annex-K luma huffman tables for
+    ALL components. Encoder twin for round-trip tests."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.float64)
+    h, w = arr.shape[:2]
+    y = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    cb = -0.168736 * arr[:, :, 0] - 0.331264 * arr[:, :, 1] + 0.5 * arr[:, :, 2] + 128.0
+    cr = 0.5 * arr[:, :, 0] - 0.418688 * arr[:, :, 1] - 0.081312 * arr[:, :, 2] + 128.0
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = []
+    for p in (y, cb, cr):
+        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        planes.append(pad)
+
+    idct = _idct_matrix()  # forward DCT = M @ block @ M.T
+    dc_enc = _build_huff_encode(*_STD_DC_LUMA)
+    ac_enc = _build_huff_encode(_STD_AC_LUMA_BITS, _STD_AC_LUMA_VALS)
+
+    out_bits: list[tuple[int, int]] = []
+
+    def emit(length, code):
+        out_bits.append((length, code))
+
+    def emit_coef(v):
+        t = 0 if v == 0 else max(v.bit_length(), (-v).bit_length())
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    pred = [0, 0, 0]
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            for ci, p in enumerate(planes):
+                block = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+                coefs = idct @ block @ idct.T
+                qz = np.round(coefs / quant).astype(int)
+                zz = [int(qz[z // 8][z % 8]) for z in _ZIGZAG]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                t, bitsv = emit_coef(diff)
+                L, C = dc_enc[t]
+                emit(L, C)
+                if t:
+                    emit(t, bitsv)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        L, C = ac_enc[0xF0]
+                        emit(L, C)
+                        run -= 16
+                    t, bitsv = emit_coef(zz[k])
+                    L, C = ac_enc[(run << 4) | t]
+                    emit(L, C)
+                    emit(t, bitsv)
+                    run = 0
+                if last_nz < 63:
+                    L, C = ac_enc[0x00]
+                    emit(L, C)
+
+    # pack bits, byte-stuff 0xFF
+    body = bytearray()
+    acc, nacc = 0, 0
+    for length, code in out_bits:
+        acc = (acc << length) | (code & ((1 << length) - 1))
+        nacc += length
+        while nacc >= 8:
+            nacc -= 8
+            b = (acc >> nacc) & 0xFF
+            body.append(b)
+            if b == 0xFF:
+                body.append(0x00)
+    if nacc:
+        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        body.append(b)
+        if b == 0xFF:
+            body.append(0x00)
+
+    def seg(marker, payload_):
+        return bytes([0xFF, marker]) + (len(payload_) + 2).to_bytes(2, "big") + payload_
+
+    qtab = bytes([0]) + bytes([quant] * 64)
+    dqt = seg(0xDB, qtab)
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+            [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+        ),
+    )
+    dbits, dvals = _STD_DC_LUMA
+    dht_dc = seg(0xC4, bytes([0x00] + dbits[1:]) + bytes(dvals))
+    dht_ac = seg(0xC4, bytes([0x10] + _STD_AC_LUMA_BITS[1:]) + bytes(_STD_AC_LUMA_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(body) + b"\xff\xd9"

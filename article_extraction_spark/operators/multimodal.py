@@ -1,10 +1,11 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Decode coverage (round 3): raw-rgb8 / pcm16 AND compressed PNG / WAV are
+Decode coverage (round 3): raw-rgb8 / pcm16 AND compressed PNG / baseline
+JPEG / WAV are
 REAL decodes — PNG via stdlib zlib + filter reconstruction, WAV via stdlib
 ``wave`` (functions/codecs.py); no external codec library needed. PIL /
-soundfile remain optional backends for the other compressed formats (JPEG,
-FLAC, ...), surfacing a per-row decode_error when absent. The generic
+soundfile remain optional backends for formats beyond those (progressive
+JPEG, FLAC, ...), surfacing a per-row decode_error when absent. The generic
 extract_media_features kernel is still the deterministic digest fake
 (clearly marked) — its Spark-side contract (schema, Arrow batch shape,
 partitioning, UDF signatures) is the tested part.
@@ -109,6 +110,7 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 RAW_RGB8 = "image/raw-rgb8"
 PCM16 = "audio/pcm16"
 PNG = "image/png"
+JPEG = "image/jpeg"
 WAV = "audio/wav"
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -175,6 +177,12 @@ def image_pixel_features(media: DataFrame, out_w: int = 8, out_h: int = 8) -> Da
                         from ..functions.codecs import decode_png
 
                         img = decode_png(bytes(payload))
+                    elif mime == JPEG:
+                        # REAL baseline-JPEG decode (huffman + IDCT from
+                        # the spec; functions/codecs.py) — no PIL needed
+                        from ..functions.codecs import decode_jpeg
+
+                        img = decode_jpeg(bytes(payload))
                     else:
                         try:
                             import io

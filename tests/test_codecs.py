@@ -186,3 +186,81 @@ def test_spark_png_wav_media_features(spark):
     assert abs(auds[3]["rms"] - float(np.sqrt((q**2).mean()))) < 1e-9
     assert abs(auds[3]["peak"] - float(np.abs(q).max())) < 1e-9
     assert auds[4]["decode_error"] is not None
+
+
+def test_jpeg_roundtrip_and_structure():
+    """Encoder↔decoder round trip at quant=1: solid colors exact, random
+    pixels within the DCT/YCbCr float-rounding bound (±3)."""
+    from article_extraction_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    solid = np.full((8, 8, 3), 128, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(solid)), solid)
+    color = np.zeros((16, 24, 3), dtype=np.uint8)
+    color[:, :, 0], color[:, :, 2] = 200, 60
+    assert np.array_equal(decode_jpeg(encode_jpeg(color)), color)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(24, 33, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+
+def test_jpeg_hand_assembled_dc_only_fixture():
+    """Decoder pinned against SPEC math, independent of the encoder: a
+    hand-assembled grayscale 8×8 solid JPEG. Pixel value 130 ⇒ DC = 8·(130
+    −128) = 16 (category 5, bits 10000); Annex-K luma DC code for cat 5 is
+    '110', AC EOB is '1010' — entropy bytes 0xD0AF (padded with 1s)."""
+    from article_extraction_spark.functions.codecs import (
+        _STD_AC_LUMA_BITS,
+        _STD_AC_LUMA_VALS,
+        _STD_DC_LUMA,
+        decode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    dbits, dvals = _STD_DC_LUMA
+    dht_dc = seg(0xC4, bytes([0x00] + dbits[1:]) + bytes(dvals))
+    dht_ac = seg(0xC4, bytes([0x10] + _STD_AC_LUMA_BITS[1:]) + bytes(_STD_AC_LUMA_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    jpeg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes([0xD0, 0xAF]) + b"\xff\xd9"
+
+    out = decode_jpeg(jpeg)
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, np.full((8, 8, 3), 130, dtype=np.uint8))
+
+
+def test_jpeg_error_paths():
+    from article_extraction_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    good = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    # flip SOF0 marker to SOF2 (progressive)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+
+
+def test_spark_jpeg_media_features(spark):
+    """image/jpeg rows decode through the REAL baseline decoder in
+    image_pixel_features."""
+    from article_extraction_spark.functions.codecs import encode_jpeg
+    from article_extraction_spark.operators.multimodal import image_pixel_features
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, :8] = (250, 10, 10)
+    img[:, 8:] = (10, 10, 250)
+    rows = [(1, "image", bytearray(encode_jpeg(img)), "image/jpeg", None, None, None)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    got = image_pixel_features(media).collect()[0]
+    assert got["decode_error"] is None
+    expect = img.reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(got["channel_mean"], expect, atol=0.02)
