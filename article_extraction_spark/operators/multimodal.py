@@ -1,9 +1,9 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Decode coverage (round 3): raw-rgb8 / pcm16 AND compressed PNG / baseline
-JPEG / WAV are
-REAL decodes — PNG via stdlib zlib + filter reconstruction, WAV via stdlib
-``wave`` (functions/codecs.py); no external codec library needed. PIL /
+JPEG / WAV are REAL decodes — PNG via stdlib zlib + filter
+reconstruction, JPEG via from-spec huffman+IDCT, WAV via stdlib ``wave``
+(functions/codecs.py); no external codec library needed. PIL /
 soundfile remain optional backends for formats beyond those (progressive
 JPEG, FLAC, ...), surfacing a per-row decode_error when absent. The generic
 extract_media_features kernel is still the deterministic digest fake
@@ -101,10 +101,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 # ---------------------------------------------------------------------------
 # REAL decode kernels (rounds 2-3): raw payloads (mime="image/raw-rgb8" =
 # uint8 RGB width*height*3 bytes; "audio/pcm16" = mono int16 LE) plus
-# compressed PNG/WAV via the stdlib codecs in functions/codecs.py. Other
-# compressed formats (JPEG, FLAC, ...) need PIL/soundfile
-# (requirements-optional.txt) and surface a clearly marked per-row error
-# rather than failing the task.
+# compressed PNG/baseline-JPEG/WAV via the stdlib codecs in
+# functions/codecs.py. Formats beyond those (progressive JPEG, FLAC, ...)
+# need PIL/soundfile (requirements-optional.txt) and surface a clearly
+# marked per-row error rather than failing the task.
 # ---------------------------------------------------------------------------
 
 RAW_RGB8 = "image/raw-rgb8"
