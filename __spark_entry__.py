@@ -1182,6 +1182,38 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_back.unionByName(csv_back)
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG decode through the media pipeline, value-oracled:
+    solid-color JPEGs decode EXACTLY (DC-only blocks), so per-channel means
+    are knowable from the generating formula; a junk row must surface a
+    decode_error, not fail the task."""
+    from article_extraction_spark.functions.codecs import encode_jpeg
+    from article_extraction_spark.operators.multimodal import image_pixel_features
+
+    import numpy as np
+
+    rows = []
+    for i in range(12):
+        r, g, b = (i * 20) % 256, (i * 45 + 10) % 256, (i * 70 + 5) % 256
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:, :] = (r, g, b)
+        rows.append((i, "image", bytearray(encode_jpeg(img)), "image/jpeg", None, None, None))
+    rows.append((99, "image", bytearray(b"\xff\xd8 junk"), "image/jpeg", None, None, None))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = image_pixel_features(media)
+    return out.select(
+        "media_id",
+        F.round(F.element_at("channel_mean", 1), 9).alias("mean_r"),
+        F.round(F.element_at("channel_mean", 2), 9).alias("mean_g"),
+        F.round(F.element_at("channel_mean", 3), 9).alias("mean_b"),
+        F.col("decode_error").isNotNull().alias("failed"),
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation + MERGE through the catalog layer, value-oracled:
     build a ManifestTable from orders (k ≤ 20), MERGE an update set (double
@@ -1379,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_suite": q_window_suite,
         "vocab_stats": q_vocab_stats,
         "sink_roundtrip": q_sink_roundtrip,
+        "jpeg_decode": q_jpeg_decode,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -1913,6 +1946,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    list_sort(list(doc_id)) AS doc_ids
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "jpeg_decode": """
+            SELECT i AS media_id,
+                   round(CAST((i * 20) % 256 AS DOUBLE) / 255, 9) AS mean_r,
+                   round(CAST((i * 45 + 10) % 256 AS DOUBLE) / 255, 9) AS mean_g,
+                   round(CAST((i * 70 + 5) % 256 AS DOUBLE) / 255, 9) AS mean_b,
+                   FALSE AS failed
+            FROM generate_series(0, 11) t(i)
+            UNION ALL
+            SELECT 99, NULL, NULL, NULL, TRUE
         """,
         "sink_roundtrip": """
             SELECT 'parquet' AS sink, n_nationkey, n_name, n_regionkey FROM nation
