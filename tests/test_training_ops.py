@@ -302,8 +302,9 @@ def test_image_pixel_features_raw_rgb8(spark):
     rows = [
         (1, "image", bytearray(img.tobytes()), RAW_RGB8, 12, 16, None),
         (2, "image", bytearray(b"short"), RAW_RGB8, 12, 16, None),  # bad length
-        # JPEG needs PIL (PNG no longer does — stdlib codec, test_codecs.py)
-        (3, "image", bytearray(b"\xff\xd8\xff\xe0..."), "image/jpeg", 4, 4, None),
+        # webp needs PIL (PNG and baseline JPEG no longer do — stdlib
+        # codecs, test_codecs.py)
+        (3, "image", bytearray(b"RIFF....WEBP"), "image/webp", 4, 4, None),
     ]
     from article_extraction_spark.operators.multimodal import MEDIA_SCHEMA
 
