@@ -508,10 +508,12 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(img, quant: int = 1) -> bytes:
-    """(h, w, 3) uint8 → baseline JFIF bytes, 4:4:4, flat quant table of
-    ``quant`` (1 ≈ near-lossless), standard Annex-K luma huffman tables for
-    ALL components. Encoder twin for round-trip tests."""
+def encode_jpeg(img, quant: int = 1, subsample: bool = False) -> bytes:
+    """(h, w, 3) uint8 → baseline JFIF bytes: 4:4:4, or 4:2:0 with
+    ``subsample=True`` (chroma 2×2 block-averaged, MCU = 4 Y blocks + Cb +
+    Cr — exercises the decoder's sampling-factor/upsample path). Flat quant
+    table of ``quant`` (1 ≈ near-lossless), standard Annex-K luma huffman
+    tables for ALL components. Encoder twin for round-trip tests."""
     import numpy as np
 
     arr = np.asarray(img, dtype=np.float64)
@@ -520,11 +522,14 @@ def encode_jpeg(img, quant: int = 1) -> bytes:
     cb = -0.168736 * arr[:, :, 0] - 0.331264 * arr[:, :, 1] + 0.5 * arr[:, :, 2] + 128.0
     cr = 0.5 * arr[:, :, 0] - 0.418688 * arr[:, :, 1] - 0.081312 * arr[:, :, 2] + 128.0
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = []
-    for p in (y, cb, cr):
-        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-        planes.append(pad)
+    mcu = 16 if subsample else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+    crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+    if subsample:  # 2x2 block average
+        cbp = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        crp = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
 
     idct = _idct_matrix()  # forward DCT = M @ block @ M.T
     dc_enc = _build_huff_encode(*_STD_DC_LUMA)
@@ -540,38 +545,51 @@ def encode_jpeg(img, quant: int = 1) -> bytes:
         return t, (v if v >= 0 else v + (1 << t) - 1)
 
     pred = [0, 0, 0]
-    for my in range(ph // 8):
-        for mx in range(pw // 8):
-            for ci, p in enumerate(planes):
-                block = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
-                coefs = idct @ block @ idct.T
-                qz = np.round(coefs / quant).astype(int)
-                zz = [int(qz[z // 8][z % 8]) for z in _ZIGZAG]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                t, bitsv = emit_coef(diff)
-                L, C = dc_enc[t]
+
+    def encode_block(p, by, bx, ci):
+        block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coefs = idct @ block @ idct.T
+        qz = np.round(coefs / quant).astype(int)
+        zz = [int(qz[z // 8][z % 8]) for z in _ZIGZAG]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        t, bitsv = emit_coef(diff)
+        L, C = dc_enc[t]
+        emit(L, C)
+        if t:
+            emit(t, bitsv)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                L, C = ac_enc[0xF0]
                 emit(L, C)
-                if t:
-                    emit(t, bitsv)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        L, C = ac_enc[0xF0]
-                        emit(L, C)
-                        run -= 16
-                    t, bitsv = emit_coef(zz[k])
-                    L, C = ac_enc[(run << 4) | t]
-                    emit(L, C)
-                    emit(t, bitsv)
-                    run = 0
-                if last_nz < 63:
-                    L, C = ac_enc[0x00]
-                    emit(L, C)
+                run -= 16
+            t, bitsv = emit_coef(zz[k])
+            L, C = ac_enc[(run << 4) | t]
+            emit(L, C)
+            emit(t, bitsv)
+            run = 0
+        if last_nz < 63:
+            L, C = ac_enc[0x00]
+            emit(L, C)
+
+    if subsample:
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for by in range(2):          # 4 luma blocks per MCU
+                    for bx in range(2):
+                        encode_block(y, my * 2 + by, mx * 2 + bx, 0)
+                encode_block(cbp, my, mx, 1)
+                encode_block(crp, my, mx, 2)
+    else:
+        for my in range(ph // 8):
+            for mx in range(pw // 8):
+                for ci, p in enumerate((y, cbp, crp)):
+                    encode_block(p, my, mx, ci)
 
     # pack bits, byte-stuff 0xFF
     body = bytearray()
@@ -596,10 +614,11 @@ def encode_jpeg(img, quant: int = 1) -> bytes:
 
     qtab = bytes([0]) + bytes([quant] * 64)
     dqt = seg(0xDB, qtab)
+    ysamp = 0x22 if subsample else 0x11
     sof = seg(
         0xC0,
         bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
-            [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+            [3, 1, ysamp, 0, 2, 0x11, 0, 3, 0x11, 0]
         ),
     )
     dbits, dvals = _STD_DC_LUMA

@@ -264,3 +264,24 @@ def test_spark_jpeg_media_features(spark):
     assert got["decode_error"] is None
     expect = img.reshape(-1, 3).mean(axis=0) / 255.0
     assert np.allclose(got["channel_mean"], expect, atol=0.02)
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 exercises the decoder's sampling-factor MCU interleave (4 Y +
+    Cb + Cr) and chroma upsample: solids exact, 8px-aligned color blocks
+    within ±1 (subsampling is lossless on 2×2-constant chroma)."""
+    from article_extraction_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    solid = np.zeros((24, 40, 3), dtype=np.uint8)
+    solid[:, :] = (180, 40, 90)
+    assert np.array_equal(decode_jpeg(encode_jpeg(solid, subsample=True)), solid)
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(3, 5, 3))
+    blocky = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(blocky, subsample=True))
+    assert out.shape == blocky.shape
+    assert int(np.abs(out.astype(int) - blocky.astype(int)).max()) <= 1
+    # non-multiple-of-16 dims: padding cropped correctly
+    odd = np.full((17, 19, 3), 77, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(odd, subsample=True)), odd)
