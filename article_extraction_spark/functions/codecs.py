@@ -13,10 +13,14 @@ Scope (documented, checked, errors surface per-row upstream):
 - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
   6 (RGBA), non-interlaced. Alpha is dropped (not composited). Palette
   (type 3), 16-bit, and Adam7 raise ValueError.
-- JPEG: baseline sequential (SOF0), 8-bit, grayscale/YCbCr, any sampling
-  factors, restart markers. Progressive/arithmetic/12-bit raise
-  ValueError. Decode pinned by a HAND-assembled DC-only fixture (spec
-  math) plus encoder round-trips at near-lossless quant.
+- JPEG: baseline sequential (SOF0), 8-bit, grayscale/YCbCr, 4:4:4/4:2:2/
+  4:2:0 sampling, restart markers; a single-component scan is decoded
+  non-interleaved per T.81 §A.2.2 regardless of declared factors.
+  Progressive/arithmetic/12-bit/CMYK/multi-scan raise ValueError; the
+  media operator falls back to PIL (when importable) for those. Entropy
+  decode is LUT-based (16-bit prefix table — the per-bit variant measured
+  ~45× slower). Decode pinned by HAND-assembled fixtures (spec math) plus
+  encoder round-trips (4:4:4/4:2:2/4:2:0, DRI) at near-lossless quant.
 - WAV: integer PCM 8/16/32-bit, any channel count (channels preserved).
 """
 
@@ -276,6 +280,19 @@ def _build_huff_decode(bits, vals):
     return table
 
 
+def _build_huff_lut(dec_table):
+    """16-bit prefix lookup: lut[p] = (symbol, code_length) for every
+    16-bit window whose prefix is a code — one probe per symbol instead of
+    one dict probe per BIT (the per-bit loop measured ~5 s for a 128×128
+    image; review r3)."""
+    lut = [None] * (1 << 16)
+    for (length, code), sym in dec_table.items():
+        base = code << (16 - length)
+        for fill in range(1 << (16 - length)):
+            lut[base | fill] = (sym, length)
+    return lut
+
+
 def _build_huff_encode(bits, vals):
     dec = _build_huff_decode(bits, vals)
     return {sym: (length, code) for (length, code), sym in dec.items()}
@@ -290,6 +307,9 @@ class _BitReader:
         self.buf, self.nbits = 0, 0
 
     def _fill(self) -> None:
+        # trim consumed high bits so buf stays a small int (an untrimmed
+        # accumulator grows into an ever-larger bigint — O(stream) shifts)
+        self.buf &= (1 << self.nbits) - 1
         while self.nbits <= 24:
             if self.pos >= len(self.data):
                 self.buf = (self.buf << 8) | 0
@@ -320,10 +340,20 @@ class _BitReader:
         return (self.buf >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.buf >> self.nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            self._fill()
+        return (self.buf >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
 
     def sync_restart(self) -> None:
         """Drop to the byte boundary and consume an RSTn marker."""
@@ -335,15 +365,13 @@ class _BitReader:
             self.pos += 1
 
 
-def _huff_decode(br: _BitReader, table) -> int:
-    code, length = 0, 0
-    for _ in range(16):
-        code = (code << 1) | br.read_bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG huffman code")
+def _huff_decode(br: _BitReader, lut) -> int:
+    hit = lut[br.peek16()]
+    if hit is None:
+        raise ValueError("invalid JPEG huffman code")
+    sym, length = hit
+    br.skip(length)
+    return sym
 
 
 def _extend(v: int, t: int) -> int:
@@ -435,6 +463,17 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
     import numpy as np
 
     comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise ValueError(
+            f"unsupported JPEG component count {len(comps)} (grayscale/YCbCr only — CMYK?)"
+        )
+    if len(scan) != len(comps):
+        raise ValueError("multi-scan baseline JPEG unsupported (one interleaved scan only)")
+    if len(comps) == 1:
+        # a single-component scan is NON-interleaved per T.81 §A.2.2:
+        # blocks are raster-ordered 8×8 regardless of declared sampling
+        # factors (review r3: honoring h/v>1 here tiled blocks in MCU order)
+        comps = [dict(comps[0], h=1, v=1)]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     h, w = frame["h"], frame["w"]
@@ -445,6 +484,7 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
         pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
         planes.append(np.zeros((ph, pw)))
     idct = _idct_matrix()
+    luts = {k: _build_huff_lut(v) for k, v in huff.items()}
 
     br = _BitReader(payload, pos)
     pred = [0] * len(comps)
@@ -455,8 +495,8 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
                 br.sync_restart()
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
-                dc_tab = huff[(0, scan[c["id"]][0])]
-                ac_tab = huff[(1, scan[c["id"]][1])]
+                dc_tab = luts[(0, scan[c["id"]][0])]
+                ac_tab = luts[(1, scan[c["id"]][1])]
                 q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
@@ -508,28 +548,36 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(img, quant: int = 1, subsample: bool = False) -> bytes:
-    """(h, w, 3) uint8 → baseline JFIF bytes: 4:4:4, or 4:2:0 with
-    ``subsample=True`` (chroma 2×2 block-averaged, MCU = 4 Y blocks + Cb +
-    Cr — exercises the decoder's sampling-factor/upsample path). Flat quant
-    table of ``quant`` (1 ≈ near-lossless), standard Annex-K luma huffman
-    tables for ALL components. Encoder twin for round-trip tests."""
+def encode_jpeg(img, quant: int = 1, subsample=False, restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 → baseline JFIF bytes: 4:4:4 by default,
+    ``subsample=True``/``"420"`` for 4:2:0 (chroma 2×2-averaged, MCU = 4 Y
+    + Cb + Cr) or ``"422"`` (chroma averaged horizontally, MCU = 2 Y + Cb
+    + Cr) — exercising the decoder's sampling/upsample paths.
+    ``restart_interval=N`` emits DRI + RSTn markers every N MCUs (decoder
+    resync path). Flat quant table of ``quant`` (1 ≈ near-lossless),
+    standard Annex-K luma huffman tables for ALL components. Encoder twin
+    for round-trip tests."""
     import numpy as np
 
+    mode = {False: "444", True: "420", "420": "420", "422": "422", "444": "444"}[subsample]
     arr = np.asarray(img, dtype=np.float64)
     h, w = arr.shape[:2]
     y = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
     cb = -0.168736 * arr[:, :, 0] - 0.331264 * arr[:, :, 1] + 0.5 * arr[:, :, 2] + 128.0
     cr = 0.5 * arr[:, :, 0] - 0.418688 * arr[:, :, 1] - 0.081312 * arr[:, :, 2] + 128.0
 
-    mcu = 16 if subsample else 8
-    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    mcu_h = 16 if mode == "420" else 8
+    mcu_w = 16 if mode in ("420", "422") else 8
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
     cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
     crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
-    if subsample:  # 2x2 block average
+    if mode == "420":  # 2x2 block average
         cbp = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
         crp = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    elif mode == "422":  # horizontal-only average
+        cbp = cbp.reshape(ph, pw // 2, 2).mean(axis=2)
+        crp = crp.reshape(ph, pw // 2, 2).mean(axis=2)
 
     idct = _idct_matrix()  # forward DCT = M @ block @ M.T
     dc_enc = _build_huff_encode(*_STD_DC_LUMA)
@@ -577,24 +625,48 @@ def encode_jpeg(img, quant: int = 1, subsample: bool = False) -> bytes:
             L, C = ac_enc[0x00]
             emit(L, C)
 
-    if subsample:
-        for my in range(ph // 16):
-            for mx in range(pw // 16):
+    def flush_and_restart(n):
+        """Byte-align with 1-padding, emit RSTn, reset DC predictors."""
+        nonlocal pred
+        out_bits.append(("flush", n % 8))
+        pred = [0, 0, 0]
+
+    mcu_idx = 0
+    rst = 0
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                flush_and_restart(rst)
+                rst += 1
+            if mode == "420":
                 for by in range(2):          # 4 luma blocks per MCU
                     for bx in range(2):
                         encode_block(y, my * 2 + by, mx * 2 + bx, 0)
                 encode_block(cbp, my, mx, 1)
                 encode_block(crp, my, mx, 2)
-    else:
-        for my in range(ph // 8):
-            for mx in range(pw // 8):
+            elif mode == "422":
+                for bx in range(2):          # 2 luma blocks per MCU
+                    encode_block(y, my, mx * 2 + bx, 0)
+                encode_block(cbp, my, mx, 1)
+                encode_block(crp, my, mx, 2)
+            else:
                 for ci, p in enumerate((y, cbp, crp)):
                     encode_block(p, my, mx, ci)
+            mcu_idx += 1
 
-    # pack bits, byte-stuff 0xFF
+    # pack bits, byte-stuff 0xFF; "flush" sentinels byte-align + emit RSTn
     body = bytearray()
     acc, nacc = 0, 0
     for length, code in out_bits:
+        if length == "flush":
+            if nacc:
+                b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+                body.append(b)
+                if b == 0xFF:
+                    body.append(0x00)
+                acc, nacc = 0, 0
+            body += bytes([0xFF, 0xD0 + code])
+            continue
         acc = (acc << length) | (code & ((1 << length) - 1))
         nacc += length
         while nacc >= 8:
@@ -614,7 +686,7 @@ def encode_jpeg(img, quant: int = 1, subsample: bool = False) -> bytes:
 
     qtab = bytes([0]) + bytes([quant] * 64)
     dqt = seg(0xDB, qtab)
-    ysamp = 0x22 if subsample else 0x11
+    ysamp = {"420": 0x22, "422": 0x21, "444": 0x11}[mode]
     sof = seg(
         0xC0,
         bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
@@ -624,5 +696,6 @@ def encode_jpeg(img, quant: int = 1, subsample: bool = False) -> bytes:
     dbits, dvals = _STD_DC_LUMA
     dht_dc = seg(0xC4, bytes([0x00] + dbits[1:]) + bytes(dvals))
     dht_ac = seg(0xC4, bytes([0x10] + _STD_AC_LUMA_BITS[1:]) + bytes(_STD_AC_LUMA_VALS))
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(body) + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos + bytes(body) + b"\xff\xd9"

@@ -154,6 +154,21 @@ def resize_nearest(img, out_w: int, out_h: int):
     return img[ys[:, None], xs[None, :]]
 
 
+def _pil_decode(mime, payload):
+    """Optional PIL backend for mimes/variants beyond the stdlib codecs."""
+    import numpy as np
+
+    try:
+        import io
+
+        from PIL import Image
+    except Exception as exc:  # noqa: BLE001
+        raise NotImplementedError(
+            f"compressed mime {mime!r} variant needs PIL (requirements-optional.txt)"
+        ) from exc
+    return np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))
+
+
 def image_pixel_features(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Per-image channel stats + a nearest-neighbor thumbnail, computed with
     REAL pixel math over raw-rgb8 payloads (PIL only needed for compressed
@@ -179,20 +194,18 @@ def image_pixel_features(media: DataFrame, out_w: int = 8, out_h: int = 8) -> Da
                         img = decode_png(bytes(payload))
                     elif mime == JPEG:
                         # REAL baseline-JPEG decode (huffman + IDCT from
-                        # the spec; functions/codecs.py) — no PIL needed
+                        # the spec; functions/codecs.py) — no PIL needed.
+                        # Out-of-scope variants (progressive, CMYK) fall
+                        # through to the optional PIL branch below instead
+                        # of dying here (review r3).
                         from ..functions.codecs import decode_jpeg
 
-                        img = decode_jpeg(bytes(payload))
-                    else:
                         try:
-                            import io
-
-                            from PIL import Image  # optional backend (JPEG, ...)
-                        except Exception as exc:  # noqa: BLE001
-                            raise NotImplementedError(
-                                f"compressed mime {mime!r} needs PIL (requirements-optional.txt)"
-                            ) from exc
-                        img = np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))
+                            img = decode_jpeg(bytes(payload))
+                        except ValueError:
+                            img = _pil_decode(mime, payload)
+                    else:
+                        img = _pil_decode(mime, payload)
                     thumb = resize_nearest(img, out_w, out_h).astype(np.float64) / 255.0
                     rows.append(
                         (

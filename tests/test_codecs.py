@@ -285,3 +285,85 @@ def test_jpeg_420_subsampling_roundtrip():
     # non-multiple-of-16 dims: padding cropped correctly
     odd = np.full((17, 19, 3), 77, dtype=np.uint8)
     assert np.array_equal(decode_jpeg(encode_jpeg(odd, subsample=True)), odd)
+
+
+def test_jpeg_restart_markers_and_422():
+    """review r3: DRI/RSTn resync and 4:2:2 sampling were in the claimed
+    scope but untested — round-trip both (plus combined 4:2:0 + DRI)."""
+    from article_extraction_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 33, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, restart_interval=2))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+    solid = np.zeros((24, 40, 3), dtype=np.uint8)
+    solid[:, :] = (180, 40, 90)
+    assert np.array_equal(decode_jpeg(encode_jpeg(solid, subsample="422")), solid)
+    base = rng.integers(0, 256, size=(3, 5, 3))
+    blocky = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)
+    out2 = decode_jpeg(encode_jpeg(blocky, subsample="422"))
+    assert int(np.abs(out2.astype(int) - blocky.astype(int)).max()) <= 1
+    out3 = decode_jpeg(encode_jpeg(blocky, subsample="420", restart_interval=1))
+    assert int(np.abs(out3.astype(int) - blocky.astype(int)).max()) <= 1
+
+
+def test_jpeg_rejects_cmyk_and_multiscan():
+    """review r3: 4-component frames and multi-scan files must surface a
+    clear ValueError, not silently mis-decode."""
+    from article_extraction_spark.functions.codecs import (
+        _STD_AC_LUMA_BITS,
+        _STD_AC_LUMA_VALS,
+        _STD_DC_LUMA,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof4 = seg(0xC0, bytes([8, 0, 8, 0, 8, 4,
+                            1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]))
+    dbits, dvals = _STD_DC_LUMA
+    dht_dc = seg(0xC4, bytes([0x00] + dbits[1:]) + bytes(dvals))
+    dht_ac = seg(0xC4, bytes([0x10] + _STD_AC_LUMA_BITS[1:]) + bytes(_STD_AC_LUMA_VALS))
+    sos4 = seg(0xDA, bytes([4, 1, 0, 2, 0, 3, 0, 4, 0, 0, 63, 0]))
+    cmyk = b"\xff\xd8" + dqt + sof4 + dht_dc + dht_ac + sos4 + b"\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="component count"):
+        decode_jpeg(cmyk)
+
+    good = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    # truncate the SOS component list to 1 of 3 (multi-scan shape)
+    idx = good.rfind(b"\xff\xda")
+    seg_len = int.from_bytes(good[idx + 2 : idx + 4], "big")
+    new_sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    hacked = good[:idx] + new_sos + good[idx + 2 + seg_len :]
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(hacked)
+
+
+def test_jpeg_grayscale_ignores_sampling_factors():
+    """A single-component scan is non-interleaved per T.81 §A.2.2: declared
+    h=v=2 must NOT tile blocks in MCU order (review r3)."""
+    from article_extraction_spark.functions.codecs import (
+        _STD_AC_LUMA_BITS,
+        _STD_AC_LUMA_VALS,
+        _STD_DC_LUMA,
+        decode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    # 8x8 grayscale but declaring 2x2 sampling — still one raster block
+    sof = seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x22, 0]))
+    dbits, dvals = _STD_DC_LUMA
+    dht_dc = seg(0xC4, bytes([0x00] + dbits[1:]) + bytes(dvals))
+    dht_ac = seg(0xC4, bytes([0x10] + _STD_AC_LUMA_BITS[1:]) + bytes(_STD_AC_LUMA_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    jpeg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes([0xD0, 0xAF]) + b"\xff\xd9"
+    out = decode_jpeg(jpeg)
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, np.full((8, 8, 3), 130, dtype=np.uint8))
