@@ -99,7 +99,7 @@ def main() -> None:
     # round-3 operators: timed once each into extras (NOT the headline
     # total, which stays the fixed r1/r2 set for round-over-round
     # comparability)
-    for name in ["pack_blocks", "bigram_lm_score", "boilerplate_lines", "pdf_layout"]:
+    for name in ["pack_blocks", "bigram_lm_score", "boilerplate_lines", "pdf_layout", "jpeg_decode"]:
         if name in qs:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
