@@ -245,7 +245,17 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
 
                         pcm = decode_wav(bytes(payload))[0].ravel()
                     else:
-                        raise NotImplementedError(f"audio mime {mime!r} needs soundfile")
+                        # optional soundfile backend (FLAC/OGG/...), the
+                        # audio analog of the image path's PIL fallback
+                        try:
+                            import io
+
+                            import soundfile as sf
+                        except Exception as exc:  # noqa: BLE001
+                            raise NotImplementedError(
+                                f"audio mime {mime!r} needs soundfile (requirements-optional.txt)"
+                            ) from exc
+                        pcm = sf.read(io.BytesIO(bytes(payload)), dtype="float64")[0].ravel()
                     rows.append(
                         (
                             mid,
