@@ -367,3 +367,46 @@ def test_jpeg_grayscale_ignores_sampling_factors():
     out = decode_jpeg(jpeg)
     assert out.shape == (8, 8, 3)
     assert np.array_equal(out, np.full((8, 8, 3), 130, dtype=np.uint8))
+
+
+def test_png_random_filters_gray_and_rgba_match_reference():
+    """Random filter sequences over NON-RGB color types (the earlier
+    spec-reference test covered RGB only): gray (1 bpp) and RGBA (4 bpp)
+    exercise different Sub/Paeth lane offsets."""
+    rng = np.random.default_rng(23)
+    for color, channels in ((0, 1), (6, 4)):
+        w, h = 7, 12
+        stride = w * channels
+        ftypes = [int(rng.integers(0, 5)) for _ in range(h)]
+        raw_rows = [bytes(rng.integers(0, 256, size=stride, dtype=np.uint8)) for _ in range(h)]
+        scan = b"".join(bytes([ft]) + row for ft, row in zip(ftypes, raw_rows))
+        got = decode_png(_png_from_scanlines(w, h, color, scan))
+        ref = np.array(_reference_unfilter(raw_rows, ftypes, stride, channels), dtype=np.uint8)
+        ref = ref.reshape(h, w, channels)
+        if color == 0:
+            expected = np.repeat(ref, 3, axis=2)
+        else:
+            expected = ref[:, :, :3]
+        assert np.array_equal(got, expected), color
+
+
+def test_jpeg_roundtrip_property_sweep():
+    """Round-trip across a grid of sizes × sampling modes × restart
+    intervals: solids always exact; smooth gradients within a small bound."""
+    from article_extraction_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    for h, w in [(8, 8), (9, 17), (16, 16), (23, 31)]:
+        for mode in (False, "422", "420"):
+            for dri in (0, 3):
+                c = rng.integers(0, 256, size=3)
+                solid = np.zeros((h, w, 3), dtype=np.uint8)
+                solid[:, :] = c
+                out = decode_jpeg(encode_jpeg(solid, subsample=mode, restart_interval=dri))
+                assert np.array_equal(out, solid), (h, w, mode, dri)
+    # smooth gradient (chroma-subsampling friendly): luma-only ramp
+    ramp = np.linspace(0, 255, 24 * 40).reshape(24, 40).astype(np.uint8)
+    img = np.repeat(ramp[:, :, None], 3, axis=2)
+    for mode in (False, "422", "420"):
+        out = decode_jpeg(encode_jpeg(img, subsample=mode))
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4, mode
