@@ -10,9 +10,9 @@ backends only for formats outside the scope below (progressive JPEG,
 FLAC, ...).
 
 Scope (documented, checked, errors surface per-row upstream):
-- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-  6 (RGBA), non-interlaced. Alpha is dropped (not composited). Palette
-  (type 3), 16-bit, and Adam7 raise ValueError.
+- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette via PLTE),
+  4 (gray+alpha), 6 (RGBA), non-interlaced. Alpha is dropped (not
+  composited). 16-bit and Adam7 raise ValueError.
 - JPEG: baseline sequential (SOF0), 8-bit, grayscale/YCbCr, 4:4:4/4:2:2/
   4:2:0 sampling, restart markers; a single-component scan is decoded
   non-interleaved per T.81 §A.2.2 regardless of declared factors.
@@ -75,6 +75,7 @@ def decode_png(payload: bytes):
     pos = 8
     idat = bytearray()
     ihdr = None
+    plte = None
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
@@ -82,6 +83,8 @@ def decode_png(payload: bytes):
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -96,9 +99,12 @@ def decode_png(payload: bytes):
         raise ValueError("Adam7 interlaced PNG unsupported")
     if comp or filt:
         raise ValueError("nonstandard PNG compression/filter method")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
-        raise ValueError(f"unsupported PNG color type {color} (palette?)")
+        raise ValueError(f"unsupported PNG color type {color}")
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/invalid PLTE chunk")
 
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
@@ -145,6 +151,12 @@ def decode_png(payload: bytes):
         return np.repeat(img, 3, axis=2)
     if color == 2:
         return img
+    if color == 3:  # palette lookup (depth-8 indices)
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette PNG index out of range")
+        return pal[idx]
     if color == 4:
         return np.repeat(img[:, :, :1], 3, axis=2)  # drop alpha
     return np.ascontiguousarray(img[:, :, :3])  # RGBA → drop alpha

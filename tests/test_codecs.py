@@ -100,6 +100,35 @@ def test_png_gray_and_rgba_normalize_to_rgb():
     assert np.array_equal(img, rgba[:, :, :3])  # alpha dropped
 
 
+def test_png_palette_type3():
+    """Depth-8 palette PNGs (common on the web) decode via PLTE lookup."""
+    import zlib as _z
+
+    rng = np.random.default_rng(31)
+    w, h, ncolors = 9, 6, 5
+    pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolors, size=(h, w), dtype=np.uint8)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", pal.tobytes()) + chunk(b"IDAT", _z.compress(scan))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), pal[idx])
+
+    # out-of-range index must error, not wrap
+    bad_scan = b"".join(b"\x00" + np.full(w, ncolors + 3, np.uint8).tobytes() for _ in range(h))
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", pal.tobytes()) + chunk(b"IDAT", _z.compress(bad_scan))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(bad)
+
+
 def test_png_error_paths():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JFIF not a png")
