@@ -248,6 +248,14 @@ class ManifestTable:
             with open(self._manifest_path(version), "x") as fh:
                 json.dump(out, fh)
         except FileExistsError as exc:
+            # the rewritten data files were never referenced by any
+            # manifest — delete them or every conflicting retry leaks a
+            # full table copy in the table root (review r4)
+            for f in new_files:
+                try:
+                    os.remove(os.path.join(self.root, f))
+                except OSError:
+                    pass
             raise CommitConflict(
                 "concurrent commit during compact — re-run against the new head"
             ) from exc

@@ -597,7 +597,11 @@ def connected_components(
     Superseded rounds' checkpoint files are deleted best-effort by diffing
     the checkpoint directory's ``rdd-*`` entries (local FS only; plain
     public filesystem access, no JVM internals), keeping disk one
-    label-table deep.
+    label-table deep. The diff assumes THIS call is the only checkpoint
+    user on the SparkContext while it runs (single-threaded driver):
+    another thread checkpointing into the same directory during a diff
+    window would have its ``rdd-*`` dirs swept. Give concurrent drivers
+    separate contexts or checkpoint dirs.
 
     ``checkpoint_dir``: used via ``sc.setCheckpointDir`` when the context
     has none configured; defaults to a temp dir under ``spark.local.dir``.

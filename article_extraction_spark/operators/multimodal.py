@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Decode coverage (round 3): raw-rgb8 / pcm16 AND compressed PNG / baseline
-JPEG / WAV are REAL decodes — PNG via stdlib zlib + filter
-reconstruction, JPEG via from-spec huffman+IDCT, WAV via stdlib ``wave``
-(functions/codecs.py); no external codec library needed. PIL /
-soundfile remain optional backends for formats beyond those (progressive
-JPEG, FLAC, ...), surfacing a per-row decode_error when absent. The generic
+Decode coverage (round 4): raw-rgb8 / pcm16 AND compressed PNG / baseline
+JPEG / WAV are REAL decodes. Backend order is NATIVE-FIRST: when PIL /
+soundfile import successfully they are preferred even for in-scope
+formats (libjpeg/libpng/libsndfile are 10²–10³× faster than the
+pure-Python entropy loops at corpus scale); the stdlib spec codecs in
+functions/codecs.py (zlib+filters PNG, from-spec huffman+IDCT JPEG,
+``wave`` WAV) are the zero-dependency fallback that keeps decode real in
+this container. Out-of-scope variants for the stdlib path (progressive
+JPEG, 16-bit/Adam7 PNG, FLAC, ...) also route to the native backend,
+surfacing a per-row decode_error when it is absent. The generic
 extract_media_features kernel is still the deterministic digest fake
 (clearly marked) — its Spark-side contract (schema, Arrow batch shape,
 partitioning, UDF signatures) is the tested part.
@@ -154,8 +158,41 @@ def resize_nearest(img, out_w: int, out_h: int):
     return img[ys[:, None], xs[None, :]]
 
 
+def _pil_available() -> bool:
+    """Probe the native image backend once per process (executor-side
+    module state; each Python worker re-imports this module)."""
+    global _PIL_OK
+    if _PIL_OK is None:
+        try:
+            import PIL.Image  # noqa: F401
+
+            _PIL_OK = True
+        except Exception:  # noqa: BLE001
+            _PIL_OK = False
+    return _PIL_OK
+
+
+_PIL_OK: bool | None = None
+
+
+def _soundfile_available() -> bool:
+    global _SF_OK
+    if _SF_OK is None:
+        try:
+            import soundfile  # noqa: F401
+
+            _SF_OK = True
+        except Exception:  # noqa: BLE001
+            _SF_OK = False
+    return _SF_OK
+
+
+_SF_OK: bool | None = None
+
+
 def _pil_decode(mime, payload):
-    """Optional PIL backend for mimes/variants beyond the stdlib codecs."""
+    """Native (PIL) image backend — preferred when importable, and the only
+    path for mimes/variants beyond the stdlib codecs' scope."""
     import numpy as np
 
     try:
@@ -169,10 +206,61 @@ def _pil_decode(mime, payload):
     return np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))
 
 
+def _decode_image(mime, payload, width, height):
+    """Image decode dispatch, native-first:
+
+    - raw-rgb8 → direct buffer reshape (no codec involved);
+    - PNG/JPEG with PIL importable → PIL (libpng/libjpeg-turbo; the plan
+      you want on an image-heavy corpus at 100×), stdlib spec codec as
+      fallback if PIL rejects the file;
+    - PNG/JPEG without PIL → stdlib spec codec (functions/codecs.py);
+      out-of-scope variants (progressive/CMYK JPEG, 16-bit/Adam7 PNG)
+      raise ValueError and fall through to `_pil_decode`, whose
+      NotImplementedError becomes the row's decode_error;
+    - anything else → PIL only.
+
+    Lossless formats (PNG) and the DC-exact oracle fixtures (solid-color
+    JPEG) decode identically on both backends — asserted by the
+    cross-backend parity test (tests/test_multimodal.py)."""
+    if payload is None:
+        raise ValueError("null payload")
+    if mime == RAW_RGB8:
+        return decode_raw_rgb8(bytes(payload), int(width), int(height))
+    if mime == PNG:
+        from ..functions.codecs import decode_png
+
+        if _pil_available():
+            try:
+                return _pil_decode(mime, payload)
+            except NotImplementedError:
+                raise
+            except Exception:  # noqa: BLE001 — corrupt-for-PIL: let stdlib try
+                return decode_png(bytes(payload))
+        try:
+            return decode_png(bytes(payload))
+        except ValueError:
+            return _pil_decode(mime, payload)  # 16-bit / Adam7 variants
+    if mime == JPEG:
+        from ..functions.codecs import decode_jpeg
+
+        if _pil_available():
+            try:
+                return _pil_decode(mime, payload)
+            except NotImplementedError:
+                raise
+            except Exception:  # noqa: BLE001
+                return decode_jpeg(bytes(payload))
+        try:
+            return decode_jpeg(bytes(payload))
+        except ValueError:
+            return _pil_decode(mime, payload)  # progressive / CMYK variants
+    return _pil_decode(mime, payload)
+
+
 def image_pixel_features(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """Per-image channel stats + a nearest-neighbor thumbnail, computed with
-    REAL pixel math over raw-rgb8 payloads (PIL only needed for compressed
-    mimes; absent → per-row decode_error, task never fails)."""
+    """Per-image channel stats + a nearest-neighbor thumbnail over REAL
+    decoded pixels (`_decode_image`: native-first, stdlib-codec fallback;
+    undecodable rows get decode_error, the task never fails)."""
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,30 +270,7 @@ def image_pixel_features(media: DataFrame, out_w: int = 8, out_h: int = 8) -> Da
                 pdf["media_id"], pdf["mime"], pdf["payload"], pdf["width"], pdf["height"]
             ):
                 try:
-                    if payload is None:
-                        raise ValueError("null payload")
-                    if mime == RAW_RGB8:
-                        img = decode_raw_rgb8(bytes(payload), int(w), int(h))
-                    elif mime == PNG:
-                        # REAL stdlib decode (zlib inflate + filter
-                        # reconstruction) — no PIL needed for PNG
-                        from ..functions.codecs import decode_png
-
-                        img = decode_png(bytes(payload))
-                    elif mime == JPEG:
-                        # REAL baseline-JPEG decode (huffman + IDCT from
-                        # the spec; functions/codecs.py) — no PIL needed.
-                        # Out-of-scope variants (progressive, CMYK) fall
-                        # through to the optional PIL branch below instead
-                        # of dying here (review r3).
-                        from ..functions.codecs import decode_jpeg
-
-                        try:
-                            img = decode_jpeg(bytes(payload))
-                        except ValueError:
-                            img = _pil_decode(mime, payload)
-                    else:
-                        img = _pil_decode(mime, payload)
+                    img = _decode_image(mime, payload, w, h)
                     thumb = resize_nearest(img, out_w, out_h).astype(np.float64) / 255.0
                     rows.append(
                         (
@@ -225,8 +290,54 @@ def image_pixel_features(media: DataFrame, out_w: int = 8, out_h: int = 8) -> Da
     return media.where(F.col("kind") == "image").mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def _soundfile_decode(mime, payload):
+    """Native (libsndfile) audio backend — preferred when importable, and
+    the only path for mimes beyond PCM16/WAV (FLAC/OGG/...)."""
+    try:
+        import io
+
+        import soundfile as sf
+    except Exception as exc:  # noqa: BLE001
+        raise NotImplementedError(
+            f"audio mime {mime!r} needs soundfile (requirements-optional.txt)"
+        ) from exc
+    return sf.read(io.BytesIO(bytes(payload)), dtype="float64")[0].ravel()
+
+
+def _decode_audio(mime, payload):
+    """Audio decode dispatch, native-first (mirror of `_decode_image`):
+    pcm16 is a direct buffer read; WAV prefers soundfile when importable
+    with the stdlib ``wave`` decoder as fallback (and stdlib-rejected
+    variants, e.g. float WAV, route to soundfile); other mimes are
+    soundfile-only. Returns float64 samples in [-1, 1]."""
+    import numpy as np
+
+    if payload is None:
+        raise ValueError("null payload")
+    if mime == PCM16:
+        return np.frombuffer(bytes(payload), dtype="<i2").astype(np.float64) / 32768.0
+    if mime == WAV:
+        from ..functions.codecs import decode_wav
+
+        if _soundfile_available():
+            try:
+                return _soundfile_decode(mime, payload)
+            except NotImplementedError:
+                raise
+            except Exception:  # noqa: BLE001
+                return decode_wav(bytes(payload))[0].ravel()
+        try:
+            return decode_wav(bytes(payload))[0].ravel()
+        except NotImplementedError:
+            raise
+        except Exception:  # noqa: BLE001 — float WAV / wave.Error variants
+            return _soundfile_decode(mime, payload)
+    return _soundfile_decode(mime, payload)
+
+
 def audio_pcm_stats(media: DataFrame) -> DataFrame:
-    """RMS/peak over mono int16 PCM payloads — real sample math."""
+    """RMS/peak over decoded samples (`_decode_audio`: native-first,
+    stdlib-``wave`` fallback) — real sample math."""
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,28 +345,7 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
                 try:
-                    if payload is None:
-                        raise ValueError("null payload")
-                    if mime == PCM16:
-                        pcm = np.frombuffer(bytes(payload), dtype="<i2").astype(np.float64) / 32768.0
-                    elif mime == WAV:
-                        # REAL stdlib decode (wave module); stats over all
-                        # channels' samples
-                        from ..functions.codecs import decode_wav
-
-                        pcm = decode_wav(bytes(payload))[0].ravel()
-                    else:
-                        # optional soundfile backend (FLAC/OGG/...), the
-                        # audio analog of the image path's PIL fallback
-                        try:
-                            import io
-
-                            import soundfile as sf
-                        except Exception as exc:  # noqa: BLE001
-                            raise NotImplementedError(
-                                f"audio mime {mime!r} needs soundfile (requirements-optional.txt)"
-                            ) from exc
-                        pcm = sf.read(io.BytesIO(bytes(payload)), dtype="float64")[0].ravel()
+                    pcm = _decode_audio(mime, payload)
                     rows.append(
                         (
                             mid,

@@ -389,7 +389,13 @@ def remove_boilerplate_lines(
     one groupBy on the line hash (map-side partial agg — the line-frequency
     table is vocabulary-sized), one equi-join back, one groupBy re-assembly
     ordered by original line index. The line table carries xxhash64(line),
-    not the line text, through the shuffle. No UDF."""
+    not the line text, through the shuffle — which assumes 64-bit hash
+    collisions are negligible (a colliding pair of DISTINCT lines would
+    pool their document frequencies; at 10¹⁰ unique lines the birthday
+    bound puts the chance of even one collision near 0.3%, and a collision
+    only matters if it pushes a line across ``max_doc_freq``). The shingle
+    paths verify text on the join; here the text never crosses the
+    shuffle by design. No UDF."""
     lines = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(

@@ -213,3 +213,43 @@ def test_compact_conflict_refuses_to_clobber(spark, tmp_path):
         t.compact(spark)
     # table head is the racing commit, untouched
     assert t.current_snapshot_id() == snap + 1
+
+
+def test_compact_conflict_deletes_orphaned_data_files(spark, tmp_path):
+    """ADVICE r3: compact writes its rewritten data files BEFORE the CAS
+    manifest commit; on CommitConflict those files are referenced by no
+    manifest and must be removed, or every conflicting retry leaks a full
+    table copy in the table root."""
+    import json
+    import os
+
+    import pytest
+
+    from article_extraction_spark.catalog import CommitConflict, ManifestTable
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    snap = t.current_snapshot_id()
+    racing = {
+        "snapshot_id": snap + 1, "parent": snap, "operation": "append",
+        "files": t._load(snap)["files"], "schema": t._load(snap)["schema"],
+    }
+    orig_write = t._write_data
+    written_by_compact = []
+
+    def hooked(df):
+        files = orig_write(df)
+        written_by_compact.extend(files)
+        with open(t._manifest_path(snap + 1), "x") as fh:
+            json.dump(racing, fh)
+        return files
+
+    t._write_data = hooked
+    with pytest.raises(CommitConflict):
+        t.compact(spark)
+    assert written_by_compact, "hook never saw compact's data files"
+    leaked = [f for f in written_by_compact if os.path.exists(os.path.join(t.root, f))]
+    assert leaked == [], f"orphaned compact files left behind: {leaked}"
+    # the live (racing) snapshot still reads cleanly
+    rows = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert rows == {(1, "a"), (2, "b")}

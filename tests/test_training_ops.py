@@ -695,3 +695,166 @@ def test_collapse_repeated_lines_idempotent(spark):
     twice = collapse_repeated_lines(once, "doc_id", "text")
     bad = {r["doc_id"]: r["n_collapsed"] for r in twice.collect() if r["n_collapsed"] > 0}
     assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# round 4: native-first codec dispatch (_decode_image / _decode_audio)
+# ---------------------------------------------------------------------------
+
+
+def _install_fake_pil(monkeypatch, open_fn):
+    """Inject a minimal fake PIL into sys.modules (driver-side only — these
+    dispatch tests run the pure functions, no Spark workers involved)."""
+    import sys
+    import types
+
+    from article_extraction_spark.operators import multimodal
+
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = open_fn
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    monkeypatch.setattr(multimodal, "_PIL_OK", None)  # drop the probe cache
+
+
+def test_decode_image_prefers_native_backend(monkeypatch):
+    """When PIL imports, in-scope PNG/JPEG route through it FIRST (native
+    libs are the 100×-scale plan); the stdlib spec codec is the fallback."""
+    import numpy as np
+
+    from article_extraction_spark.functions.codecs import encode_jpeg, encode_png
+    from article_extraction_spark.operators import multimodal
+
+    calls = []
+    fake_pixels = np.full((5, 7, 3), 9, dtype=np.uint8)
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return fake_pixels
+
+    def fake_open(buf):
+        calls.append(len(buf.getvalue()))
+        return _FakeImg()
+
+    _install_fake_pil(monkeypatch, fake_open)
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    for payload in (encode_png(img), encode_jpeg(img)):
+        got = multimodal._decode_image(
+            multimodal.PNG if payload[:4] == b"\x89PNG" else multimodal.JPEG,
+            payload, None, None,
+        )
+        np.testing.assert_array_equal(got, fake_pixels)  # PIL's answer won
+    assert len(calls) == 2
+    # raw-rgb8 never touches a codec backend
+    raw = multimodal._decode_image(multimodal.RAW_RGB8, img.tobytes(), 7, 5)
+    np.testing.assert_array_equal(raw, img)
+    assert len(calls) == 2
+
+
+def test_decode_image_native_failure_falls_back_to_stdlib(monkeypatch):
+    """A PIL that rejects the file (corrupt-for-PIL) must not kill the row:
+    the stdlib spec codec gets a try and produces the real pixels."""
+    import numpy as np
+
+    from article_extraction_spark.functions.codecs import encode_png
+    from article_extraction_spark.operators import multimodal
+
+    def broken_open(buf):
+        raise OSError("fake PIL cannot identify image file")
+
+    _install_fake_pil(monkeypatch, broken_open)
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    got = multimodal._decode_image(multimodal.PNG, encode_png(img), None, None)
+    np.testing.assert_array_equal(got, img)
+
+
+def test_decode_image_png_out_of_scope_routes_to_pil(monkeypatch):
+    """ADVICE r3 (medium): 16-bit / Adam7 PNGs must fall THROUGH to the PIL
+    branch like the JPEG path does — absent PIL that surfaces as the
+    needs-PIL error, not the stdlib codec's ValueError."""
+    import pytest
+
+    import numpy as np
+
+    from article_extraction_spark.functions.codecs import encode_png
+    from article_extraction_spark.operators import multimodal
+
+    monkeypatch.setattr(multimodal, "_PIL_OK", False)
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    good = bytearray(encode_png(img))
+    # IHDR data starts at offset 16; depth byte is IHDR[8], interlace IHDR[12]
+    deep = bytes(good[:24]) + b"\x10" + bytes(good[25:])       # depth 16
+    inter = bytes(good[:28]) + b"\x01" + bytes(good[29:])      # Adam7
+    for variant in (deep, inter):
+        with pytest.raises(NotImplementedError, match="needs PIL"):
+            multimodal._decode_image(multimodal.PNG, variant, None, None)
+
+
+def test_decode_audio_native_first_and_fallback(monkeypatch):
+    import sys
+    import types
+
+    import numpy as np
+
+    from article_extraction_spark.functions.codecs import decode_wav, encode_wav
+    from article_extraction_spark.operators import multimodal
+
+    tone = np.sin(np.linspace(0, 10, 400)) * 0.5
+    wav = encode_wav(tone, rate=8000)
+
+    fake_samples = np.full(17, 0.25)
+    calls = []
+
+    def fake_read(buf, dtype="float64"):
+        calls.append(dtype)
+        return fake_samples, 8000
+
+    sf = types.ModuleType("soundfile")
+    sf.read = fake_read
+    monkeypatch.setitem(sys.modules, "soundfile", sf)
+    monkeypatch.setattr(multimodal, "_SF_OK", None)
+    got = multimodal._decode_audio(multimodal.WAV, wav)
+    np.testing.assert_array_equal(got, fake_samples)  # soundfile preferred
+    assert calls == ["float64"]
+
+    # native backend rejects the file → stdlib wave fallback, real samples
+    def broken_read(buf, dtype="float64"):
+        raise RuntimeError("fake libsndfile error")
+
+    sf.read = broken_read
+    got = multimodal._decode_audio(multimodal.WAV, wav)
+    np.testing.assert_array_equal(got, decode_wav(wav)[0].ravel())
+
+
+def test_decode_image_backend_parity_real_pil():
+    """Cross-backend parity on the oracle fixture classes: lossless PNG
+    decodes byte-identically on PIL vs the stdlib codec, and solid-color
+    (DC-only) JPEG — the jpeg_decode oracle's fixture class — matches
+    exactly, so flipping backends cannot move the oracles."""
+    import pytest
+
+    np = pytest.importorskip("numpy")
+    pytest.importorskip("PIL")
+    from article_extraction_spark.functions.codecs import (
+        decode_jpeg,
+        decode_png,
+        encode_jpeg,
+        encode_png,
+    )
+    from article_extraction_spark.operators import multimodal
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    gray = np.repeat(rng.randint(0, 256, size=(9, 13, 1), dtype=np.uint8), 3, axis=2)
+    for img in (rgb, gray):
+        payload = encode_png(img)
+        np.testing.assert_array_equal(
+            multimodal._pil_decode(multimodal.PNG, payload), decode_png(payload)
+        )
+    solid = np.full((16, 16, 3), 200, dtype=np.uint8)
+    jp = encode_jpeg(solid, quant=1)
+    pil_img = multimodal._pil_decode(multimodal.JPEG, jp)
+    np.testing.assert_array_equal(pil_img, decode_jpeg(jp))
