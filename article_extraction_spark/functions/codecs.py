@@ -310,85 +310,36 @@ def _build_huff_encode(bits, vals):
     return {sym: (length, code) for (length, code), sym in dec.items()}
 
 
-class _BitReader:
-    """JPEG entropy bitstream: 0xFF is followed by a stuffed 0x00; RST and
-    EOI markers end the current run."""
+def _destuff_scan(payload: bytes, pos: int):
+    """Entropy-coded scan region → list of destuffed byte segments, one per
+    restart interval. One vectorized pass finds every 0xFF: stuffed 0x00s
+    are dropped, RSTn markers split segments, the first real marker (EOI /
+    next segment) terminates the scan. Replaces the per-byte marker
+    inspection the old bit reader did on every refill (round 4 — the
+    entropy loop then reads bits with zero marker checks)."""
+    import numpy as np
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data, self.pos = data, pos
-        self.buf, self.nbits = 0, 0
-
-    def _fill(self) -> None:
-        # trim consumed high bits so buf stays a small int (an untrimmed
-        # accumulator grows into an ever-larger bigint — O(stream) shifts)
-        self.buf &= (1 << self.nbits) - 1
-        while self.nbits <= 24:
-            if self.pos >= len(self.data):
-                self.buf = (self.buf << 8) | 0
-                self.nbits += 8
-                continue
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller via sync()
-                    self.buf = (self.buf << 8) | 0
-                    self.nbits += 8
-                    continue
-                else:  # real marker (EOI/next segment): pad with zeros
-                    self.buf = (self.buf << 8) | 0
-                    self.nbits += 8
-                    continue
-            else:
-                self.pos += 1
-            self.buf = (self.buf << 8) | b
-            self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        while self.nbits < n:
-            self._fill()
-        self.nbits -= n
-        return (self.buf >> self.nbits) & ((1 << n) - 1)
-
-    def peek16(self) -> int:
-        while self.nbits < 16:
-            self._fill()
-        return (self.buf >> (self.nbits - 16)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        self.nbits -= n
-
-    def sync_restart(self) -> None:
-        """Drop to the byte boundary and consume an RSTn marker."""
-        self.buf, self.nbits = 0, 0
-        while self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-
-
-def _huff_decode(br: _BitReader, lut) -> int:
-    hit = lut[br.peek16()]
-    if hit is None:
-        raise ValueError("invalid JPEG huffman code")
-    sym, length = hit
-    br.skip(length)
-    return sym
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 EXTEND: magnitude-category value → signed coefficient."""
-    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+    arr = np.frombuffer(payload, dtype=np.uint8)[pos:]
+    ff = np.flatnonzero(arr[:-1] == 0xFF)
+    if ff.size:
+        nxt = arr[ff + 1]
+        is_stuff = nxt == 0x00
+        is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+        is_term = ~(is_stuff | is_rst)
+        end_i = int(ff[is_term][0]) if is_term.any() else len(arr)
+        in_scan = ff < end_i
+        stuff_pos = ff[is_stuff & in_scan] + 1  # the 0x00 bytes to drop
+        rst_pos = [int(x) for x in ff[is_rst & in_scan]]
+    else:
+        end_i, stuff_pos, rst_pos = len(arr), np.empty(0, np.int64), []
+    segs = []
+    start = 0
+    for r in rst_pos + [end_i]:
+        seg = arr[start:r]
+        drop = stuff_pos[(stuff_pos >= start) & (stuff_pos < r)] - start
+        segs.append((np.delete(seg, drop) if drop.size else seg).tobytes())
+        start = r + 2  # skip the 0xFF D0-D7 pair
+    return segs
 
 
 def _idct_matrix():
@@ -472,6 +423,22 @@ def decode_jpeg(payload: bytes):
 
 
 def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
+    """Entropy decode + reconstruction, batched (round 4):
+
+    1. `_destuff_scan` — one numpy pass strips byte stuffing and splits at
+       restart markers; the entropy loop below never inspects markers.
+    2. Huffman/EXTEND — inherently sequential, so it stays Python, but as
+       an all-LOCALS tight loop (no attribute access, no per-block numpy
+       allocation) emitting sparse (flat-index, value) pairs; bits refill
+       from the destuffed bytes six at a time via ``int.from_bytes``.
+    3. Everything per-block numpy used to do one 8×8 at a time now runs
+       once over ALL blocks: scatter the sparse coefficients, dequantize
+       (zigzag-order tables), de-zigzag by fancy index, batched IDCT via
+       broadcast matmul (same float64 op order as the per-block version),
+       and a transpose/reshape scatter into each component plane.
+
+    Measured ≥2× on the jpeg_decode fixture set vs the round-3 per-block
+    loop (see BASELINE.md)."""
     import numpy as np
 
     comps = frame["comps"]
@@ -491,60 +458,114 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
     h, w = frame["h"], frame["w"]
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
-        planes.append(np.zeros((ph, pw)))
-    idct = _idct_matrix()
     luts = {k: _build_huff_lut(v) for k, v in huff.items()}
 
-    br = _BitReader(payload, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_restart()
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dc_tab = luts[(0, scan[c["id"]][0])]
-                ac_tab = luts[(1, scan[c["id"]][1])]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64)
-                        t = _huff_decode(br, dc_tab)
-                        diff = _extend(br.read_bits(t), t) if t else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(br, ac_tab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            zz[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                        block = np.zeros((8, 8))
-                        for j, z in enumerate(_ZIGZAG):
-                            block[z // 8][z % 8] = zz[j]
-                        block *= q
-                        spatial = idct.T @ block @ idct + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-            mcu_count += 1
+    # block schedule within one MCU, scan order: component-major, (by, bx)
+    sched = []
+    for ci, c in enumerate(comps):
+        dc_lut = luts[(0, scan[c["id"]][0])]
+        ac_lut = luts[(1, scan[c["id"]][1])]
+        sched.extend([(ci, dc_lut, ac_lut)] * (c["v"] * c["h"]))
+    bpm = len(sched)
+    total_mcus = mcus_x * mcus_y
+    total_blocks = total_mcus * bpm
+    ncomp = len(comps)
 
-    # upsample to full resolution and crop
+    segs = _destuff_scan(payload, pos)
+    interval = restart_interval if restart_interval else total_mcus
+    idxs: list[int] = []
+    vals: list[int] = []
+    idx_app, val_app = idxs.append, vals.append  # locals: hot-loop bound
+    mcu = 0
+    for seg in segs:
+        if mcu >= total_mcus:
+            break
+        n_seg = min(interval, total_mcus - mcu)
+        pred = [0] * ncomp  # DC predictors reset at every restart
+        data, p, buf, nbits = seg, 0, 0, 0
+        base = mcu * bpm * 64
+        for _ in range(n_seg):
+            for ci, dc_lut, ac_lut in sched:
+                # keep ≥32 buffered bits: one huffman code (≤16) plus one
+                # magnitude field (≤16) never needs a mid-symbol refill
+                while nbits < 32:
+                    chunk = data[p : p + 6]
+                    if chunk:
+                        p += len(chunk)
+                        buf = ((buf & ((1 << nbits) - 1)) << (8 * len(chunk))) | int.from_bytes(
+                            chunk, "big"
+                        )
+                        nbits += 8 * len(chunk)
+                    else:  # stream exhausted: zero-pad, as the r3 reader did
+                        buf = (buf & ((1 << nbits) - 1)) << 32
+                        nbits += 32
+                hit = dc_lut[(buf >> (nbits - 16)) & 0xFFFF]
+                if hit is None:
+                    raise ValueError("invalid JPEG huffman code")
+                t, ln = hit
+                nbits -= ln
+                if t:
+                    v = (buf >> (nbits - t)) & ((1 << t) - 1)
+                    nbits -= t
+                    pred[ci] += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                idx_app(base)
+                val_app(pred[ci])
+                k = 1
+                while k < 64:
+                    if nbits < 32:
+                        chunk = data[p : p + 6]
+                        if chunk:
+                            p += len(chunk)
+                            buf = ((buf & ((1 << nbits) - 1)) << (8 * len(chunk))) | int.from_bytes(
+                                chunk, "big"
+                            )
+                            nbits += 8 * len(chunk)
+                        else:
+                            buf = (buf & ((1 << nbits) - 1)) << 32
+                            nbits += 32
+                    hit = ac_lut[(buf >> (nbits - 16)) & 0xFFFF]
+                    if hit is None:
+                        raise ValueError("invalid JPEG huffman code")
+                    rs, ln = hit
+                    nbits -= ln
+                    s = rs & 0xF
+                    if s == 0:
+                        if rs == 0xF0:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflow")
+                    v = (buf >> (nbits - s)) & ((1 << s) - 1)
+                    nbits -= s
+                    idx_app(base + k)
+                    val_app(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+                    k += 1
+                base += 64
+        mcu += n_seg
+
+    # ---- batched reconstruction over all blocks at once ----
+    zig = np.asarray(_ZIGZAG)
+    coefs = np.zeros((total_blocks, 64))
+    if idxs:
+        coefs.reshape(-1)[np.asarray(idxs, dtype=np.int64)] = vals
+    comp_of_block = np.tile(np.asarray([e[0] for e in sched]), total_mcus)
+    # quant tables in zigzag order so dequant happens before de-zigzag
+    qz = np.stack([qt[c["tq"]].reshape(64)[zig] for c in comps])
+    coefs *= qz[comp_of_block]
+    natural = np.empty_like(coefs)
+    natural[:, zig] = coefs
+    blocks = natural.reshape(-1, 8, 8)
+    idct = _idct_matrix()
+    spatial = idct.T @ blocks @ idct + 128.0  # broadcast batched matmul
+
+    # scatter into component planes, upsample to full resolution, crop
     full = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        sel = spatial[comp_of_block == ci]  # scan order preserved by mask
+        grid = sel.reshape(mcus_y, mcus_x, c["v"], c["h"], 8, 8)
+        p = grid.transpose(0, 2, 4, 1, 3, 5).reshape(mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
