@@ -46,7 +46,10 @@ def asof_join(
     ts_col: str = "ts",
     right_value_cols: list[str] | None = None,
     suffix: str = "_asof",
-    skew_buckets: int | None = None,
+    skew_buckets: int | str | None = None,
+    skew_threshold: int = 500_000,
+    skew_sample_fraction: float = 0.01,
+    skew_max_buckets: int = 64,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row of the same key
     with right.ts <= left.ts.
@@ -63,11 +66,26 @@ def asof_join(
     ``skew_buckets=N``: the carry becomes a two-phase distributed scan —
     phase 1 windows over (key, time-bucket) so a hot key fans out N-ways;
     phase 2 carries the per-bucket LAST right row across buckets (N rows
-    per key — tiny) and joins it back. In skew mode the result carries the
-    persisted union input as ``_retained_cache`` (three consumers need it);
-    ``.unpersist()`` it after consuming the result. Evidence:
-    tests/test_skew.py runs a 10^6-row single key through both paths and
-    checks equality + phase-1 task fan-out."""
+    per key — tiny) and joins it back.
+
+    ``skew_buckets="auto"`` (round 4) probes instead of trusting the
+    caller: a ``skew_sample_fraction`` sample is key-counted (map-side
+    partial agg; the shuffle is key-histogram-sized) and the hottest key's
+    estimated row count decides. ≥ ``skew_threshold`` rows flips to the
+    two-phase path with ``min(skew_max_buckets, est/(threshold/2))``
+    buckets; below it, the plain one-window path runs. The probe costs one
+    extra pass over the unioned input, so auto mode persists it first and
+    both paths reuse the cache. A hot key is visible in a 1% sample with
+    overwhelming probability at mega-key scale (500k rows → ~5k sampled);
+    keys near the threshold may land on either path — both are correct,
+    this is purely a physical-plan choice.
+
+    In skew AND auto modes the result carries the persisted union input as
+    ``_retained_cache``; ``.unpersist()`` it after consuming the result.
+    Evidence: tests/test_skew.py runs a 10^6-row single key through both
+    paths and checks equality + phase-1 task fan-out, and the auto probe's
+    path choice is asserted on skewed vs uniform inputs via the physical
+    plan."""
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, ts_col)
     ]
@@ -91,6 +109,26 @@ def asof_join(
         "_l", F.lit(None).cast(tagged_left.schema["_l"].dataType)
     )
     unioned = tagged_left.unionByName(tagged_right)
+    probe_cache = None
+    if skew_buckets == "auto":
+        from pyspark import StorageLevel
+
+        unioned = unioned.persist(StorageLevel.MEMORY_AND_DISK)
+        probe_cache = unioned
+        hottest = (
+            unioned.sample(fraction=skew_sample_fraction, seed=42)
+            .groupBy(on)
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        est_max = int((hottest or 0) / skew_sample_fraction)
+        if est_max >= skew_threshold:
+            skew_buckets = min(
+                skew_max_buckets, max(8, -(-est_max // max(1, skew_threshold // 2)))
+            )
+        else:
+            skew_buckets = None
     if skew_buckets is None:
         # right rows sort BEFORE left rows at equal ts (tag 0 < 1) → ties
         # match
@@ -112,6 +150,10 @@ def asof_join(
         # the two-phase carry persists its union input; hand the handle to
         # the caller (``.unpersist()`` after consuming the result)
         result._retained_cache = carried._retained_cache  # type: ignore[attr-defined]
+    elif probe_cache is not None:
+        # auto probe materialized the union; the plain path reuses it —
+        # same caller contract: ``.unpersist()`` when done
+        result._retained_cache = probe_cache  # type: ignore[attr-defined]
     return result
 
 

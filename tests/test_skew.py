@@ -135,3 +135,65 @@ def test_asof_join_mega_key_two_phase(spark):
     assert (agg_skew["n"], agg_skew["s"], agg_skew["h"]) == (
         agg_plain["n"], agg_plain["s"], agg_plain["h"],
     )
+
+
+def test_asof_join_auto_skew_detection(spark):
+    """VERDICT r3 item 6: skew_buckets="auto" — a sampled key histogram
+    flips to the two-phase path for a hot key and stays on the plain
+    single-window path for uniform keys, with no manual bucket count.
+    Path choice is asserted via the physical plan (width_bucket only
+    exists in the two-phase carry); results must equal the plain path."""
+    from article_extraction_spark.operators.sessions import asof_join
+
+    # hot: one key holds 40k rows (threshold lowered to keep the test fast)
+    n = 40_000
+    left = spark.range(n).select(
+        F.lit("hotconv").alias("k"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.col("id").alias("seq"),
+    )
+    right = spark.range(0, n, 131).select(
+        F.lit("hotconv").alias("k"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") * 3).alias("quote"),
+    )
+    auto = asof_join(
+        left, right, "k", "ts",
+        skew_buckets="auto", skew_threshold=5_000, skew_sample_fraction=0.1,
+    )
+    assert "width_bucket" in auto._jdf.queryExecution().executedPlan().toString().lower() or \
+        "width_bucket" in auto._jdf.queryExecution().analyzed().toString().lower(), \
+        "auto probe did not flip the hot key to the two-phase path"
+    agg_auto = auto.agg(
+        F.count("*").alias("n"), F.sum("quote_asof").alias("s"),
+        F.sum(F.hash("seq", "quote_asof").cast("long")).alias("h"),
+    ).first()
+    auto._retained_cache.unpersist(blocking=True)
+    plain = asof_join(left, right, "k", "ts")
+    agg_plain = plain.agg(
+        F.count("*").alias("n"), F.sum("quote_asof").alias("s"),
+        F.sum(F.hash("seq", "quote_asof").cast("long")).alias("h"),
+    ).first()
+    assert tuple(agg_auto) == tuple(agg_plain)
+
+    # uniform: 400 keys × 100 rows — probe must choose the plain path
+    uni_left = spark.range(n).select(
+        (F.col("id") % 400).cast("string").alias("k"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.col("id").alias("seq"),
+    )
+    uni_right = spark.range(0, n, 57).select(
+        (F.col("id") % 400).cast("string").alias("k"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") * 3).alias("quote"),
+    )
+    auto_uni = asof_join(
+        uni_left, uni_right, "k", "ts",
+        skew_buckets="auto", skew_threshold=5_000, skew_sample_fraction=0.1,
+    )
+    assert "width_bucket" not in auto_uni._jdf.queryExecution().analyzed().toString().lower(), \
+        "auto probe fanned out a uniform key distribution"
+    plain_uni = asof_join(uni_left, uni_right, "k", "ts")
+    a = auto_uni.orderBy("seq").collect()
+    auto_uni._retained_cache.unpersist(blocking=True)
+    assert a == plain_uni.orderBy("seq").collect()
