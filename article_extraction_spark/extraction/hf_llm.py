@@ -35,6 +35,32 @@ DEFAULT_TEMPERATURE = 0.0
 DEFAULT_TOP_P = 1.0
 
 
+def assemble_generation_kwargs(
+    *,
+    pad_token_id,
+    eos_token_id,
+    max_new_tokens: int,
+    temperature: float,
+    top_p: float,
+) -> dict:
+    """Reference _generate_raw's generation-config assembly (llm.py:126-135),
+    extracted pure so the seam is testable without torch: greedy decode when
+    temperature == 0 (temperature/top_p omitted entirely — passing them with
+    do_sample=False trips HF validation warnings and is not what the
+    reference sends), pad falls back to eos when the tokenizer has no pad
+    token, and None-valued entries are dropped."""
+    do_sample = temperature > 0.0
+    kwargs = {
+        "max_new_tokens": max_new_tokens,
+        "do_sample": do_sample,
+        "temperature": temperature if do_sample else None,
+        "top_p": top_p if do_sample else None,
+        "pad_token_id": pad_token_id if pad_token_id is not None else eos_token_id,
+        "eos_token_id": eos_token_id,
+    }
+    return {k: v for k, v in kwargs.items() if v is not None}
+
+
 class GenerationBackend:
     """What hf_extract_fn needs from a model runtime.
 
@@ -103,20 +129,13 @@ class TorchGenerationBackend(GenerationBackend):
         attention_mask = enc.get("attention_mask")
         if attention_mask is not None:
             attention_mask = attention_mask.to(self.device)
-        do_sample = temperature > 0.0
-        kwargs = {
-            "max_new_tokens": max_new_tokens,
-            "do_sample": do_sample,
-            "temperature": temperature if do_sample else None,
-            "top_p": top_p if do_sample else None,
-            "pad_token_id": (
-                self.tokenizer.pad_token_id
-                if self.tokenizer.pad_token_id is not None
-                else self.tokenizer.eos_token_id
-            ),
-            "eos_token_id": self.tokenizer.eos_token_id,
-        }
-        kwargs = {k: v for k, v in kwargs.items() if v is not None}
+        kwargs = assemble_generation_kwargs(
+            pad_token_id=self.tokenizer.pad_token_id,
+            eos_token_id=self.tokenizer.eos_token_id,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
+        )
         with torch.no_grad():
             out = self.model.generate(
                 input_ids=input_ids, attention_mask=attention_mask, **kwargs

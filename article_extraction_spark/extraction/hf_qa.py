@@ -32,6 +32,28 @@ class QALogitsBackend:
         raise NotImplementedError
 
 
+def derive_qa_stride(max_len) -> tuple[int, int]:
+    """Reference qa_squad.py:92-97 stride/max_length derivation, extracted
+    pure so the seam is testable without transformers: returns
+    (max_len, stride). Non-positive / non-int model_max_length falls back
+    to DEFAULT_MAX_LEN; stride is min(DEFAULT_STRIDE, max_len // 2), with
+    DEFAULT_STRIDE restored if that underflows to 0."""
+    if not (isinstance(max_len, int) and max_len > 0):
+        max_len = DEFAULT_MAX_LEN
+    stride = min(DEFAULT_STRIDE, max_len // 2) if max_len else DEFAULT_STRIDE
+    if stride <= 0:
+        stride = DEFAULT_STRIDE
+    return max_len, stride
+
+
+def context_token_indices(seq_ids, offsets) -> list[int]:
+    """Reference qa_squad.py:110-115 context-token selection, extracted
+    pure: positions whose sequence id is 1 (the context segment in a
+    question/context pair encoding) and whose char offset survived
+    tokenization."""
+    return [t for t, s in enumerate(seq_ids) if s == 1 and offsets[t] is not None]
+
+
 class TorchQABackend(QALogitsBackend):
     """Real HF runtime (reference _load_qa_model + _qa_candidates encoding,
     qa_squad.py:61-121)."""
@@ -54,12 +76,9 @@ class TorchQABackend(QALogitsBackend):
     def windows(self, question: str, context: str):
         import torch
 
-        max_len = getattr(self.tokenizer, "model_max_length", DEFAULT_MAX_LEN)
-        if not (isinstance(max_len, int) and max_len > 0):
-            max_len = DEFAULT_MAX_LEN
-        stride = min(DEFAULT_STRIDE, max_len // 2) if max_len else DEFAULT_STRIDE
-        if stride <= 0:
-            stride = DEFAULT_STRIDE
+        max_len, stride = derive_qa_stride(
+            getattr(self.tokenizer, "model_max_length", DEFAULT_MAX_LEN)
+        )
         enc = self.tokenizer(
             question,
             context,
@@ -87,7 +106,7 @@ class TorchQABackend(QALogitsBackend):
             end = out.end_logits[0].detach().cpu().numpy()
             seq_ids = enc.sequence_ids(i)
             offs = enc["offset_mapping"][i]
-            ctx = [t for t, s in enumerate(seq_ids) if s == 1 and offs[t] is not None]
+            ctx = context_token_indices(seq_ids, offs)
             if not ctx:
                 continue
             yield [offs[t] for t in ctx], start[ctx], end[ctx]
