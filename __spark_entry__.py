@@ -483,6 +483,52 @@ def q_lsh_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (round 4): DataFrame-native k-means centroids, table
+    partitioned by nearest-centroid id (write_ivf), probe = partition
+    pruning over the nprobe nearest clusters. The oracle probes ALL
+    clusters (exhaustive ⇒ exactly the brute-force top-10, which DuckDB
+    replicates); the nprobe<k recall + pruning proofs live in
+    tests/test_training_ops.py."""
+    import os
+
+    from article_extraction_spark.operators.similarity_search import (
+        ivf_topk,
+        kmeans_fit,
+        write_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    centroids = kmeans_fit(emb, "embedding", k=4, max_iter=3, seed=42)
+    path = (
+        f"/tmp/aes_ivf_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    )
+    write_ivf(emb.select("vec_id", "embedding"), path, "embedding", centroids)
+    top = ivf_topk(
+        spark, path, "embedding", list(query), centroids, k=10, nprobe=len(centroids),
+        schema="vec_id bigint, embedding array<float>",
+    )
+    return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational TF-IDF (round 4): per-document top-3 terms by smoothed
+    tf·idf over the shared alnum vocabulary; score cross-checked at
+    floored-microunits (Spark HALF_UP vs DuckDB half-even dodge)."""
+    from article_extraction_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    top = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return top.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.floor(F.col("score") * 1e6).cast("long").alias("score_u"),
+        "rnk",
+    )
+
+
 def q_char_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: char windowing with stride, fanned out via posexplode."""
     from article_extraction_spark.extraction.windows import explode_windows
@@ -1373,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "lsh_topk": q_lsh_topk,
         "lsh_topk_bucketed": q_lsh_topk_bucketed,
+        "ivf_topk": q_ivf_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "char_windows": q_char_windows,
         "token_windows": q_token_windows,
         "extract_fields": q_extract_fields,
@@ -1819,6 +1867,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS vec_id, 1.0 AS cosine_r
             UNION ALL
             SELECT 1000000 + CAST(i AS BIGINT), 1.0 FROM generate_series(0, 8) t(i)
+        """,
+        "ivf_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 5) AS cosine_r
+            FROM embeddings
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 10
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                       w -> length(w) > 0)) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(*) AS df_t FROM tf GROUP BY term
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * (ln((n.n_docs + 1) / (dfreq.df_t + 1)) + 1) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT doc_id, term, tf,
+                     CAST(floor(score * 1e6) AS BIGINT) AS score_u,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, term, tf, score_u, rnk FROM ranked WHERE rnk <= 3
         """,
         "qa_spans": """
             WITH one_hit AS (

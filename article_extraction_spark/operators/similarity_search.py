@@ -152,3 +152,151 @@ def lsh_topk_bucketed(
     reader = spark.read.schema(schema) if schema is not None else spark.read
     t = reader.parquet(path).where(F.col("bucket").isin(keys))
     return brute_force_topk(t, vec_col, query, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — round 4. The second scale path alongside the
+# LSH-bucketed layout: centroids are TRAINED (DataFrame-native Lloyd's
+# k-means) instead of random hyperplanes, the table is partitioned by
+# nearest-centroid id, and a query probes only the nprobe nearest
+# centroids' partitions (planning-time pruning, like lsh_topk_bucketed).
+# ---------------------------------------------------------------------------
+
+
+def _sq_dist_col(vec_col, centroid: list[float]):
+    """Squared L2 to one literal centroid — native HOF expression."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def nearest_centroid_col(vec_col: str, centroids: list[list[float]]):
+    """0-based nearest-centroid id as ONE native expression per row — no
+    shuffle, no UDF, ties to the lowest centroid id (array_position finds
+    the first occurrence of the min)."""
+    cl = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(
+        cl,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    max_iter: int = 10,
+    seed: int = 42,
+    tol: float = 1e-9,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Lloyd's k-means trained with DataFrame ops only.
+
+    Per iteration: the ASSIGNMENT is a per-row native expression
+    (`nearest_centroid_col` — distances to the literal centroid array +
+    array_position of the min; NO shuffle, no UDF), and the UPDATE is one
+    posexplode + groupBy(cluster, dim) avg — ONE shuffle with map-side
+    partial aggregation; k×dim averaged values come back to the driver
+    (the only driver-side state, bytes not rows). Deterministic: init
+    takes the k vectors with the smallest xxhash64(id-free vector bytes,
+    seed) — stable under any partitioning — and argmin ties go to the
+    lowest centroid id. Empty clusters keep their previous centroid.
+
+    HOF distances are interpreted (no codegen), so fitting cost is
+    O(rows × k × dim) interpreted ops per iteration — standard IVF
+    practice applies at 100 TB: fit on a sample (``sample_fraction``),
+    assign the full corpus once at write time (`write_ivf`)."""
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    init_rows = (
+        df.select(F.col(vec_col).alias("_v"))
+        .dropDuplicates(["_v"])
+        .orderBy(F.xxhash64(F.col("_v"), F.lit(seed)))
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(map(float, r["_v"])) for r in init_rows]
+    if len(centroids) < k:
+        raise ValueError(f"need ≥{k} distinct vectors to init k-means, got {len(centroids)}")
+    for _ in range(max_iter):
+        assigned = df.select(
+            nearest_centroid_col(vec_col, centroids).alias("_c"),
+            F.col(vec_col).alias("_v"),
+        )
+        means = (
+            assigned.select("_c", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_c", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["_c"], {})[r["_d"]] = r["_m"]
+        for ci, dims in by_cluster.items():
+            new_centroids[ci] = [dims[d] for d in sorted(dims)]
+        movement = max(
+            sum((a - b) ** 2 for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if movement < tol:
+            break
+    return centroids
+
+
+def write_ivf(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF layout: parquet partitioned by nearest-centroid
+    id (``cluster=<i>/`` directories). Assignment is one native-expression
+    pass; every subsequent probe is partition pruning."""
+    df.withColumn("cluster", nearest_centroid_col(vec_col, centroids)).write.partitionBy(
+        "cluster"
+    ).mode(mode).parquet(path)
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    vec_col: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    schema=None,
+) -> DataFrame:
+    """Approximate top-k over a write_ivf table: rank centroids by L2 to
+    the query (driver-side, k×dim floats), read only the ``nprobe``
+    nearest clusters — the filter lands on the partition column, so
+    Catalyst prunes to those ``cluster=`` directories at planning time
+    (same mechanism as lsh_topk_bucketed, pruning-proof in
+    tests/test_training_ops.py). ``nprobe=len(centroids)`` is exhaustive
+    and exactly equals brute_force_topk (the oracle uses this).
+
+    Pass ``schema`` (data columns only) on large tables to skip
+    footer-sampling inference at planning."""
+    q = [float(x) for x in query]
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (sum((a - b) ** 2 for a, b in zip(centroids[i], q)), i),
+    )
+    probe = ranked[: max(1, nprobe)]
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    t = reader.parquet(path).where(F.col("cluster").isin(probe))
+    return brute_force_topk(t, vec_col, q, k, id_col)

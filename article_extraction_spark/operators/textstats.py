@@ -482,3 +482,50 @@ def collapse_repeated_lines(
     return out.select(
         F.col("_id").alias(id_col), "text_clean", "n_lines", "n_collapsed"
     )
+
+
+def tfidf_top_terms(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> "DataFrame":
+    """Per-document top-k TF-IDF terms, fully relational (round 4).
+
+    Vocabulary is the shared ``alnum_tokens_col`` definition; tf is the
+    within-document term count, idf the smoothed
+    ``ln((N + 1) / (df_t + 1)) + 1`` (sklearn's smooth_idf formula —
+    public), score = tf · idf. Returns (id, term, tf, score) for each
+    document's top ``k`` terms ranked by (score desc, term asc) — a total
+    order, so the result is deterministic at any partitioning.
+
+    Shape: explode → groupBy(doc, term) count [one shuffle, map-side
+    partials], term document-frequency agg [vocabulary-sized shuffle],
+    corpus size as a broadcast one-row cross join (stays inside the plan —
+    no driver action), equi-join tf×idf on the term, per-document window
+    top-k. No UDF; everything whole-stage-codegen'd except the window."""
+    from pyspark.sql import Window
+
+    from ..functions.textnorm import alnum_tokens_col
+
+    terms = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(alnum_tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = terms.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    idf = doc_freq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df_t",
+        (F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1)) + 1).alias("idf"),
+    )
+    scored = tf.join(idf, "term").select(
+        "_id", "term", "tf", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(F.col("_id").alias(id_col), "term", "tf", "score", "rnk")
+    )

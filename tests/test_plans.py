@@ -244,3 +244,61 @@ def test_boilerplate_removal_shuffles_hashes_not_lines(spark):
     assert "xxhash64" in s
     assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
     assert "CartesianProduct" not in s
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    """Round 4: the IVF layout's nprobe probe must be planning-time
+    partition pruning, same proof shape as the LSH-bucketed test —
+    corrupt every non-probed cluster's files, the probe still succeeds."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from article_extraction_spark.operators.similarity_search import (
+        ivf_topk,
+        kmeans_fit,
+        write_ivf,
+    )
+
+    rng = np.random.RandomState(3)
+    # four well-separated blobs of 100 vectors each
+    centers = np.eye(4, 8) * 20.0
+    rows = []
+    for i in range(400):
+        v = centers[i % 4] + rng.randn(8) * 0.05
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    centroids = kmeans_fit(df, "v", k=4, max_iter=5, seed=42)
+    path = str(tmp_path / "ivf")
+    write_ivf(df, path, "v", centroids)
+
+    query = rows[8][1]  # blob 0 member
+    top = ivf_topk(spark, path, "v", query, centroids, k=5, nprobe=1)
+    got = {r["vec_id"] for r in top.collect()}
+    assert 8 in got
+    assert all(v % 4 == 0 for v in got), got  # all neighbors from blob 0
+
+    plan = _plan(top)
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cluster" in part_filters, part_filters
+
+    # nearest centroid to the query, by the same ranking ivf_topk uses
+    probe = min(
+        range(4), key=lambda i: sum((a - b) ** 2 for a, b in zip(centroids[i], query))
+    )
+    data_schema = "vec_id long, v array<double>"
+    corrupted = 0
+    for d in glob.glob(f"{path}/cluster=*"):
+        if int(os.path.basename(d).split("=")[1]) != probe:
+            for f in glob.glob(f"{d}/*.parquet"):
+                with open(f, "wb") as fh:
+                    fh.write(b"not a parquet file")
+                corrupted += 1
+    assert corrupted > 0
+    again = ivf_topk(
+        spark, path, "v", query, centroids, k=5, nprobe=1, schema=data_schema
+    )
+    assert 8 in {r["vec_id"] for r in again.collect()}
+    with pytest.raises(Exception):
+        spark.read.schema(data_schema).parquet(path).count()

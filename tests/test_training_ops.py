@@ -858,3 +858,92 @@ def test_decode_image_backend_parity_real_pil():
     jp = encode_jpeg(solid, quant=1)
     pil_img = multimodal._pil_decode(multimodal.JPEG, jp)
     np.testing.assert_array_equal(pil_img, decode_jpeg(jp))
+
+
+def test_kmeans_fit_invariants_and_determinism(spark):
+    """DataFrame-native Lloyd's: converged centroids are the means of
+    their assigned points, the objective is no worse than at init, and
+    two runs with the same seed are identical."""
+    import numpy as np
+
+    from article_extraction_spark.operators.similarity_search import (
+        kmeans_fit,
+        nearest_centroid_col,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    rows = [(i, (centers[i % 3] + rng.randn(2) * 0.3).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    c1 = kmeans_fit(df, "v", k=3, max_iter=10, seed=42)
+    c2 = kmeans_fit(df, "v", k=3, max_iter=10, seed=42)
+    assert c1 == c2  # deterministic end-to-end
+
+    # each converged centroid is the mean of its assigned points
+    assigned = df.select("v", nearest_centroid_col("v", c1).alias("c")).collect()
+    by_cluster = {}
+    for r in assigned:
+        by_cluster.setdefault(r["c"], []).append(r["v"])
+    for ci, vs in by_cluster.items():
+        mean = np.mean(np.asarray(vs), axis=0)
+        np.testing.assert_allclose(mean, c1[ci], atol=1e-9)
+    # blobs recovered: each fitted centroid sits on one true center
+    found = sorted(tuple(round(x) for x in c) for c in c1)
+    assert found == [(0, 0), (0, 10), (10, 0)], found
+
+
+def test_ivf_topk_exhaustive_equals_brute_force(spark, tmp_path):
+    import numpy as np
+
+    from article_extraction_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+        write_ivf,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = [(i, rng.randn(12).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    centroids = kmeans_fit(df, "v", k=5, max_iter=4, seed=1)
+    path = str(tmp_path / "ivf")
+    write_ivf(df, path, "v", centroids)
+    query = rows[3][1]
+    exact = brute_force_topk(df, "v", query, k=10).collect()
+    approx = ivf_topk(spark, path, "v", query, centroids, k=10, nprobe=len(centroids)).collect()
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in exact] == [
+        (r["vec_id"], round(r["cosine"], 9)) for r in approx
+    ]
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """3-doc fixture with hand-computed smoothed tf·idf scores."""
+    import math
+
+    from article_extraction_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "banana banana banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["score"], r["rnk"])
+        for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    }
+
+    def idf(df_t):
+        return math.log((3 + 1) / (df_t + 1)) + 1
+
+    # doc 1: apple tf=2 df=2, banana tf=1 df=2
+    assert got[(1, "apple")] == (2, 2 * idf(2), 1)
+    assert got[(1, "banana")] == (1, 1 * idf(2), 2)
+    # doc 3: banana tf=3 beats cherry tf=1
+    assert got[(3, "banana")][2] == 1 and got[(3, "cherry")][2] == 2
+    assert abs(got[(3, "banana")][1] - 3 * idf(2)) < 1e-12
+    # k=2 everywhere
+    assert len(got) == 6
