@@ -3,10 +3,10 @@
 entry(spark)   — flagship extraction pipeline on sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + the
                  training-data ops); each callable: (spark, sf_dir) → DataFrame.
-oracle_sql()   — DuckDB-runnable ANSI SQL twins keyed identically. As of
-                 round 3 EVERY query has a value oracle (74/74 — non-SQL
-                 kernels are oracled via planted fixtures or generating
-                 formulas; enforced by tests/test_driver_contract.py).
+oracle_sql()   — DuckDB-runnable ANSI SQL twins keyed identically. Since
+                 round 3 EVERY query has a value oracle (non-SQL kernels
+                 are oracled via planted fixtures or generating formulas;
+                 enforced by tests/test_driver_contract.py).
 
 Column names are aliased identically on both sides (driver hashes values
 after sorting columns by name).

@@ -439,3 +439,41 @@ def test_jpeg_roundtrip_property_sweep():
     for mode in (False, "422", "420"):
         out = decode_jpeg(encode_jpeg(img, subsample=mode))
         assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4, mode
+
+
+def test_destuff_scan_edge_cases():
+    """The r4 one-pass destuffer: stuffed FF00 removal, RST segmentation,
+    terminator detection, and the awkward byte patterns around them."""
+    from article_extraction_spark.functions.codecs import _destuff_scan
+
+    # plain data, stuffing removed
+    segs = _destuff_scan(b"\x12\xff\x00\x34\xff\xd9", 0)
+    assert segs == [b"\x12\xff\x34"]
+
+    # RST markers split segments; stuffing works on both sides
+    segs = _destuff_scan(b"\xaa\xff\x00\xbb\xff\xd0\xcc\xff\x00\xdd\xff\xd9", 0)
+    assert segs == [b"\xaa\xff\xbb", b"\xcc\xff\xdd"]
+
+    # consecutive RSTs → empty middle segment
+    segs = _destuff_scan(b"\x01\xff\xd0\xff\xd1\x02\xff\xd9", 0)
+    assert segs == [b"\x01", b"", b"\x02"]
+
+    # no terminator: runs to end of payload
+    segs = _destuff_scan(b"\x01\x02\x03", 0)
+    assert segs == [b"\x01\x02\x03"]
+
+    # stuffed FF00 immediately before the terminator
+    segs = _destuff_scan(b"\xff\x00\xff\xd9\x99", 0)
+    assert segs == [b"\xff"]
+
+    # data after the terminator is ignored even if it contains RSTs
+    segs = _destuff_scan(b"\x07\xff\xd9\xff\xd0\x08", 0)
+    assert segs == [b"\x07"]
+
+    # pos offset honored
+    segs = _destuff_scan(b"\xde\xad\x42\xff\xd9", 2)
+    assert segs == [b"\x42"]
+
+    # trailing lone 0xFF (no following byte) stays as data
+    segs = _destuff_scan(b"\x10\xff", 0)
+    assert segs == [b"\x10\xff"]

@@ -210,6 +210,36 @@ def main() -> None:
     )
     sk._retained_cache.unpersist()
 
+    import tempfile
+
+    from article_extraction_spark.operators.similarity_search import (
+        ivf_topk,
+        kmeans_fit,
+        write_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_fit(emb, "embedding", k=4, max_iter=2, seed=42)
+    ivf_dir = tempfile.mkdtemp(prefix="plans_ivf_")
+    write_ivf(emb.select("vec_id", "embedding"), ivf_dir, "embedding", cents)
+    qv = [float(x) for x in emb.select("embedding").first()["embedding"]]
+    iv = ivf_topk(
+        spark, ivf_dir, "embedding", qv, cents, k=5, nprobe=1,
+        schema="vec_id bigint, embedding array<float>",
+    )
+    sections.append(
+        (
+            "IVF ANN probe (round 4)",
+            "Trained-centroid inverted-file layout: the nprobe filter lands "
+            "on the `cluster` partition column, so the scan node carries it "
+            "as PartitionFilters — non-probed clusters' files are never "
+            "opened (planning-time pruning; corrupt-unprobed proof in "
+            "test_plans.py). Explicit schema ⇒ zero data files touched at "
+            "planning.",
+            plan_str(iv),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/dump_plans.py)\n"]
     for title, note, plan in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
