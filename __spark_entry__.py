@@ -512,6 +512,26 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (round 4): the ground-truth
+    relation MinHash approximates, produced without all-pairs (distinct-
+    shingle self-equi-join candidates + hash-set verify). Planted 'tail
+    edit' copies like the minhash query; integer n_common/n_union dodge
+    float rounding; the jaccard ≥ 0.6 cut happens identically on both
+    engines from the same integers."""
+    from article_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail edit")).alias("text"),
+        )
+    )
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.6)
+    return pairs.select("id_a", "id_b", "n_common", "n_union")
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational TF-IDF (round 4): per-document top-3 terms by smoothed
     tf·idf over the shared alnum vocabulary; score cross-checked at
@@ -1420,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "lsh_topk_bucketed": q_lsh_topk_bucketed,
         "ivf_topk": q_ivf_topk,
+        "ngram_jaccard": q_ngram_jaccard,
         "tfidf_top_terms": q_tfidf_top_terms,
         "char_windows": q_char_windows,
         "token_windows": q_token_windows,
@@ -1876,6 +1897,42 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10
+        """,
+        "ngram_jaccard": """
+            WITH docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            corpus AS (
+              SELECT doc_id, text FROM docs200
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' tail edit' AS text FROM docs200
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                                 w -> length(w) > 0) AS t
+              FROM corpus
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     END AS s
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+            SELECT id_a, id_b,
+                   CAST(n_common AS INTEGER) AS n_common,
+                   CAST(sa.n + sb.n - n_common AS INTEGER) AS n_union
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
         """,
         "tfidf_top_terms": """
             WITH toks AS (

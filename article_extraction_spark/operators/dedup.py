@@ -188,6 +188,58 @@ def jaccard_verify(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """ALL pairs with exact n-gram Jaccard ≥ threshold — the dedup
+    family's ground-truth flavor, standalone (round 4; MinHash banding
+    approximates exactly this relation).
+
+    Never all-pairs: candidates come from exploding each document's
+    DISTINCT shingle hashes and self-equi-joining on the hash (id_a <
+    id_b) — a pair surfaces iff it shares ≥1 shingle, and any pair with
+    Jaccard ≥ threshold > 0 must (so recall is exact). Scores are then
+    computed by `jaccard_verify` on the cached full hash sets. One
+    shuffle keyed by shingle hash + two id-keyed verify joins; the text
+    never crosses a shuffle.
+
+    ``max_shingle_doc_freq=N`` drops shingles present in more than N
+    documents from CANDIDATE GENERATION only (boilerplate n-grams
+    otherwise pair everything with everything — the hot-key blowup of
+    this operator). Scores still use the full sets; the only recall loss
+    is pairs whose EVERY common shingle is ubiquitous — state the cap in
+    results you publish. Returns (id_a, id_b, n_common, n_union,
+    jaccard), MATERIALIZED (upstream shingle cache released)."""
+    if threshold <= 0:
+        raise ValueError(
+            "threshold must be > 0: zero-overlap pairs never share a shingle, "
+            "so a 0 threshold would require the all-pairs relation"
+        )
+    sh = shingle_hash_sets(df, id_col, text_col, shingle_n)
+    ex = sh.select("_id", F.explode("_h").alias("_g"))
+    if max_shingle_doc_freq is not None:
+        hot = (
+            ex.groupBy("_g")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_shingle_doc_freq)
+        )
+        ex = ex.join(hot.select("_g"), "_g", "left_anti")
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "_g")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    out = jaccard_verify(pairs, sh, threshold)
+    return _materialize_release(out, [sh])
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

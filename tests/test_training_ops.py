@@ -947,3 +947,50 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert abs(got[(3, "banana")][1] - 3 * idf(2)) < 1e-12
     # k=2 everywhere
     assert len(got) == 6
+
+
+def test_ngram_jaccard_pairs_exact_and_capped(spark):
+    """Exact-Jaccard pair generation: planted near-identical pair found
+    with the right score, disjoint docs absent, threshold honored; the
+    hot-shingle cap removes pairs whose ONLY common shingles are
+    ubiquitous while exact pairs survive."""
+    import pytest
+
+    from article_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter today"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),      # near-dup of 1
+            (3, "totally different words live here now"),
+            (4, f"unique one content {boiler}"),
+            (5, f"unique two payload {boiler}"),
+            (6, f"unique three stuff {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    pairs.unpersist()
+    # docs 1,2: 4 shingles each, 3 common → j = 3/5
+    assert abs(got[(1, 2)] - 0.6) < 1e-12
+    assert all(3 not in p for p in got), got
+
+    # the boilerplate trio share only the ubiquitous shingles; capping
+    # doc-freq at 2 removes those shingles from candidate generation, so
+    # the trio's pairs vanish while the real near-dup pair survives
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1)
+    u = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    uncapped.unpersist()
+    assert (4, 5) in u and (4, 6) in u and (5, 6) in u
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.1, max_shingle_doc_freq=2
+    )
+    c = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    capped.unpersist()
+    assert (1, 2) in c
+    assert not any(p in c for p in [(4, 5), (4, 6), (5, 6)]), c
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
