@@ -512,6 +512,61 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time exact dedup vs a persistent fingerprint index
+    (round 4): the index is preloaded with docs 0-99's fingerprints (a
+    prior ingestion), the arriving batch is docs 50-199 plus a planted
+    UPPERCASED copy of doc 150 (id 10150 — same normalized fingerprint,
+    must lose the within-batch min-id race). Survivors = the batch minus
+    index hits minus within-batch dups; the oracle replays the same
+    relational dedup in DuckDB."""
+    import os
+    import shutil
+
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.operators.dedup import incremental_exact_dedup
+    from article_extraction_spark.operators.textstats import fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.where(F.col("doc_id") < 100)
+    batch = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 200)).unionByName(
+        docs.where(F.col("doc_id") == 150).select(
+            F.lit(10150).alias("doc_id"), F.upper(F.col("text")).alias("text")
+        )
+    )
+    root = f"/tmp/aes_dedup_idx_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    index = ManifestTable(root)
+    index.append(
+        prior.select(
+            fingerprint_col(F.col("text")).alias("fingerprint"),
+            F.col("doc_id").alias("first_seen_id"),
+        ).dropDuplicates(["fingerprint"])
+    )
+    fresh = incremental_exact_dedup(batch, "doc_id", "text", index, spark)
+    out = fresh.select("doc_id", "fingerprint")
+    # re-running the SAME batch must now dedup to zero (exactly-once
+    # proof folded into the oracle: the second call's count is a column)
+    again = incremental_exact_dedup(batch, "doc_id", "text", index, spark)
+    n_second = again.count()
+    again.unpersist()
+    return out.withColumn("second_run_survivors", F.lit(n_second).cast("long"))
+
+
+def q_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family breadth (round 4): per-group Pearson correlation and
+    sample covariance — native JVM aggregates with map-side partials,
+    one shuffle on the group key. Floored-micros cross-engine compare
+    (both engines run the same sample formulas; summation-order noise is
+    ~1e-13 against a 1e-6 grid)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.floor(F.corr("l_quantity", "l_extendedprice") * 1e6).cast("long").alias("corr_qty_price_u"),
+        F.floor(F.covar_samp("l_quantity", "l_discount") * 1e6).cast("long").alias("covar_qty_disc_u"),
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (round 4): the ground-truth
     relation MinHash approximates, produced without all-pairs (distinct-
@@ -1440,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "lsh_topk_bucketed": q_lsh_topk_bucketed,
         "ivf_topk": q_ivf_topk,
+        "incremental_dedup": q_incremental_dedup,
+        "grouped_corr": q_grouped_corr,
         "ngram_jaccard": q_ngram_jaccard,
         "tfidf_top_terms": q_tfidf_top_terms,
         "char_windows": q_char_windows,
@@ -1897,6 +1954,38 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10
+        """,
+        "incremental_dedup": """
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                              '\\s+', ' ', 'g'))) AS fingerprint
+              FROM documents
+            ),
+            prior AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 100),
+            batch AS (
+              SELECT doc_id, fingerprint FROM fp WHERE doc_id >= 50 AND doc_id < 200
+              UNION ALL
+              SELECT 10150 AS doc_id, fingerprint FROM fp WHERE doc_id = 150
+            ),
+            inbatch AS (
+              SELECT doc_id, fingerprint FROM (
+                SELECT doc_id, fingerprint,
+                       row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                FROM batch
+              ) WHERE rn = 1
+            )
+            SELECT doc_id, fingerprint, CAST(0 AS BIGINT) AS second_run_survivors
+            FROM inbatch
+            WHERE fingerprint NOT IN (SELECT fingerprint FROM prior)
+        """,
+        "grouped_corr": """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(floor(corr(l_quantity, l_extendedprice) * 1e6) AS BIGINT) AS corr_qty_price_u,
+                   CAST(floor(covar_samp(l_quantity, l_discount) * 1e6) AS BIGINT) AS covar_qty_disc_u
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "ngram_jaccard": """
             WITH docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),

@@ -100,6 +100,71 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index,
+    spark,
+    commit: bool = True,
+) -> DataFrame:
+    """Ingestion-time exact dedup against the accumulated fingerprint
+    INDEX of everything already ingested (round 4) — the streaming/batch
+    pipeline version of `exact_duplicates`, which assumes the whole
+    corpus is in front of you. At 10^12 docs you never re-fingerprint
+    the corpus per batch; you keep a (fingerprint, first_seen_id) table
+    and dedup each arriving batch against it.
+
+    Per batch: fingerprint the new rows (the same normalized
+    `fingerprint_col` key as the funnel's exact stage), keep the min-id
+    row per fingerprint WITHIN the batch (deterministic), then
+    left_anti-join against the index — the shuffle carries 32-char md5
+    keys, never text, and the index read prunes to the fingerprint
+    column. With ``commit=True`` the survivors' fingerprints MERGE into
+    the index under `ManifestTable`'s optimistic concurrency: a racing
+    writer raises CommitConflict, and retrying the whole call is
+    idempotent (already-committed fingerprints simply anti-join away).
+
+    Returns the surviving rows (original columns + ``fingerprint``),
+    PERSISTED — the batch is consumed twice (merge + caller); callers
+    ``.unpersist()`` when done."""
+    from pyspark.sql import Window
+
+    from .textstats import fingerprint_col
+
+    fp = new_df.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
+    in_batch = (
+        fp.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        existing = index.read(spark).select("fingerprint")
+    except FileNotFoundError:
+        existing = None  # empty index: first batch
+    fresh = (
+        in_batch.join(existing, "fingerprint", "left_anti")
+        if existing is not None
+        else in_batch
+    )
+    fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
+    fresh.count()
+    if commit:
+        index.merge(
+            spark,
+            fresh.select(
+                "fingerprint", F.col(id_col).alias("first_seen_id")
+            ),
+            ["fingerprint"],
+        )
+    return fresh
+
+
 def minhash_signature_col(hash_set_col: Column, num_hashes: int = 32) -> Column:
     """MinHash signature (array<long>, length K) from a *materialized*
     shingle-hash column: mh_k = min over shingle hashes of xxhash64(h, k).

@@ -994,3 +994,65 @@ def test_ngram_jaccard_pairs_exact_and_capped(spark):
 
     with pytest.raises(ValueError):
         ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
+
+
+def test_incremental_exact_dedup_lifecycle(spark, tmp_path):
+    """Batch-over-batch exact dedup against the fingerprint index:
+    case-variant dups collapse, re-ingesting a batch survives nothing,
+    a later batch only loses its true dups, and a conflicting commit
+    retries idempotently."""
+    from article_extraction_spark.catalog import CommitConflict, ManifestTable
+    from article_extraction_spark.operators.dedup import incremental_exact_dedup
+
+    index = ManifestTable(str(tmp_path / "idx"))
+    b1 = spark.createDataFrame(
+        [(1, "hello world"), (2, "Hello,   WORLD!"), (3, "something else")],
+        "doc_id long, text string",
+    )
+    fresh1 = incremental_exact_dedup(b1, "doc_id", "text", index, spark)
+    got1 = sorted(r["doc_id"] for r in fresh1.collect())
+    fresh1.unpersist()
+    assert got1 == [1, 3]  # 2 is a normalized dup of 1, min-id wins
+
+    # replay the same batch: everything already indexed
+    fresh1b = incremental_exact_dedup(b1, "doc_id", "text", index, spark)
+    assert fresh1b.count() == 0
+    fresh1b.unpersist()
+
+    b2 = spark.createDataFrame(
+        [(10, "hello world"), (11, "brand new content")],
+        "doc_id long, text string",
+    )
+    fresh2 = incremental_exact_dedup(b2, "doc_id", "text", index, spark)
+    assert [r["doc_id"] for r in fresh2.collect()] == [11]
+    fresh2.unpersist()
+    # index accumulated exactly the three unique fingerprints
+    assert index.read(spark).count() == 3
+
+    # racing commit: merge raises CommitConflict; the RETRY of the whole
+    # call is idempotent (b3's fingerprint either landed or it didn't)
+    b3 = spark.createDataFrame([(20, "late arrival")], "doc_id long, text string")
+
+    class RacedIndex(ManifestTable):
+        raced = False
+
+        def _write_data(self, df):
+            files = super()._write_data(df)
+            if not RacedIndex.raced:
+                RacedIndex.raced = True
+                ManifestTable(self.root).append(
+                    spark.createDataFrame(
+                        [("ff" * 16, 999)], "fingerprint string, first_seen_id long"
+                    )
+                )
+            return files
+
+    raced = RacedIndex(str(tmp_path / "idx"))
+    import pytest
+
+    with pytest.raises(CommitConflict):
+        incremental_exact_dedup(b3, "doc_id", "text", raced, spark)
+    retry = incremental_exact_dedup(b3, "doc_id", "text", index, spark)
+    assert retry.count() == 1
+    retry.unpersist()
+    assert index.read(spark).count() == 5  # 3 + racer's row + b3
