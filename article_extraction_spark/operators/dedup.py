@@ -155,13 +155,19 @@ def incremental_exact_dedup(
     fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
     fresh.count()
     if commit:
-        index.merge(
-            spark,
-            fresh.select(
-                "fingerprint", F.col(id_col).alias("first_seen_id")
-            ),
-            ["fingerprint"],
-        )
+        try:
+            index.merge(
+                spark,
+                fresh.select(
+                    "fingerprint", F.col(id_col).alias("first_seen_id")
+                ),
+                ["fingerprint"],
+            )
+        except Exception:
+            # the caller never receives the handle on a failed commit —
+            # release the cache here or every CommitConflict retry leaks
+            fresh.unpersist(blocking=False)
+            raise
     return fresh
 
 

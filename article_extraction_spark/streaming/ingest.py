@@ -145,3 +145,68 @@ def run_available_now_merge(
         .start()
     )
     q.awaitTermination()
+
+
+def run_available_now_dedup_ingest(
+    df: DataFrame,
+    out_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    id_cols: list[str] | None = None,
+    text_col: str = "extracted_text",
+    query_name: str = "dedup-ingest",
+    merge_retries: int = 3,
+) -> None:
+    """Streaming twin of `operators.dedup.incremental_exact_dedup`
+    (round 4): each micro-batch is fingerprint-deduped against the
+    PERSISTENT index before landing — within-batch first, then
+    left_anti vs everything any previous batch (or run) committed —
+    and the survivors append to ``out_dir`` while their fingerprints
+    MERGE into the index.
+
+    Cross-restart exactly-once, three layers deep: the streaming
+    checkpoint replays the exact input files of an interrupted epoch;
+    the replayed batch's fingerprints anti-join away if the index MERGE
+    already landed; and if the parquet append landed but the MERGE did
+    not, the re-run re-appends rows whose fingerprints dedup to the
+    same survivors (idempotent for the index, at-least-once for the
+    parquet sink — readers dedup on the carried ``fingerprint`` column,
+    which is why it is written). A concurrent index writer surfaces as
+    CommitConflict; the batch retries ``merge_retries`` times against
+    the new head before failing the query (the checkpoint then replays
+    the batch on restart)."""
+    from ..catalog import CommitConflict, ManifestTable
+    from ..operators.dedup import incremental_exact_dedup
+
+    id_sort = id_cols or ["conv_id", "turn_idx"]
+
+    def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        keyed = batch_df.withColumn(
+            "_ingest_id", F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_sort])
+        )
+        for attempt in range(merge_retries + 1):
+            try:
+                fresh = incremental_exact_dedup(
+                    keyed, "_ingest_id", text_col, ManifestTable(index_root), spark
+                )
+                break
+            except CommitConflict:
+                if attempt == merge_retries:
+                    raise
+        try:
+            fresh.drop("_ingest_id").write.mode("append").parquet(out_dir)
+        finally:
+            fresh.unpersist()
+
+    q = (
+        df.writeStream.foreachBatch(_dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()

@@ -133,3 +133,57 @@ def test_available_now_merge_upserts_into_manifest_table(spark, tmp_path):
     old = {(r["conv_id"], r["turn_idx"]): r["extracted_text"]
            for r in ManifestTable(root).read(spark, snapshot_id=first_snapshot).collect()}
     assert old[("c1", 0)] == "v1" and ("c3", 0) not in old
+
+
+def test_available_now_dedup_ingest(spark, tmp_path):
+    """round 4: foreachBatch incremental dedup — each run's micro-batch is
+    fingerprint-deduped against the PERSISTENT index, so re-sent content
+    (same text, new conv) never lands twice across restarts."""
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.streaming.ingest import (
+        run_available_now_dedup_ingest,
+    )
+
+    in_dir, out_dir, idx, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"),
+        str(tmp_path / "idx"), str(tmp_path / "ckpt"),
+    )
+    schema = "conv_id string, turn_idx int, ts timestamp, extracted_text string"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema).format("parquet").load(in_dir)
+        )
+
+    b1 = [
+        ("c1", 0, None, "unique alpha content"),
+        ("c1", 1, None, "unique beta content"),
+        ("c2", 0, None, "Unique ALPHA content!"),  # normalized dup of c1/0
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run_available_now_dedup_ingest(stream(), out_dir, idx, ckpt)
+    out1 = spark.read.parquet(out_dir).collect()
+    assert len(out1) == 2  # the in-batch normalized dup collapsed
+    assert {r["conv_id"] for r in out1} == {"c1"}
+    assert ManifestTable(idx).read(spark).count() == 2
+
+    # restart with new files: one cross-batch dup + one genuinely new row
+    b2 = [
+        ("c3", 0, None, "unique beta content"),   # dup of batch 1
+        ("c3", 1, None, "fresh gamma content"),
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run_available_now_dedup_ingest(stream(), out_dir, idx, ckpt)
+    out2 = spark.read.parquet(out_dir).collect()
+    assert len(out2) == 3, sorted((r["conv_id"], r["turn_idx"]) for r in out2)
+    assert ("c3", 1) in {(r["conv_id"], r["turn_idx"]) for r in out2}
+    assert ManifestTable(idx).read(spark).count() == 3
+    # every surviving row carries its fingerprint for reader-side dedup
+    assert all(len(r["fingerprint"]) == 32 for r in spark.read.parquet(out_dir).collect())
+
+    # third run, nothing new: no appends, index unchanged
+    run_available_now_dedup_ingest(stream(), out_dir, idx, ckpt)
+    assert spark.read.parquet(out_dir).count() == 3
+    assert ManifestTable(idx).read(spark).count() == 3
