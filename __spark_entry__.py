@@ -544,12 +544,18 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).dropDuplicates(["fingerprint"])
     )
     fresh = incremental_exact_dedup(batch, "doc_id", "text", index, spark)
-    out = fresh.select("doc_id", "fingerprint")
+    # collect before unpersisting: after the second merge below, a lazy
+    # recompute of `fresh` would anti-join against the UPDATED index and
+    # return empty — and holding the persist instead leaks a cache per
+    # gate run (review r4)
+    rows = fresh.select("doc_id", "fingerprint").collect()
+    fresh.unpersist()
     # re-running the SAME batch must now dedup to zero (exactly-once
     # proof folded into the oracle: the second call's count is a column)
     again = incremental_exact_dedup(batch, "doc_id", "text", index, spark)
     n_second = again.count()
     again.unpersist()
+    out = spark.createDataFrame(rows, "doc_id long, fingerprint string")
     return out.withColumn("second_run_survivors", F.lit(n_second).cast("long"))
 
 

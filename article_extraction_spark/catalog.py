@@ -197,6 +197,14 @@ class ManifestTable:
             with open(self._manifest_path(version), "x") as fh:
                 json.dump(out, fh)
         except FileExistsError as exc:
+            # same orphan cleanup as compact (review r4): the rewritten
+            # files belong to no manifest; retry loops (e.g. the streaming
+            # dedup ingest) would otherwise leak a file set per conflict
+            for f in new_files:
+                try:
+                    os.remove(os.path.join(self.root, f))
+                except OSError:
+                    pass
             raise CommitConflict(
                 "concurrent commit during merge — re-run against the new head"
             ) from exc

@@ -473,8 +473,13 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
 
     segs = _destuff_scan(payload, pos)
     interval = restart_interval if restart_interval else total_mcus
-    idxs: list[int] = []
-    vals: list[int] = []
+    # typed arrays, not python lists: 8 B/entry instead of ~50 (a dense
+    # 24-MP image has ~10^7 coefficients — review r4); append speed is
+    # comparable and np.frombuffer reads them without copying
+    from array import array
+
+    idxs = array("q")
+    vals = array("q")
     idx_app, val_app = idxs.append, vals.append  # locals: hot-loop bound
     mcu = 0
     for seg in segs:
@@ -512,7 +517,10 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
                 val_app(pred[ci])
                 k = 1
                 while k < 64:
-                    if nbits < 32:
+                    # WHILE, not if: a short tail chunk (stream end) can
+                    # leave nbits below even the 16-bit peek — the single-
+                    # refill variant crashed on negative shift (review r4)
+                    while nbits < 32:
                         chunk = data[p : p + 6]
                         if chunk:
                             p += len(chunk)
@@ -545,27 +553,72 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
                 base += 64
         mcu += n_seg
 
-    # ---- batched reconstruction over all blocks at once ----
+    # ---- batched reconstruction, CHUNKED over block ranges ----
+    # Bounded transients (review r4): an all-blocks-at-once coefs/
+    # natural/spatial trio is ~3×290 MB on a 24-MP 4:2:0 image. Blocks
+    # are processed in fixed-size ranges (the sparse idx stream is
+    # block-ordered by construction, so each range is a contiguous slice
+    # via searchsorted) and scattered straight into per-component
+    # (rows, cols, 8, 8) grids — the grids are the planes' own storage,
+    # so peak memory is planes + O(CHUNK) temporaries, like the r3
+    # per-block loop. The per-chunk matmul keeps the batched-IDCT win.
     zig = np.asarray(_ZIGZAG)
-    coefs = np.zeros((total_blocks, 64))
-    if idxs:
-        coefs.reshape(-1)[np.asarray(idxs, dtype=np.int64)] = vals
-    comp_of_block = np.tile(np.asarray([e[0] for e in sched]), total_mcus)
+    idx_arr = np.frombuffer(idxs, dtype=np.int64) if idxs else np.empty(0, np.int64)
+    val_arr = np.frombuffer(vals, dtype=np.int64) if vals else np.empty(0, np.int64)
+    sched_ci = np.asarray([e[0] for e in sched], dtype=np.int64)
     # quant tables in zigzag order so dequant happens before de-zigzag
     qz = np.stack([qt[c["tq"]].reshape(64)[zig] for c in comps])
-    coefs *= qz[comp_of_block]
-    natural = np.empty_like(coefs)
-    natural[:, zig] = coefs
-    blocks = natural.reshape(-1, 8, 8)
     idct = _idct_matrix()
-    spatial = idct.T @ blocks @ idct + 128.0  # broadcast batched matmul
 
-    # scatter into component planes, upsample to full resolution, crop
+    # per-component scatter geometry: for each block of comp ci in scan
+    # order, its global block index and (block-row, block-col) in the
+    # component grid — vectorized over MCUs
+    m = np.arange(total_mcus, dtype=np.int64)
+    geom = []
+    pos_in_mcu = 0
+    parts: list[list] = [[] for _ in comps]
+    for ci, c in enumerate(comps):
+        for by in range(c["v"]):
+            for bx in range(c["h"]):
+                parts[ci].append(
+                    (
+                        m * bpm + pos_in_mcu,
+                        (m // mcus_x) * c["v"] + by,
+                        (m % mcus_x) * c["h"] + bx,
+                    )
+                )
+                pos_in_mcu += 1
+    for ci in range(ncomp):
+        geom.append(tuple(np.concatenate(a) for a in zip(*parts[ci])))
+    grids = [
+        np.empty((mcus_y * c["v"], mcus_x * c["h"], 8, 8)) for c in comps
+    ]
+
+    CHUNK = 1 << 16  # 64k blocks ≈ 32 MB per float64 temp
+    for start in range(0, total_blocks, CHUNK):
+        end = min(start + CHUNK, total_blocks)
+        nb = end - start
+        lo = np.searchsorted(idx_arr, start * 64)
+        hi = np.searchsorted(idx_arr, end * 64)
+        coefs = np.zeros((nb, 64))
+        coefs.reshape(-1)[idx_arr[lo:hi] - start * 64] = val_arr[lo:hi]
+        ci_of = sched_ci[(start + np.arange(nb, dtype=np.int64)) % bpm]
+        coefs *= qz[ci_of]
+        natural = np.empty_like(coefs)
+        natural[:, zig] = coefs
+        spatial = idct.T @ natural.reshape(-1, 8, 8) @ idct + 128.0
+        for ci in range(ncomp):
+            g_all, rb_all, cb_all = geom[ci]
+            sel = (g_all >= start) & (g_all < end)
+            if sel.any():
+                grids[ci][rb_all[sel], cb_all[sel]] = spatial[g_all[sel] - start]
+
+    # grids → planes, upsample to full resolution, crop
     full = []
     for ci, c in enumerate(comps):
-        sel = spatial[comp_of_block == ci]  # scan order preserved by mask
-        grid = sel.reshape(mcus_y, mcus_x, c["v"], c["h"], 8, 8)
-        p = grid.transpose(0, 2, 4, 1, 3, 5).reshape(mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)
+        p = grids[ci].transpose(0, 2, 1, 3).reshape(
+            mcus_y * c["v"] * 8, mcus_x * c["h"] * 8
+        )
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)

@@ -163,16 +163,6 @@ def lsh_topk_bucketed(
 # ---------------------------------------------------------------------------
 
 
-def _sq_dist_col(vec_col, centroid: list[float]):
-    """Squared L2 to one literal centroid — native HOF expression."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def nearest_centroid_col(vec_col: str, centroids: list[list[float]]):
     """0-based nearest-centroid id as ONE native expression per row — no
     shuffle, no UDF, ties to the lowest centroid id (array_position finds
@@ -218,6 +208,11 @@ def kmeans_fit(
     assign the full corpus once at write time (`write_ivf`)."""
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=seed)
+    # NULL vectors make the nearest-centroid expression NULL (the row
+    # would crash the update step and, at write time, land in a
+    # never-probed __HIVE_DEFAULT_PARTITION__ — review r4); drop them
+    # here, and surface length mismatches with a real error below.
+    df = df.where(F.col(vec_col).isNotNull())
     init_rows = (
         df.select(F.col(vec_col).alias("_v"))
         .dropDuplicates(["_v"])
@@ -243,6 +238,12 @@ def kmeans_fit(
         by_cluster: dict[int, dict[int, float]] = {}
         for r in means:
             by_cluster.setdefault(r["_c"], {})[r["_d"]] = r["_m"]
+        if None in by_cluster:
+            raise ValueError(
+                "some vectors produced no nearest centroid — vector lengths "
+                f"differ from the centroid dim ({len(centroids[0])}); "
+                "normalize the embedding column before fitting"
+            )
         for ci, dims in by_cluster.items():
             new_centroids[ci] = [dims[d] for d in sorted(dims)]
         movement = max(
@@ -264,10 +265,26 @@ def write_ivf(
 ) -> None:
     """Materialize the IVF layout: parquet partitioned by nearest-centroid
     id (``cluster=<i>/`` directories). Assignment is one native-expression
-    pass; every subsequent probe is partition pruning."""
-    df.withColumn("cluster", nearest_centroid_col(vec_col, centroids)).write.partitionBy(
-        "cluster"
-    ).mode(mode).parquet(path)
+    pass; every subsequent probe is partition pruning.
+
+    NULL vectors are EXCLUDED (they are unsearchable by similarity and
+    would otherwise land in a never-probed ``__HIVE_DEFAULT_PARTITION__``
+    — review r4); a vector whose length differs from the centroid dim
+    fails the write with a clear error instead of silently vanishing
+    into that same partition."""
+    assigned = (
+        df.where(F.col(vec_col).isNotNull())
+        .withColumn("cluster", nearest_centroid_col(vec_col, centroids))
+        .withColumn(
+            "_dim_ok",
+            F.assert_true(
+                F.col("cluster").isNotNull(),
+                F.lit(f"vector length != centroid dim ({len(centroids[0])})"),
+            ),
+        )
+        .drop("_dim_ok")
+    )
+    assigned.write.partitionBy("cluster").mode(mode).parquet(path)
 
 
 def ivf_topk(

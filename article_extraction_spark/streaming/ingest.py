@@ -164,17 +164,21 @@ def run_available_now_dedup_ingest(
     and the survivors append to ``out_dir`` while their fingerprints
     MERGE into the index.
 
-    Cross-restart exactly-once, three layers deep: the streaming
-    checkpoint replays the exact input files of an interrupted epoch;
-    the replayed batch's fingerprints anti-join away if the index MERGE
-    already landed; and if the parquet append landed but the MERGE did
-    not, the re-run re-appends rows whose fingerprints dedup to the
-    same survivors (idempotent for the index, at-least-once for the
-    parquet sink — readers dedup on the carried ``fingerprint`` column,
-    which is why it is written). A concurrent index writer surfaces as
-    CommitConflict; the batch retries ``merge_retries`` times against
-    the new head before failing the query (the checkpoint then replays
-    the batch on restart)."""
+    Cross-restart exactly-once, and the ORDER is load-bearing (review
+    r4): the parquet append happens BEFORE the index MERGE. A crash
+    after the append but before the merge means the restart's replayed
+    batch still anti-joins to the same survivors (their fingerprints
+    never landed) and re-appends them — at-least-once for the parquet
+    sink, which is why every row carries its ``fingerprint`` column for
+    reader-side dedup of replay overlap. The reverse order would be
+    data LOSS: a durably-merged fingerprint makes the replayed batch
+    dedup to empty while the rows never reached ``out_dir``. The index
+    merge itself is idempotent (re-merging the same fingerprints is a
+    no-op for table state); a concurrent index writer surfaces as
+    CommitConflict and the merge retries ``merge_retries`` times
+    against the new head before failing the query (the checkpoint then
+    replays the whole batch on restart — append-then-dedup keeps that
+    safe too)."""
     from ..catalog import CommitConflict, ManifestTable
     from ..operators.dedup import incremental_exact_dedup
 
@@ -187,17 +191,22 @@ def run_available_now_dedup_ingest(
         keyed = batch_df.withColumn(
             "_ingest_id", F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_sort])
         )
-        for attempt in range(merge_retries + 1):
-            try:
-                fresh = incremental_exact_dedup(
-                    keyed, "_ingest_id", text_col, ManifestTable(index_root), spark
-                )
-                break
-            except CommitConflict:
-                if attempt == merge_retries:
-                    raise
+        index = ManifestTable(index_root)
+        fresh = incremental_exact_dedup(
+            keyed, "_ingest_id", text_col, index, spark, commit=False
+        )
         try:
             fresh.drop("_ingest_id").write.mode("append").parquet(out_dir)
+            fingerprints = fresh.select(
+                "fingerprint", F.col("_ingest_id").alias("first_seen_id")
+            )
+            for attempt in range(merge_retries + 1):
+                try:
+                    index.merge(spark, fingerprints, ["fingerprint"])
+                    break
+                except CommitConflict:
+                    if attempt == merge_retries:
+                        raise
         finally:
             fresh.unpersist()
 

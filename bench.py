@@ -149,21 +149,32 @@ def main() -> None:
     warm_min5: dict[str, float] = {}
     warm_spread: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
-        transcripts = transcripts.persist()
-        transcripts.count()
-        warm_targets = {"extract_transcripts": lambda: convert_transcripts(transcripts, num_partitions=cpus * 2)}
+        # operator queries first (clearCache between runs releases the
+        # dedup family's internal persists) ...
         for name in list(timings):
-            if name != "extract_transcripts":
-                warm_targets[name] = (lambda n: lambda: qs[n](spark, sf_dir))(name)
-        for name, build in warm_targets.items():
+            if name == "extract_transcripts":
+                continue
             runs = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                _force(build())
+                _force(qs[name](spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
             warm_min5[name] = round(min(runs), 3)
             warm_spread[name] = round(max(runs) / min(runs), 2)
+        # ... then the flagship LAST, with NO clearCache inside its loop:
+        # clearCache would drop the persisted transcripts input, so runs
+        # 2-5 would silently re-time corpus amplification instead of
+        # extraction (review r4 — min-of-5 was really min-of-1)
+        transcripts = transcripts.persist()
+        transcripts.count()
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _force(convert_transcripts(transcripts, num_partitions=cpus * 2))
+            runs.append(time.perf_counter() - t0)
+        warm_min5["extract_transcripts"] = round(min(runs), 3)
+        warm_spread["extract_transcripts"] = round(max(runs) / min(runs), 2)
         transcripts.unpersist()
         extras["extract_turns_per_sec_warm"] = round(n_turns / warm_min5["extract_transcripts"], 1)
 

@@ -477,3 +477,21 @@ def test_destuff_scan_edge_cases():
     # trailing lone 0xFF (no following byte) stays as data
     segs = _destuff_scan(b"\x10\xff", 0)
     assert segs == [b"\x10\xff"]
+
+
+def test_jpeg_truncated_stream_never_negative_shift():
+    """review r4: a short tail refill chunk must loop until the 16-bit
+    peek is covered — decode of truncated streams either succeeds (zero
+    padding reads as EOB-ish data) or raises a clean codec ValueError,
+    never a negative-shift crash."""
+    import numpy as np
+
+    from article_extraction_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(21)
+    jp = encode_jpeg(rng.randint(0, 256, size=(64, 48, 3), dtype=np.uint8), quant=3)
+    for cut in range(1, 120):
+        try:
+            decode_jpeg(jp[:-cut])
+        except ValueError as exc:
+            assert "negative" not in str(exc), (cut, exc)
