@@ -43,6 +43,7 @@ def curate_corpus(
     contamination_ngram: int = 3,
     boilerplate_max_doc_freq: int | None = None,
     lm_score_floor: float | None = None,
+    dedup_index_root: str | None = None,
 ) -> dict:
     from article_extraction_spark.operators.dedup import (
         contamination_check,
@@ -106,6 +107,26 @@ def curate_corpus(
     stats["after_exact_dedup"] = exact.count()
     if lm_cache is not None:
         lm_cache.unpersist(blocking=False)
+    spine_caches = [exact]
+
+    # 2b. (optional) CROSS-RUN incremental dedup: drop docs whose
+    # fingerprint a previous curation run already committed to the
+    # persistent index, and record this run's survivors — repeated runs
+    # over a growing input only pay (and only emit) genuinely new
+    # content. The index MERGE is optimistic-concurrency safe; a racing
+    # curation run surfaces as CommitConflict and this run is retried.
+    if dedup_index_root is not None:
+        from article_extraction_spark.catalog import ManifestTable
+        from article_extraction_spark.operators.dedup import (
+            incremental_exact_dedup,
+        )
+
+        idx_fresh = incremental_exact_dedup(
+            exact, id_col, text_col, ManifestTable(dedup_index_root), spark
+        )
+        stats["after_index_dedup"] = idx_fresh.count()
+        spine_caches.append(idx_fresh)
+        exact = idx_fresh.drop("fingerprint")
 
     # 3. near dedup at CLUSTER granularity: pairs → connected components →
     # keep the canonical (min-id) doc per component. Dropping one side of
@@ -133,7 +154,8 @@ def curate_corpus(
     stats["output"] = stats["after_decontamination"]
     spark.createDataFrame([stats]).write.mode("overwrite").json(f"{out_dir}/stats")
     comp.unpersist(blocking=True)  # last consumer (the write) is done
-    exact.unpersist(blocking=True)
+    for c in spine_caches:  # the handles hold the caches, not projections
+        c.unpersist(blocking=True)
     return stats
 
 
@@ -150,6 +172,10 @@ def main() -> None:
                     help="strip lines repeating across more than N docs (off by default)")
     ap.add_argument("--lm-score-floor", type=float, default=None,
                     help="drop docs with mean bigram log-prob below this (off by default)")
+    ap.add_argument("--dedup-index", default=None,
+                    help="persistent fingerprint-index table root: drop docs "
+                         "already curated by a previous run, commit this "
+                         "run's survivors (off by default)")
     args = ap.parse_args()
 
     # build the session BEFORE importing engine modules: under spark-submit
@@ -175,6 +201,7 @@ def main() -> None:
         contamination_ngram=args.contamination_ngram,
         boilerplate_max_doc_freq=args.boilerplate_max_doc_freq,
         lm_score_floor=args.lm_score_floor,
+        dedup_index_root=args.dedup_index,
     )
     print(json.dumps(stats))
 

@@ -103,3 +103,42 @@ def test_curate_corpus_optional_stages(spark, tmp_path):
     got = {r["doc_id"]: r["curated_text"] for r in out.collect()}
     assert set(got) == {1}
     assert all(banner not in t for t in got.values())
+
+
+def test_curate_corpus_cross_run_index_dedup(spark, tmp_path):
+    """round 4: --dedup-index makes curation incremental across runs —
+    run 2 over a grown input only emits the genuinely new docs, and the
+    per-stage stats record the index-dedup drop."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate_corpus import curate_corpus
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    benchmark = base.where(F.col("doc_id") < 0)  # empty: isolate the index stage
+    idx = str(tmp_path / "fpidx")
+
+    run1_docs = base.where(F.col("doc_id") < 60)
+    s1 = curate_corpus(
+        spark, run1_docs, benchmark, str(tmp_path / "out1"), dedup_index_root=idx
+    )
+    assert s1["after_index_dedup"] == s1["after_exact_dedup"]  # empty index
+    n1 = s1["output"]
+    assert n1 > 0
+
+    # run 2: everything from run 1 plus 20 genuinely new docs
+    run2_docs = base.where(F.col("doc_id") < 80)
+    s2 = curate_corpus(
+        spark, run2_docs, benchmark, str(tmp_path / "out2"), dedup_index_root=idx
+    )
+    assert s2["after_index_dedup"] < s2["after_exact_dedup"]
+    out2 = spark.read.parquet(str(tmp_path / "out2") + "/curated")
+    new_ids = {r["doc_id"] for r in out2.select("doc_id").collect()}
+    assert new_ids and all(i >= 60 for i in new_ids), sorted(new_ids)[:5]
+
+    # run 3: same input as run 2 — nothing new survives
+    s3 = curate_corpus(
+        spark, run2_docs, benchmark, str(tmp_path / "out3"), dedup_index_root=idx
+    )
+    assert s3["after_index_dedup"] == 0 and s3["output"] == 0
