@@ -512,6 +512,38 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
 
 
+def q_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping (round 4): lineitem written
+    z-ordered on (l_quantity, l_extendedprice) with a file-stats sidecar;
+    a box query must return exactly the plain-filter rows (oracle) while
+    touching only the files whose stats intersect the box — the
+    `pruned_some` column bakes the skipping evidence into the hashed
+    result, and the corrupt-unselected-files proof lives in
+    tests/test_training_ops.py."""
+    import os
+
+    from article_extraction_spark.operators.zorder import (
+        prune_files,
+        read_zordered,
+        write_zordered,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    path = f"/tmp/aes_zorder_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    write_zordered(li, path, ["l_quantity", "l_extendedprice"], n_files=16)
+    box = {"l_quantity": (10.0, 20.0), "l_extendedprice": (20000.0, 40000.0)}
+    hit = read_zordered(spark, path, box)
+    n_selected = len(prune_files(path, box))
+    n_total = len(prune_files(path, {}))
+    return hit.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(bool(n_selected < n_total)).alias("pruned_some"),
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time exact dedup vs a persistent fingerprint index
     (round 4): the index is preloaded with docs 0-99's fingerprints (a
@@ -1501,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "lsh_topk_bucketed": q_lsh_topk_bucketed,
         "ivf_topk": q_ivf_topk,
+        "zorder_box": q_zorder_box,
         "incremental_dedup": q_incremental_dedup,
         "grouped_corr": q_grouped_corr,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1960,6 +1993,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10
+        """,
+        "zorder_box": """
+            SELECT l_orderkey, l_linenumber, true AS pruned_some
+            FROM lineitem
+            WHERE l_quantity BETWEEN 10.0 AND 20.0
+              AND l_extendedprice BETWEEN 20000.0 AND 40000.0
         """,
         "incremental_dedup": """
             WITH fp AS (

@@ -1,0 +1,164 @@
+"""Multi-dimensional data skipping: z-order clustering + a file-stats
+pruning index (round 4).
+
+Partition pruning (lsh/ivf layouts) skips directories on ONE key. Range
+queries over several numeric columns need a different layout: interleave
+the columns' bits into a space-filling z-value, range-partition and sort
+the table by it, and record each output file's per-column min/max in a
+sidecar. Files then cover tight axis-aligned boxes, so a box predicate
+touches only the few files whose stats intersect it — the mechanism
+behind Delta/Iceberg data skipping (public: Morton 1966 z-curves; the
+OPTIMIZE ZORDER BY pattern), built here from plain parquet + a JSON
+sidecar so it works anywhere.
+
+Everything is native expressions: the z-value is a sum of shift/mask
+terms (whole-stage codegen'd), the write is repartitionByRange +
+sortWithinPartitions, and the read path intersects the sidecar stats
+driver-side (bytes, not rows) then scans only the matching files —
+predicate pushdown still applies within them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SIDECAR = "_zorder_stats.json"
+
+
+def zvalue_col(cols: list[str], mins: list[float], maxs: list[float], bits: int = 16):
+    """Morton z-value of ``cols`` as ONE native LongType expression.
+
+    Each column is linearly ranked into [0, 2^bits) against the given
+    [min, max] (clamped — out-of-range rows sort to the curve's edge,
+    never error), then the ranks' bits interleave: bit b of column i
+    lands at position b*ncols + i. bits·ncols must stay ≤ 63."""
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*ncols = {bits * n} exceeds a signed long")
+    top = (1 << bits) - 1
+    ranks = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            ranks.append(F.lit(0).cast("long"))
+            continue
+        scaled = (F.col(c).cast("double") - float(lo)) / span * top
+        ranks.append(
+            F.least(F.lit(top), F.greatest(F.lit(0), F.floor(scaled))).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, r in enumerate(ranks):
+            z = z + F.shiftleft(F.shiftright(r, b).bitwiseAND(F.lit(1)), b * n + i)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` z-ordered on ``cols`` with a file-stats sidecar.
+
+    One agg computes the columns' min/max (the ranking domain, also
+    persisted in the sidecar so readers re-derive nothing), then
+    repartitionByRange on the z-value gives each of ``n_files`` output
+    files a contiguous z-range — which is a TIGHT box in column space —
+    and a post-write pyarrow footer pass records each file's per-column
+    min/max. Returns the sidecar dict."""
+    agg = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    mins = [agg[f"mn_{i}"] for i in range(len(cols))]
+    maxs = [agg[f"mx_{i}"] for i in range(len(cols))]
+    if any(v is None for v in mins + maxs):
+        raise ValueError("z-order columns contain only NULLs (no min/max domain)")
+    z = zvalue_col(cols, mins, maxs, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    stats = []
+    for fname in files:
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        fmin: dict[str, float] = {}
+        fmax: dict[str, float] = {}
+        for rg in range(md.num_row_groups):
+            for ci, name in enumerate(schema_names):
+                if name not in cols:
+                    continue
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = float(st.min), float(st.max)
+                fmin[name] = min(fmin.get(name, lo), lo)
+                fmax[name] = max(fmax.get(name, hi), hi)
+        stats.append({"file": fname, "min": fmin, "max": fmax})
+    sidecar = {"cols": cols, "bits": bits, "domain_min": mins, "domain_max": maxs, "files": stats}
+    with open(os.path.join(path, _SIDECAR), "w") as fh:
+        json.dump(sidecar, fh)
+    return sidecar
+
+
+def prune_files(path: str, box: dict[str, tuple[float, float]]) -> list[str]:
+    """File paths whose sidecar stats intersect the box (driver-side,
+    reads only the JSON sidecar). A file missing stats for a predicate
+    column is kept (never prune on missing information)."""
+    with open(os.path.join(path, _SIDECAR)) as fh:
+        sidecar = json.load(fh)
+    keep = []
+    for entry in sidecar["files"]:
+        hit = True
+        for col, (lo, hi) in box.items():
+            if col in entry["min"] and (entry["max"][col] < lo or entry["min"][col] > hi):
+                hit = False
+                break
+        if hit:
+            keep.append(os.path.join(path, entry["file"]))
+    return keep
+
+
+def read_zordered(
+    spark: SparkSession,
+    path: str,
+    box: dict[str, tuple[float, float]],
+    schema=None,
+) -> DataFrame:
+    """Box query over a write_zordered table: sidecar-prune the file
+    list, scan only those files, apply the residual predicate (rows in
+    kept files but outside the box). Empty prune result → empty frame
+    with the right schema (requires ``schema`` or one sample file).
+    Pass ``schema`` on large tables to skip footer inference."""
+    files = prune_files(path, box)
+    pred = None
+    for col, (lo, hi) in box.items():
+        clause = (F.col(col) >= lo) & (F.col(col) <= hi)
+        pred = clause if pred is None else (pred & clause)
+    if not files:
+        if schema is None:
+            any_file = prune_files(path, {})
+            reader = spark.read.parquet(*any_file)
+            return reader.where(F.lit(False)) if pred is None else reader.where(F.lit(False))
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    out = reader.parquet(*files)
+    return out if pred is None else out.where(pred)

@@ -1056,3 +1056,89 @@ def test_incremental_exact_dedup_lifecycle(spark, tmp_path):
     assert retry.count() == 1
     retry.unpersist()
     assert index.read(spark).count() == 5  # 3 + racer's row + b3
+
+
+def test_zorder_zvalue_interleave_known_bits(spark):
+    """Morton interleave pinned on hand-computed codes: 2-bit ranks
+    (x, y) → z = y1 x1 y0 x0."""
+    from article_extraction_spark.operators.zorder import zvalue_col
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (3.0, 0.0), (0.0, 3.0), (3.0, 3.0), (2.0, 1.0)],
+        "x double, y double",
+    )
+    z = zvalue_col(["x", "y"], mins=[0.0, 0.0], maxs=[3.0, 3.0], bits=2)
+    got = [r["z"] for r in df.select(z.alias("z")).collect()]
+    # ranks equal values here; interleave x bits at even positions
+    # x=2,y=1 → x bits (1,0) at pos 0,2 ; y bits (0,1) at pos 1,3
+    # z = x0 + 2*y0 + 4*x1 + 8*y1
+    assert got == [0, 0b0101, 0b1010, 0b1111, 0b0110], [bin(v) for v in got]
+
+
+def test_zorder_box_prunes_and_matches_full_scan(spark, tmp_path):
+    """Data-skipping proof, same shape as the IVF/LSH tests: the box
+    query equals the full-scan filter, touches a minority of files, and
+    still works after every NON-selected file is corrupted (so the
+    pruned files are provably never opened)."""
+    import glob
+    import os
+
+    import numpy as np
+    import pytest
+
+    from article_extraction_spark.operators.zorder import (
+        prune_files,
+        read_zordered,
+        write_zordered,
+    )
+
+    rng = np.random.RandomState(13)
+    rows = [
+        (i, float(rng.uniform(0, 100)), float(rng.uniform(0, 100)))
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    path = str(tmp_path / "ztab")
+    write_zordered(df, path, ["x", "y"], n_files=16)
+
+    box = {"x": (10.0, 25.0), "y": (60.0, 80.0)}
+    expected = sorted(
+        r[0] for r in rows if 10.0 <= r[1] <= 25.0 and 60.0 <= r[2] <= 80.0
+    )
+    got = sorted(r["id"] for r in read_zordered(spark, path, box).collect())
+    assert got == expected and got
+
+    selected = set(prune_files(path, box))
+    total = prune_files(path, {})
+    assert len(total) == 16
+    assert len(selected) <= len(total) // 2, (len(selected), len(total))
+
+    # corrupt every non-selected file: pruned read unaffected, full scan dies
+    for f in total:
+        if f not in selected:
+            with open(f, "wb") as fh:
+                fh.write(b"not a parquet file")
+    again = sorted(r["id"] for r in read_zordered(spark, path, box).collect())
+    assert again == expected
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()
+
+
+def test_zorder_degenerate_and_empty_box(spark, tmp_path):
+    from article_extraction_spark.operators.zorder import (
+        read_zordered,
+        write_zordered,
+    )
+
+    # constant column: span 0 must not divide by zero
+    df = spark.createDataFrame(
+        [(i, 5.0, float(i)) for i in range(100)], "id long, x double, y double"
+    )
+    path = str(tmp_path / "zc")
+    write_zordered(df, path, ["x", "y"], n_files=4)
+    got = read_zordered(spark, path, {"x": (0.0, 10.0), "y": (10.0, 19.0)}).collect()
+    assert sorted(r["id"] for r in got) == list(range(10, 20))
+    # a box that intersects no file stats → empty result, not an error
+    assert read_zordered(
+        spark, path, {"y": (1e6, 2e6)}, schema="id long, x double, y double"
+    ).count() == 0
