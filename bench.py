@@ -101,10 +101,14 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(min(runs), 3)
 
-    # round-3 operators: timed once each into extras (NOT the headline
+    # round-3/4 operators: timed once each into extras (NOT the headline
     # total, which stays the fixed r1/r2 set for round-over-round
     # comparability)
-    for name in ["pack_blocks", "bigram_lm_score", "boilerplate_lines", "pdf_layout", "jpeg_decode"]:
+    for name in [
+        "pack_blocks", "bigram_lm_score", "boilerplate_lines", "pdf_layout",
+        "jpeg_decode", "ivf_topk", "tfidf_top_terms", "ngram_jaccard",
+        "incremental_dedup", "zorder_box",
+    ]:
         if name in qs:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
