@@ -1142,3 +1142,86 @@ def test_zorder_degenerate_and_empty_box(spark, tmp_path):
     assert read_zordered(
         spark, path, {"y": (1e6, 2e6)}, schema="id long, x double, y double"
     ).count() == 0
+
+
+def test_ngram_jaccard_random_sweep_vs_bruteforce(spark):
+    """Seeded random corpus: the relational exact-Jaccard pairs must
+    equal a pure-python brute force over string shingle sets (catches
+    hash-set vs string-set drift and candidate-generation recall gaps)."""
+    import itertools
+    import random
+
+    from article_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = rng.randrange(3, 25)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant near-dups: copies with a word appended / replaced, so the
+    # sweep exercises pairs above AND below the threshold
+    for j in range(8):
+        base_id, base_text = docs[j * 3]
+        words = base_text.split()
+        if j % 2 == 0:
+            words.append(rng.choice(vocab))
+        else:
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((100 + j, " ".join(words)))
+
+    def shingles(text, n=3):
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) <= n - 1:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    expected = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        j = 1.0 if union == 0 else inter / union
+        if j >= 0.3:
+            expected[(ia, ib)] = (inter, union)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3)
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_union"])
+        for r in pairs.collect()
+    }
+    pairs.unpersist()
+    assert got == expected, (
+        f"missing={set(expected) - set(got)} extra={set(got) - set(expected)}"
+    )
+    assert expected, "degenerate sweep: no qualifying pairs"
+
+
+def test_zorder_zvalue_random_sweep_vs_python_morton(spark):
+    """Seeded random points: the native z-value expression must equal a
+    pure-python Morton reference (rank clamping included)."""
+    import numpy as np
+
+    from article_extraction_spark.operators.zorder import zvalue_col
+
+    rng = np.random.RandomState(31)
+    pts = [(float(x), float(y)) for x, y in rng.uniform(-5, 105, size=(300, 2))]
+    lo, hi, bits = 0.0, 100.0, 8
+    top = (1 << bits) - 1
+
+    def rank(v):
+        return min(top, max(0, int((v - lo) / (hi - lo) * top)))
+
+    def morton(x, y):
+        rx, ry = rank(x), rank(y)
+        z = 0
+        for b in range(bits):
+            z |= ((rx >> b) & 1) << (2 * b)
+            z |= ((ry >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "x double, y double")
+    z = zvalue_col(["x", "y"], [lo, lo], [hi, hi], bits=bits)
+    got = [r["z"] for r in df.select(z.alias("z")).collect()]
+    assert got == [morton(x, y) for x, y in pts]
