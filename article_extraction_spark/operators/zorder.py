@@ -16,6 +16,12 @@ terms (whole-stage codegen'd), the write is repartitionByRange +
 sortWithinPartitions, and the read path intersects the sidecar stats
 driver-side (bytes, not rows) then scans only the matching files —
 predicate pushdown still applies within them.
+
+``write_zordered(mode="append")`` stays CORRECT: the sidecar is rebuilt
+from every file's actual footer stats after the write, and pruning
+trusts only those per-file boxes — files appended under a different
+value domain just prune less tightly (re-cluster with a fresh overwrite
+when locality degrades; the OPTIMIZE pattern).
 """
 
 from __future__ import annotations

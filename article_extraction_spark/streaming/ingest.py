@@ -219,3 +219,43 @@ def run_available_now_dedup_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (round 4): each left row
+    pairs with same-key right rows whose timestamp falls in
+    [left.ts, left.ts + max_delay] — e.g. a turn joined with the tool
+    events it triggered.
+
+    Both sides carry watermarks AND the join condition carries the time
+    interval, which is what lets Spark BOUND the join state: buffered
+    rows are evicted once the watermark passes their join window. A
+    stream-stream equi-join without the range condition buffers both
+    streams forever — the state-explosion footgun at 10^12 turns. The
+    right side's key/timestamp come back suffixed ``_r`` so the output
+    schema is collision-free."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    joined = l.join(r, cond, "inner")
+    right_value_cols = [c for c in right.columns if c not in (key, right_ts)]
+    return joined.select(
+        "l.*",
+        F.col(f"r.{right_ts}").alias(f"{right_ts}_r"),
+        *[F.col(f"r.{c}") for c in right_value_cols],
+    )

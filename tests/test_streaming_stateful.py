@@ -187,3 +187,63 @@ def test_available_now_dedup_ingest(spark, tmp_path):
     run_available_now_dedup_ingest(stream(), out_dir, idx, ckpt)
     assert spark.read.parquet(out_dir).count() == 3
     assert ManifestTable(idx).read(spark).count() == 3
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """round 4: the watermarked stream-stream interval join produces
+    exactly the batch interval join's rows over the same files (inner
+    join, [ts, ts+5 minutes] window, per-conv key)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.streaming.ingest import streaming_interval_join
+
+    def ts(minute):
+        return dt.datetime(2026, 1, 1, 10, minute)
+
+    turns = [
+        ("c1", 0, ts(0)), ("c1", 1, ts(10)), ("c2", 0, ts(0)),
+    ]
+    tools = [
+        ("c1", "search", ts(2)),     # joins c1/0 (within 5m)
+        ("c1", "browse", ts(7)),     # joins nothing (5m after turn 0, 3m before turn 1)
+        ("c1", "code", ts(12)),      # joins c1/1
+        ("c2", "search", ts(20)),    # outside every window
+    ]
+    t_dir, e_dir, out, ckpt = (
+        str(tmp_path / "t"), str(tmp_path / "e"),
+        str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    t_schema = "conv_id string, turn_idx int, ts timestamp"
+    e_schema = "conv_id string, tool string, ts timestamp"
+    spark.createDataFrame(turns, t_schema).coalesce(1).write.parquet(t_dir)
+    spark.createDataFrame(tools, e_schema).coalesce(1).write.parquet(e_dir)
+
+    joined = streaming_interval_join(
+        spark.readStream.schema(t_schema).parquet(t_dir),
+        spark.readStream.schema(e_schema).parquet(e_dir),
+        key="conv_id", max_delay="5 minutes",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["conv_id"], r["turn_idx"], r["tool"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("c1", 0, "search"), ("c1", 1, "code")}, got
+
+    # batch twin over identical frames → identical pairs
+    bt = spark.createDataFrame(turns, t_schema).alias("l")
+    be = spark.createDataFrame(tools, e_schema).alias("r")
+    batch = bt.join(
+        be,
+        (F.col("l.conv_id") == F.col("r.conv_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 5 minutes")),
+    ).select("l.conv_id", "l.turn_idx", "r.tool")
+    assert {tuple(r) for r in batch.collect()} == got
