@@ -119,6 +119,16 @@ def write_zordered(
                 fmin[name] = min(fmin.get(name, lo), lo)
                 fmax[name] = max(fmax.get(name, hi), hi)
         stats.append({"file": fname, "min": fmin, "max": fmax})
+    # on append, the persisted ranking domain must describe the WHOLE
+    # table, not just this batch — widen against the prior sidecar
+    # (per-file pruning never reads the domain, so this is purely for
+    # consumers that rank query points against it; review r4)
+    if mode == "append" and os.path.exists(os.path.join(path, _SIDECAR)):
+        with open(os.path.join(path, _SIDECAR)) as fh:
+            prior = json.load(fh)
+        if prior.get("cols") == cols:
+            mins = [min(a, b) for a, b in zip(prior["domain_min"], mins)]
+            maxs = [max(a, b) for a, b in zip(prior["domain_max"], maxs)]
     sidecar = {"cols": cols, "bits": bits, "domain_min": mins, "domain_max": maxs, "files": stats}
     with open(os.path.join(path, _SIDECAR), "w") as fh:
         json.dump(sidecar, fh)
@@ -160,11 +170,15 @@ def read_zordered(
         clause = (F.col(col) >= lo) & (F.col(col) <= hi)
         pred = clause if pred is None else (pred & clause)
     if not files:
-        if schema is None:
-            any_file = prune_files(path, {})
-            reader = spark.read.parquet(*any_file)
-            return reader.where(F.lit(False)) if pred is None else reader.where(F.lit(False))
-        return spark.createDataFrame([], schema)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        all_files = prune_files(path, {})
+        if not all_files:
+            raise ValueError(
+                "z-ordered table has no data files and no schema was given "
+                "— pass schema= to get an empty frame"
+            )
+        return spark.read.parquet(*all_files).where(F.lit(False))
     reader = spark.read.schema(schema) if schema is not None else spark.read
     out = reader.parquet(*files)
     return out if pred is None else out.where(pred)

@@ -239,9 +239,13 @@ def streaming_interval_join(
     interval, which is what lets Spark BOUND the join state: buffered
     rows are evicted once the watermark passes their join window. A
     stream-stream equi-join without the range condition buffers both
-    streams forever — the state-explosion footgun at 10^12 turns. The
-    right side's key/timestamp come back suffixed ``_r`` so the output
-    schema is collision-free."""
+    streams forever — the state-explosion footgun at 10^12 turns.
+
+    Output schema: all left columns as-is, plus EVERY right column
+    except the (equal) join key, each suffixed ``_r`` — deterministic
+    and collision-free even when both sides share column names (review
+    r4: un-suffixed right values made a shared ``text`` column
+    ambiguous and the write fail)."""
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -253,9 +257,11 @@ def streaming_interval_join(
         )
     )
     joined = l.join(r, cond, "inner")
-    right_value_cols = [c for c in right.columns if c not in (key, right_ts)]
     return joined.select(
         "l.*",
-        F.col(f"r.{right_ts}").alias(f"{right_ts}_r"),
-        *[F.col(f"r.{c}") for c in right_value_cols],
+        *[
+            F.col(f"r.{c}").alias(f"{c}_r")
+            for c in right.columns
+            if c != key
+        ],
     )

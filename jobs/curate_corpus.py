@@ -102,7 +102,9 @@ def curate_corpus(
     # and fingerprint shuffle would re-execute ~5×
     keyed = quality.withColumn("_fp", fingerprint_col(F.col(text_col)))
     first = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    exact = keyed.join(first, ["_fp", id_col], "left_semi").drop("_fp")
+    exact = keyed.join(first, ["_fp", id_col], "left_semi").withColumnRenamed(
+        "_fp", "fingerprint"
+    )
     exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     stats["after_exact_dedup"] = exact.count()
     if lm_cache is not None:
@@ -110,23 +112,33 @@ def curate_corpus(
     spine_caches = [exact]
 
     # 2b. (optional) CROSS-RUN incremental dedup: drop docs whose
-    # fingerprint a previous curation run already committed to the
-    # persistent index, and record this run's survivors — repeated runs
-    # over a growing input only pay (and only emit) genuinely new
-    # content. The index MERGE is optimistic-concurrency safe; a racing
-    # curation run surfaces as CommitConflict and this run is retried.
+    # fingerprint a previous curation run already PROCESSED (curated or
+    # deliberately rejected by a later stage) — repeated runs over a
+    # growing input only pay for genuinely new content. The index
+    # records processed fingerprints, and the MERGE happens AFTER the
+    # stage-6 write (review r4): committing here would make a crash in
+    # stages 3-6 permanently suppress documents no run ever emitted —
+    # the same merge-before-write loss the streaming ingest documents.
+    # Stage 2 already computed each doc's fingerprint, so this stage is
+    # one anti-join on the existing column — no re-hash, no window.
+    index = None
     if dedup_index_root is not None:
         from article_extraction_spark.catalog import ManifestTable
-        from article_extraction_spark.operators.dedup import (
-            incremental_exact_dedup,
-        )
 
-        idx_fresh = incremental_exact_dedup(
-            exact, id_col, text_col, ManifestTable(dedup_index_root), spark
-        )
-        stats["after_index_dedup"] = idx_fresh.count()
-        spine_caches.append(idx_fresh)
-        exact = idx_fresh.drop("fingerprint")
+        index = ManifestTable(dedup_index_root)
+        try:
+            existing = index.read(spark).select("fingerprint")
+        except FileNotFoundError:
+            existing = None  # first run: empty index
+        if existing is not None:
+            pruned = exact.join(existing, "fingerprint", "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            stats["after_index_dedup"] = pruned.count()
+            spine_caches.append(pruned)
+            exact = pruned
+        else:
+            stats["after_index_dedup"] = stats["after_exact_dedup"]
 
     # 3. near dedup at CLUSTER granularity: pairs → connected components →
     # keep the canonical (min-id) doc per component. Dropping one side of
@@ -146,13 +158,23 @@ def curate_corpus(
     clean = near.join(clean_ids, id_col, "left_semi")
     stats["after_decontamination"] = clean.count()
 
-    # 5. PII redaction (native regexp — no row explosion)
-    curated = redact_pii(clean, text_col, out_col="curated_text")
+    # 5. PII redaction (native regexp — no row explosion). The internal
+    # fingerprint column stays out of the published output.
+    curated = redact_pii(clean.drop("fingerprint"), text_col, out_col="curated_text")
 
-    # 6. write + stats
+    # 6. write + stats, THEN the index commit (write-before-merge: a
+    # crash anywhere above leaves the index untouched, so the re-run
+    # replays everything instead of losing it; a crash between write and
+    # merge just reprocesses — the merge is idempotent)
     curated.write.mode("overwrite").parquet(f"{out_dir}/curated")
     stats["output"] = stats["after_decontamination"]
     spark.createDataFrame([stats]).write.mode("overwrite").json(f"{out_dir}/stats")
+    if index is not None:
+        index.merge(
+            spark,
+            exact.select("fingerprint", F.col(id_col).alias("first_seen_id")),
+            ["fingerprint"],
+        )
     comp.unpersist(blocking=True)  # last consumer (the write) is done
     for c in spine_caches:  # the handles hold the caches, not projections
         c.unpersist(blocking=True)

@@ -232,7 +232,7 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
     got = {
-        (r["conv_id"], r["turn_idx"], r["tool"])
+        (r["conv_id"], r["turn_idx"], r["tool_r"])
         for r in spark.read.parquet(out).collect()
     }
     assert got == {("c1", 0, "search"), ("c1", 1, "code")}, got
@@ -247,3 +247,27 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 5 minutes")),
     ).select("l.conv_id", "l.turn_idx", "r.tool")
     assert {tuple(r) for r in batch.collect()} == got
+
+    # shared column names must come back suffixed, not ambiguous
+    t2 = "conv_id string, ts timestamp, text string"
+    spark.createDataFrame([("c1", ts(0), "turn text")], t2).coalesce(1).write.parquet(
+        str(tmp_path / "t2")
+    )
+    spark.createDataFrame([("c1", ts(1), "tool text")], t2).coalesce(1).write.parquet(
+        str(tmp_path / "e2")
+    )
+    j2 = streaming_interval_join(
+        spark.readStream.schema(t2).parquet(str(tmp_path / "t2")),
+        spark.readStream.schema(t2).parquet(str(tmp_path / "e2")),
+        key="conv_id", max_delay="5 minutes",
+    )
+    assert sorted(j2.columns) == ["conv_id", "text", "text_r", "ts", "ts_r"], j2.columns
+    q2 = (
+        j2.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    rows2 = spark.read.parquet(str(tmp_path / "out2")).collect()
+    assert [(r["text"], r["text_r"]) for r in rows2] == [("turn text", "tool text")]

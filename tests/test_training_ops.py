@@ -1225,3 +1225,39 @@ def test_zorder_zvalue_random_sweep_vs_python_morton(spark):
     z = zvalue_col(["x", "y"], [lo, lo], [hi, hi], bits=bits)
     got = [r["z"] for r in df.select(z.alias("z")).collect()]
     assert got == [morton(x, y) for x, y in pts]
+
+
+def test_zorder_append_widens_domain_and_stays_correct(spark, tmp_path):
+    """review r4: appending a batch from a different value domain must
+    widen the sidecar's persisted domain to cover the whole table, and
+    box queries over both batches stay exact (pruning only ever uses
+    per-file footer stats, so correctness never depended on the domain)."""
+    import json
+    import os
+
+    from article_extraction_spark.operators.zorder import (
+        _SIDECAR,
+        read_zordered,
+        write_zordered,
+    )
+
+    b1 = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(100)], "id long, x double, y double"
+    )
+    b2 = spark.createDataFrame(
+        [(1000 + i, 500.0 + i, 500.0 + i) for i in range(100)],
+        "id long, x double, y double",
+    )
+    path = str(tmp_path / "zt")
+    write_zordered(b1, path, ["x", "y"], n_files=4)
+    write_zordered(b2, path, ["x", "y"], n_files=4, mode="append")
+    sc = json.load(open(os.path.join(path, _SIDECAR)))
+    assert sc["domain_min"] == [0.0, 0.0] and sc["domain_max"] == [599.0, 599.0]
+
+    got = sorted(
+        r["id"]
+        for r in read_zordered(
+            spark, path, {"x": (90.0, 510.0), "y": (90.0, 510.0)}
+        ).collect()
+    )
+    assert got == list(range(90, 100)) + list(range(1000, 1011))
