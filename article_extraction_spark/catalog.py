@@ -109,6 +109,15 @@ class ManifestTable:
     def append(self, df: DataFrame) -> int:
         return self._commit(self._write_data(df), "append", df.schema.json())
 
+    def commit_files(
+        self, files: list[str], schema_json: str, operation: str = "append"
+    ) -> int:
+        """Commit data files some OTHER writer already produced under this
+        root (the python datasource writer: executors write parquet, the
+        driver calls this — the standard transactional-sink split). Same
+        rebase-and-retry CAS as append/overwrite."""
+        return self._commit(list(files), operation, schema_json)
+
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(self._write_data(df), "overwrite", df.schema.json())
 

@@ -1,0 +1,158 @@
+"""The snapshot catalog as a Spark-native format (round 4):
+``df.write.format("manifest_table")`` / ``spark.read.format("manifest_table")``
+via the Spark-4 python data source API.
+
+The write path maps EXACTLY onto the table layer's transaction model:
+executors stream their Arrow batches into parquet files inside a
+per-write commit directory (`DataSourceArrowWriter.write`, one file per
+non-empty partition), and the DRIVER performs the single atomic
+manifest commit over the collected file list (`commit`), with
+`ManifestTable`'s rebase-and-retry CAS handling concurrent writers.
+`abort` sweeps the commit directory, so a failed job leaves neither a
+manifest nor orphan data files. This is the same
+executors-write/driver-commits split every transactional Spark sink
+(Iceberg/Delta) uses, expressed through the public python API.
+
+    spark.dataSource.register(ManifestTableDataSource)
+    df.write.format("manifest_table").option("root", path).mode("append").save()
+    spark.read.format("manifest_table").option("root", path).load()
+    # time travel: .option("snapshot_id", 3)
+
+The reader plans one partition per data file of the resolved snapshot
+and yields Arrow batches straight from the parquet footers, aligning
+older files to the current schema (columns added by later merges read
+as NULL — same contract as ManifestTable.read).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+class _FilesMessage(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class _ManifestWriter(DataSourceArrowWriter):
+    def __init__(self, root: str, schema: StructType, overwrite: bool):
+        self.root = root
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+        # one commit dir per write job: abort() can sweep it wholesale
+        self.commit_dir = f"data/commit-{uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator):
+        import pyarrow.parquet as pq
+
+        writer = None
+        out_rel = f"{self.commit_dir}/part-{uuid.uuid4().hex[:12]}.parquet"
+        out_abs = os.path.join(self.root, out_rel)
+        n = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    os.makedirs(os.path.dirname(out_abs), exist_ok=True)
+                    writer = pq.ParquetWriter(out_abs, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        return _FilesMessage([out_rel] if n else [])
+
+    def commit(self, messages):
+        from ..catalog import ManifestTable
+
+        files = [f for m in messages if m is not None for f in m.files]
+        ManifestTable(self.root).commit_files(
+            files, self.schema_json, "overwrite" if self.overwrite else "append"
+        )
+
+    def abort(self, messages):
+        shutil.rmtree(os.path.join(self.root, self.commit_dir), ignore_errors=True)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _ManifestReader(DataSourceReader):
+    def __init__(self, root: str, manifest: dict):
+        self.root = root
+        self.files = manifest["files"]
+        self.schema_json = manifest["schema"]
+
+    def partitions(self):
+        return [_FilePartition(os.path.join(self.root, f)) for f in self.files]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(StructType.fromJson(__import__("json").loads(self.schema_json)))
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches():
+            if batch.schema.names == target.names:
+                yield batch
+                continue
+            # older file: align to the current schema (later-merge columns
+            # read as NULL, same as ManifestTable.read's spark.read.schema)
+            cols = []
+            for field in target:
+                if field.name in batch.schema.names:
+                    cols.append(batch.column(field.name).cast(field.type))
+                else:
+                    cols.append(pa.nulls(batch.num_rows, field.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+
+class ManifestTableDataSource(DataSource):
+    """``format("manifest_table")``; options: ``root`` (required),
+    ``snapshot_id`` (reads only; defaults to the current head)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_table"
+
+    def _table(self):
+        from ..catalog import ManifestTable
+
+        root = self.options.get("root")
+        if not root:
+            raise ValueError("manifest_table requires .option('root', <table root>)")
+        return ManifestTable(root)
+
+    def _manifest(self) -> dict:
+        t = self._table()
+        snap = self.options.get("snapshot_id")
+        version = int(snap) if snap is not None else t.current_snapshot_id()
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {t.root}")
+        return t._load(version)
+
+    def schema(self):
+        import json
+
+        return StructType.fromJson(json.loads(self._manifest()["schema"]))
+
+    def reader(self, schema: StructType) -> _ManifestReader:
+        t = self._table()
+        return _ManifestReader(t.root, self._manifest())
+
+    def writer(self, schema: StructType, overwrite: bool) -> _ManifestWriter:
+        return _ManifestWriter(self._table().root, schema, overwrite)

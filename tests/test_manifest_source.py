@@ -1,0 +1,109 @@
+"""The catalog as a Spark-native format: datasource writer (executors
+write parquet, driver commits the manifest atomically) + reader
+(per-file partitions, snapshot time travel, schema alignment)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def registered(spark):
+    from article_extraction_spark.sources.manifest_source import (
+        ManifestTableDataSource,
+    )
+
+    spark.dataSource.register(ManifestTableDataSource)
+    return spark
+
+
+def _rows(lo, hi):
+    base = dt.datetime(2026, 1, 1)
+    return [(i, f"v{i}", base + dt.timedelta(seconds=i)) for i in range(lo, hi)]
+
+
+def test_write_read_roundtrip_and_time_travel(registered, tmp_path):
+    from article_extraction_spark.catalog import ManifestTable
+
+    spark = registered
+    root = str(tmp_path / "tbl")
+    schema = "k long, v string, ts timestamp"
+    spark.createDataFrame(_rows(0, 10), schema).write.format("manifest_table").option(
+        "root", root
+    ).mode("append").save()
+    spark.createDataFrame(_rows(10, 15), schema).write.format("manifest_table").option(
+        "root", root
+    ).mode("append").save()
+
+    t = ManifestTable(root)
+    assert t.snapshots() == [1, 2]
+    # datasource reader == catalog (spark parquet) reader, both snapshots
+    ds_all = spark.read.format("manifest_table").option("root", root).load()
+    assert sorted(map(tuple, ds_all.collect())) == sorted(
+        map(tuple, t.read(spark).collect())
+    )
+    assert ds_all.count() == 15
+    ds_v1 = (
+        spark.read.format("manifest_table")
+        .option("root", root).option("snapshot_id", 1).load()
+    )
+    assert ds_v1.count() == 10
+
+    # overwrite mode truncates the head, old snapshot still readable
+    spark.createDataFrame(_rows(100, 103), schema).write.format(
+        "manifest_table"
+    ).option("root", root).mode("overwrite").save()
+    assert spark.read.format("manifest_table").option("root", root).load().count() == 3
+    assert (
+        spark.read.format("manifest_table")
+        .option("root", root).option("snapshot_id", 2).load().count()
+    ) == 15
+
+
+def test_interop_and_schema_alignment(registered, tmp_path):
+    """Spark-written snapshots read through the datasource reader, and a
+    file from before a widening merge aligns (missing column → NULL)."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    spark = registered
+    root = str(tmp_path / "tbl")
+    t = ManifestTable(root)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(spark, spark.createDataFrame([(3, "c", 9.5)], "k long, v string, w double"), ["k"])
+    ds = spark.read.format("manifest_table").option("root", root).load()
+    got = {r["k"]: (r["v"], r["w"]) for r in ds.collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+
+def test_failed_write_commits_nothing_and_sweeps_files(registered, tmp_path):
+    import glob
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    spark = registered
+    root = str(tmp_path / "tbl")
+    schema = "k long, v string, ts timestamp"
+    spark.createDataFrame(_rows(0, 5), schema).write.format("manifest_table").option(
+        "root", root
+    ).mode("append").save()
+
+    @F.udf("long")
+    def boom(k):
+        raise RuntimeError("planted failure")
+
+    bad = spark.createDataFrame(_rows(5, 9), schema).withColumn("k", boom("k"))
+    with pytest.raises(Exception):
+        bad.write.format("manifest_table").option("root", root).mode("append").save()
+    t = ManifestTable(root)
+    assert t.snapshots() == [1], "failed write must not commit a manifest"
+    # every data file on disk is referenced by the surviving manifest
+    referenced = set(t._load(1)["files"])
+    on_disk = {
+        p.split(f"{root}/", 1)[1]
+        for p in glob.glob(f"{root}/data/commit-*/*.parquet")
+    }
+    assert on_disk == referenced, f"orphans: {on_disk - referenced}"
+    assert t.read(spark).count() == 5
