@@ -67,10 +67,29 @@ class _ManifestWriter(DataSourceArrowWriter):
                     writer = pq.ParquetWriter(out_abs, batch.schema)
                 writer.write_batch(batch)
                 n += batch.num_rows
-        finally:
+        except BaseException:
+            # a failed ATTEMPT must not leave a partial file behind: on
+            # task retry the job can still SUCCEED, commit only the
+            # retry's file, and never call abort — the partial would be
+            # a permanent orphan inside the table root (review r4)
             if writer is not None:
                 writer.close()
-        return _FilesMessage([out_rel] if n else [])
+                writer = None
+            try:
+                os.remove(out_abs)
+            except OSError:
+                pass
+            raise
+        if writer is not None:
+            writer.close()
+        if n == 0:
+            if writer is not None:  # batches arrived but carried 0 rows
+                try:
+                    os.remove(out_abs)
+                except OSError:
+                    pass
+            return _FilesMessage([])
+        return _FilesMessage([out_rel])
 
     def commit(self, messages):
         from ..catalog import ManifestTable
@@ -98,7 +117,12 @@ class _ManifestReader(DataSourceReader):
     def partitions(self):
         return [_FilePartition(os.path.join(self.root, f)) for f in self.files]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        # an empty snapshot plans an empty partition list, which pyspark's
+        # worker replaces with [None] — yield nothing, matching
+        # ManifestTable.read's empty-DataFrame contract (review r4)
+        if partition is None:
+            return
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -107,7 +131,10 @@ class _ManifestReader(DataSourceReader):
         target = to_arrow_schema(StructType.fromJson(__import__("json").loads(self.schema_json)))
         pf = pq.ParquetFile(partition.path)
         for batch in pf.iter_batches():
-            if batch.schema.names == target.names:
+            # full schema equality, not just names: a pre-widening file
+            # can match by name with narrower TYPES (k:int32 vs the
+            # merged k:int64) and must go through the cast path too
+            if batch.schema.equals(target):
                 yield batch
                 continue
             # older file: align to the current schema (later-merge columns
@@ -138,12 +165,19 @@ class ManifestTableDataSource(DataSource):
         return ManifestTable(root)
 
     def _manifest(self) -> dict:
-        t = self._table()
-        snap = self.options.get("snapshot_id")
-        version = int(snap) if snap is not None else t.current_snapshot_id()
-        if version is None:
-            raise FileNotFoundError(f"no snapshots in {t.root}")
-        return t._load(version)
+        # resolve the snapshot ONCE per DataSource instance: schema()
+        # runs at analysis and reader() at planning, and a commit landing
+        # between them would make the reader align batches to a schema
+        # the scan never declared (review r4). One relation = one pinned
+        # snapshot.
+        if getattr(self, "_cached_manifest", None) is None:
+            t = self._table()
+            snap = self.options.get("snapshot_id")
+            version = int(snap) if snap is not None else t.current_snapshot_id()
+            if version is None:
+                raise FileNotFoundError(f"no snapshots in {t.root}")
+            self._cached_manifest = t._load(version)
+        return self._cached_manifest
 
     def schema(self):
         import json
@@ -151,8 +185,19 @@ class ManifestTableDataSource(DataSource):
         return StructType.fromJson(json.loads(self._manifest()["schema"]))
 
     def reader(self, schema: StructType) -> _ManifestReader:
-        t = self._table()
-        return _ManifestReader(t.root, self._manifest())
+        import json
+
+        manifest = self._manifest()
+        if schema.json() != manifest["schema"]:
+            manifest_schema = StructType.fromJson(json.loads(manifest["schema"]))
+            if schema != manifest_schema:
+                raise ValueError(
+                    "manifest_table derives its schema from the snapshot "
+                    "manifest — drop the user-supplied .schema(...) "
+                    f"(got {schema.simpleString()}, table is "
+                    f"{manifest_schema.simpleString()})"
+                )
+        return _ManifestReader(self._table().root, manifest)
 
     def writer(self, schema: StructType, overwrite: bool) -> _ManifestWriter:
         return _ManifestWriter(self._table().root, schema, overwrite)

@@ -7,9 +7,11 @@ planning, per-partition deterministic generation on the EXECUTORS, and
 option-driven source-side pruning, plus a streaming twin whose offsets
 make `readStream` resume exactly where the checkpoint says.
 
-This is the same deterministic corpus as fixtures.synth (seeded per
-conversation, so any partitioning yields identical rows), packaged
-behind the engine-native source interface:
+Rows share the transcripts schema and the per-conversation seeding
+TECHNIQUE of fixtures.synth (each conversation derives from (seed,
+conv) alone, so any partitioning yields identical rows) but are a
+distinct generator — do not expect fixtures.synth's golden rows here.
+Packaged behind the engine-native source interface:
 
     spark.dataSource.register(SyntheticTranscriptsDataSource)
     df = (spark.read.format("synthetic_transcripts")
@@ -100,6 +102,8 @@ class _Reader(DataSourceReader):
         self.conv_eq: str | None = options.get("conv_id")
 
     def partitions(self):
+        if self.n_convs <= 0:
+            return []  # pyspark substitutes [None]; read() guards it
         n = min(self.num_partitions, max(1, self.n_convs))
         per = -(-self.n_convs // n)
         return [
@@ -107,7 +111,9 @@ class _Reader(DataSourceReader):
             for i in range(0, self.n_convs, per)
         ]
 
-    def read(self, partition: _ConvRange):
+    def read(self, partition):
+        if partition is None:  # empty source planned zero partitions
+            return
         for conv in range(partition.start, partition.end):
             cid = f"conv-{conv:06d}"
             if self.conv_eq is not None and cid != self.conv_eq:

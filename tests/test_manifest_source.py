@@ -107,3 +107,34 @@ def test_failed_write_commits_nothing_and_sweeps_files(registered, tmp_path):
     }
     assert on_disk == referenced, f"orphans: {on_disk - referenced}"
     assert t.read(spark).count() == 5
+
+
+def test_empty_write_and_empty_snapshot_read(registered, tmp_path):
+    """review r4: an all-empty write still commits (an empty snapshot),
+    and reading it yields an empty frame — pyspark hands read() a None
+    partition for an empty partition list, which must not crash."""
+    spark = registered
+    root = str(tmp_path / "tbl")
+    schema = "k long, v string"
+    spark.createDataFrame([], schema).write.format("manifest_table").option(
+        "root", root
+    ).mode("append").save()
+    ds = spark.read.format("manifest_table").option("root", root).load()
+    assert ds.count() == 0
+    assert [f.name for f in ds.schema.fields] == ["k", "v"]
+    # no stray zero-row data files were committed or left behind
+    import glob
+
+    assert glob.glob(f"{root}/data/commit-*/*.parquet") == []
+
+
+def test_user_supplied_schema_rejected_with_hint(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.format(
+        "manifest_table"
+    ).option("root", root).mode("append").save()
+    with pytest.raises(Exception, match="derives its schema"):
+        spark.read.format("manifest_table").schema("k long").option(
+            "root", root
+        ).load().collect()

@@ -99,3 +99,14 @@ def test_stream_reader_offset_resume(registered, tmp_path):
     assert final.select("conv_id").distinct().count() == 30
     # exactly-once: no (conv, turn) emitted twice across the five runs
     assert final.count() == final.select("conv_id", "turn_idx").distinct().count()
+
+
+def test_empty_source_reads_zero_rows(registered):
+    """review r4: n_convs=0 must plan an empty scan, not crash in
+    range() during partition planning."""
+    spark = registered
+    df = (
+        spark.read.format("synthetic_transcripts")
+        .option("n_convs", 0).load()
+    )
+    assert df.count() == 0
