@@ -1261,3 +1261,26 @@ def test_zorder_append_widens_domain_and_stays_correct(spark, tmp_path):
         ).collect()
     )
     assert got == list(range(90, 100)) + list(range(1000, 1011))
+
+
+def test_media_features_arrow_twin_parity(spark):
+    """mapInArrow twin must produce byte-identical output to the pandas
+    twin over the same media batch (nulls included)."""
+    from article_extraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        extract_media_features_arrow,
+    )
+
+    rows = [
+        (1, "image", bytearray(b"\x01\x02\x03" * 100), "image/raw-rgb8", 10, 10, None),
+        (2, "audio", bytearray(b"\x00\x10" * 500), "audio/pcm16", None, None, 100),
+        (3, "video", None, "video/mp4", None, None, 5000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    a = sorted(map(tuple, extract_media_features(media).collect()))
+    b = sorted(map(tuple, extract_media_features_arrow(media).collect()))
+    assert a == b
+    assert len(a) == 3
+    null_row = next(t for t in a if t[0] == 3)
+    assert null_row[3] is None  # null payload → null hash on both paths
