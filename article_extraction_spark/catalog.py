@@ -72,7 +72,14 @@ class ManifestTable:
             if name.endswith(".parquet")
         ]
 
-    def _commit(self, new_files: list[str], operation: str, schema_json: str, retries: int = 5) -> int:
+    def _commit(
+        self,
+        new_files: list[str],
+        operation: str,
+        schema_json: str,
+        retries: int = 5,
+        extra_meta: dict | None = None,
+    ) -> int:
         """Commit ``new_files`` under ``operation`` semantics.
 
         ``new_files`` holds ONLY the files this writer produced. The full file
@@ -97,6 +104,8 @@ class ManifestTable:
                 "files": files,
                 "schema": schema_json,
             }
+            if extra_meta:
+                manifest.update(extra_meta)
             try:
                 # exclusive create = the atomic commit point
                 with open(self._manifest_path(version), "x") as f:
@@ -110,13 +119,32 @@ class ManifestTable:
         return self._commit(self._write_data(df), "append", df.schema.json())
 
     def commit_files(
-        self, files: list[str], schema_json: str, operation: str = "append"
+        self,
+        files: list[str],
+        schema_json: str,
+        operation: str = "append",
+        extra_meta: dict | None = None,
     ) -> int:
         """Commit data files some OTHER writer already produced under this
         root (the python datasource writer: executors write parquet, the
         driver calls this — the standard transactional-sink split). Same
-        rebase-and-retry CAS as append/overwrite."""
-        return self._commit(list(files), operation, schema_json)
+        rebase-and-retry CAS as append/overwrite. ``extra_meta`` rides on
+        the manifest (the streaming sink records its micro-batch id here
+        for replay detection, the Iceberg/Delta streaming pattern)."""
+        return self._commit(list(files), operation, schema_json, extra_meta=extra_meta)
+
+    def find_snapshot_meta(self, key: str, value) -> int | None:
+        """Walk the parent chain from the head looking for a manifest
+        carrying ``key == value``; returns its snapshot id or None. Used
+        by the streaming sink to detect an already-committed replayed
+        micro-batch even when later commits have advanced the head."""
+        version = self.current_snapshot_id()
+        while version is not None:
+            manifest = self._load(version)
+            if manifest.get(key) == value:
+                return version
+            version = manifest.get("parent")
+        return None
 
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(self._write_data(df), "overwrite", df.schema.json())

@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -201,3 +202,62 @@ class ManifestTableDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> _ManifestWriter:
         return _ManifestWriter(self._table().root, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "manifest_table streaming sink is append-only "
+                "(use outputMode('append'))"
+            )
+        return _ManifestStreamWriter(self._table().root, schema)
+
+
+class _ManifestStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink for the catalog, exactly-once the way Iceberg/Delta
+    do it: every committed micro-batch's manifest records its
+    ``stream_batch`` id, and commit() first walks the snapshot chain for
+    that id — a replayed batch (engine crashed after the sink committed
+    but before the checkpoint recorded it) finds its own earlier commit,
+    deletes the duplicate files it just wrote, and returns without a
+    second commit. Append-only (streaming overwrite is refused)."""
+
+    def __init__(self, root: str, schema: StructType):
+        self.root = root
+        self.schema_json = schema.json()
+        self.commit_dir = f"data/commit-{uuid.uuid4().hex[:12]}"
+
+    # executors: identical file-per-partition write as the batch writer
+    write = _ManifestWriter.write
+
+    def commit(self, messages, batchId: int) -> None:
+        from ..catalog import ManifestTable
+
+        t = ManifestTable(self.root)
+        files = [f for m in messages if m is not None for f in m.files]
+        if t.find_snapshot_meta("stream_batch", batchId) is not None:
+            for f in files:  # replay: this batch already committed
+                try:
+                    os.remove(os.path.join(self.root, f))
+                except OSError:
+                    pass
+            return
+        # operation MUST be the literal "append": _commit's rebase keeps
+        # the head's files only for that operation and treats any other
+        # string as a wholesale overwrite (the batch id lives in the
+        # manifest metadata, not the operation name)
+        t.commit_files(
+            files,
+            self.schema_json,
+            "append",
+            extra_meta={"stream_batch": batchId},
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(os.path.join(self.root, f))
+                except OSError:
+                    pass

@@ -138,3 +138,87 @@ def test_user_supplied_schema_rejected_with_hint(registered, tmp_path):
         spark.read.format("manifest_table").schema("k long").option(
             "root", root
         ).load().collect()
+
+
+def test_stream_write_availablenow_and_offset_resume(registered, tmp_path):
+    """writeStream.format('manifest_table'): each micro-batch commits a
+    stream-append snapshot carrying its batch id; a second availableNow
+    run resumes the SOURCE offsets and appends only new conversations."""
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.sources.transcript_source import (
+        SyntheticTranscriptsDataSource,
+    )
+
+    spark = registered
+    spark.dataSource.register(SyntheticTranscriptsDataSource)
+    root, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_transcripts")
+            .option("n_convs", 20).option("turns_per_conv", 2)
+            .option("convs_per_batch", 10).load()
+            .writeStream.format("manifest_table")
+            .option("root", root).option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    t = ManifestTable(root)
+    assert t.read(spark).count() == 20  # first 10 convs × 2 turns
+    head = t._load(t.current_snapshot_id())
+    assert head["operation"] == "append" and "stream_batch" in head
+
+    run_once()
+    got = t.read(spark)
+    assert got.count() == 40
+    assert got.select("conv_id").distinct().count() == 20
+    # exactly-once across the runs
+    assert got.select("conv_id", "turn_idx").distinct().count() == 40
+    # datasource reader agrees with the catalog reader
+    ds = spark.read.format("manifest_table").option("root", root).load()
+    assert ds.count() == 40
+
+
+def test_stream_commit_replay_is_idempotent(registered, tmp_path):
+    """The Iceberg-style replay guard: committing the same batch id twice
+    (engine crash between sink commit and checkpoint record) must leave
+    ONE snapshot and remove the duplicate files."""
+    import glob
+    import os
+
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.sources.manifest_source import (
+        _FilesMessage,
+        _ManifestStreamWriter,
+    )
+    from pyspark.sql.types import StructType
+
+    spark = registered
+    root = str(tmp_path / "tbl")
+    schema = spark.createDataFrame([(1,)], "k long").schema
+    w = _ManifestStreamWriter(root, schema)
+
+    def fake_files(tag):
+        rel = f"data/commit-x/{tag}.parquet"
+        os.makedirs(os.path.join(root, "data/commit-x"), exist_ok=True)
+        spark.createDataFrame([(1,)], "k long").toPandas().to_parquet(
+            os.path.join(root, rel)
+        )
+        return [rel]
+
+    w.commit([_FilesMessage(fake_files("first"))], batchId=7)
+    t = ManifestTable(root)
+    assert len(t.snapshots()) == 1
+
+    dup = fake_files("replayed")
+    w.commit([_FilesMessage(dup)], batchId=7)  # replay of the same batch
+    assert len(t.snapshots()) == 1, "replayed batch must not commit again"
+    assert not os.path.exists(os.path.join(root, dup[0])), "dup file kept"
+    assert t.read(spark).count() == 1
+
+    # a genuinely NEW batch commits normally
+    w.commit([_FilesMessage(fake_files("second"))], batchId=8)
+    assert len(t.snapshots()) == 2
+    assert t.read(spark).count() == 2
