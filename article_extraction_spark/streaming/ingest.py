@@ -125,10 +125,11 @@ def run_available_now_merge(
     checkpoint replays each epoch's exact input files, and a replayed
     micro-batch (same rows, same keys) MERGEs idempotently — re-upserting
     identical rows is a no-op for the final table state. This is the
-    streaming twin of sinks.upsert/ManifestTable.merge, and the standard
-    Structured-Streaming pattern for sinks with no native transactional
-    stream support (an Iceberg deployment would writeStream straight into
-    the table instead)."""
+    streaming twin of sinks.upsert/ManifestTable.merge — use it when the
+    stream needs KEYED upserts. For append-only streams the catalog now
+    has a native sink: ``writeStream.format("manifest_table")``
+    (sources/manifest_source.py), whose per-batch manifests record the
+    micro-batch id for replay-proof exactly-once appends."""
     from ..catalog import ManifestTable
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
