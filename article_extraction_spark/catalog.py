@@ -105,6 +105,11 @@ class ManifestTable:
                 "schema": schema_json,
             }
             if extra_meta:
+                clash = set(extra_meta) & set(manifest)
+                if clash:
+                    raise ValueError(
+                        f"extra_meta may not override reserved manifest keys: {sorted(clash)}"
+                    )
                 manifest.update(extra_meta)
             try:
                 # exclusive create = the atomic commit point
@@ -129,20 +134,53 @@ class ManifestTable:
         root (the python datasource writer: executors write parquet, the
         driver calls this — the standard transactional-sink split). Same
         rebase-and-retry CAS as append/overwrite. ``extra_meta`` rides on
-        the manifest (the streaming sink records its micro-batch id here
-        for replay detection, the Iceberg/Delta streaming pattern)."""
+        the manifest (the streaming sink records its identity + batch id
+        here for replay detection, the Iceberg/Delta streaming pattern).
+
+        Appends WIDEN the committed schema against the current head
+        (merge's guard, review r4): committing a narrower stream/batch
+        schema wholesale would hide existing columns from every later
+        read. A same-name field with a DIFFERENT type is rejected —
+        silently keeping either type would misread the other side's
+        files."""
+        if operation == "append":
+            schema_json = self._widened_schema_json(schema_json)
         return self._commit(list(files), operation, schema_json, extra_meta=extra_meta)
 
-    def find_snapshot_meta(self, key: str, value) -> int | None:
-        """Walk the parent chain from the head looking for a manifest
-        carrying ``key == value``; returns its snapshot id or None. Used
-        by the streaming sink to detect an already-committed replayed
-        micro-batch even when later commits have advanced the head."""
+    def _widened_schema_json(self, new_schema_json: str) -> str:
+        head = self.current_snapshot_id()
+        if head is None:
+            return new_schema_json
+        head_schema = T.StructType.fromJson(json.loads(self._load(head)["schema"]))
+        new_schema = T.StructType.fromJson(json.loads(new_schema_json))
+        by_name = {f.name: f for f in new_schema.fields}
+        for f in head_schema.fields:
+            other = by_name.get(f.name)
+            if other is not None and other.dataType != f.dataType:
+                raise ValueError(
+                    f"append schema conflict on column {f.name!r}: table has "
+                    f"{f.dataType.simpleString()}, incoming "
+                    f"{other.dataType.simpleString()}"
+                )
+        merged = list(head_schema.fields) + [
+            f for f in new_schema.fields
+            if f.name not in {h.name for h in head_schema.fields}
+        ]
+        return T.StructType(merged).json()
+
+    def last_stream_batch(self, writer_id: str) -> int | None:
+        """Latest ``stream_batch`` committed by ``writer_id``, or None.
+
+        Walks the parent chain from the head and STOPS at the first
+        manifest carrying this writer's id — batch ids are monotonic per
+        writer, so the most recent entry answers any replay question in
+        one hit; only other writers' interleaved commits are skipped
+        (review r4: a full-chain scan per commit was O(history²))."""
         version = self.current_snapshot_id()
         while version is not None:
             manifest = self._load(version)
-            if manifest.get(key) == value:
-                return version
+            if manifest.get("stream_writer") == writer_id:
+                return manifest.get("stream_batch")
             version = manifest.get("parent")
         return None
 

@@ -62,6 +62,21 @@ def _fake_feature(payload: bytes | None, dim: int = 8) -> list[float]:
     return [float(v / norm) for v in vals]
 
 
+def _feature_kernel(payloads):
+    """ONE shared per-payload kernel for the pandas and Arrow twins
+    (review r4: two hand-copied loops let the 'byte-identical' twins
+    drift — including the _HAVE_CODECS guard one of them lacked).
+    Returns (n_bytes, content_hashes, features) lists."""
+    if _HAVE_CODECS:  # pragma: no cover
+        raise NotImplementedError("real codecs not wired yet")
+    n_bytes, hashes, feats = [], [], []
+    for p in payloads:
+        n_bytes.append(len(p) if p is not None else 0)
+        hashes.append(hashlib.sha256(bytes(p)).hexdigest() if p is not None else None)
+        feats.append(_fake_feature(p))
+    return n_bytes, hashes, feats
+
+
 def extract_media_features(media: DataFrame, batch_note_col: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
@@ -70,19 +85,15 @@ def extract_media_features(media: DataFrame, batch_note_col: bool = False) -> Da
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if _HAVE_CODECS:  # pragma: no cover
-            raise NotImplementedError("real codecs not wired yet")
         for pdf in batches:
+            n_bytes, hashes, feats = _feature_kernel(list(pdf["payload"]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "content_hash": [
-                        hashlib.sha256(bytes(p)).hexdigest() if p is not None else None
-                        for p in pdf["payload"]
-                    ],
-                    "feature": [_fake_feature(p) for p in pdf["payload"]],
+                    "n_bytes": n_bytes,
+                    "content_hash": hashes,
+                    "feature": feats,
                 }
             )
 
@@ -111,14 +122,9 @@ def extract_media_features_arrow(media: DataFrame) -> DataFrame:
         )
         for batch in batches:
             payloads = batch.column(batch.schema.get_field_index("payload"))
-            n_bytes, hashes, feats = [], [], []
-            for p in payloads:
-                b = p.as_py()
-                n_bytes.append(len(b) if b is not None else 0)
-                hashes.append(
-                    hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
-                )
-                feats.append(_fake_feature(b))
+            n_bytes, hashes, feats = _feature_kernel(
+                [p.as_py() for p in payloads]
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(batch.schema.get_field_index("media_id")).cast(pa.int64()),

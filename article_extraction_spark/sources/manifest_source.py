@@ -46,6 +46,16 @@ class _FilesMessage(WriterCommitMessage):
         self.files = files
 
 
+def _remove_files(root: str, files) -> None:
+    """Best-effort removal of relative data files (shared by the batch
+    write-failure path, the stream replay path, and stream abort)."""
+    for f in files:
+        try:
+            os.remove(os.path.join(root, f))
+        except OSError:
+            pass
+
+
 class _ManifestWriter(DataSourceArrowWriter):
     def __init__(self, root: str, schema: StructType, overwrite: bool):
         self.root = root
@@ -76,19 +86,13 @@ class _ManifestWriter(DataSourceArrowWriter):
             if writer is not None:
                 writer.close()
                 writer = None
-            try:
-                os.remove(out_abs)
-            except OSError:
-                pass
+            _remove_files(self.root, [out_rel])
             raise
         if writer is not None:
             writer.close()
         if n == 0:
             if writer is not None:  # batches arrived but carried 0 rows
-                try:
-                    os.remove(out_abs)
-                except OSError:
-                    pass
+                _remove_files(self.root, [out_rel])
             return _FilesMessage([])
         return _FilesMessage([out_rel])
 
@@ -209,55 +213,62 @@ class ManifestTableDataSource(DataSource):
                 "manifest_table streaming sink is append-only "
                 "(use outputMode('append'))"
             )
-        return _ManifestStreamWriter(self._table().root, schema)
+        writer_id = self.options.get("writer_id")
+        if not writer_id:
+            raise ValueError(
+                "manifest_table streaming sink requires .option('writer_id', "
+                "<stable pipeline id, e.g. the checkpoint path>): the replay "
+                "guard is keyed on (writer_id, batchId) — without an identity "
+                "a second pipeline's batches would be dropped as replays"
+            )
+        return _ManifestStreamWriter(self._table().root, schema, writer_id)
 
 
-class _ManifestStreamWriter(DataSourceStreamArrowWriter):
+class _ManifestStreamWriter(_ManifestWriter, DataSourceStreamArrowWriter):
     """Streaming sink for the catalog, exactly-once the way Iceberg/Delta
-    do it: every committed micro-batch's manifest records its
-    ``stream_batch`` id, and commit() first walks the snapshot chain for
-    that id — a replayed batch (engine crashed after the sink committed
-    but before the checkpoint recorded it) finds its own earlier commit,
-    deletes the duplicate files it just wrote, and returns without a
-    second commit. Append-only (streaming overwrite is refused)."""
+    do it: every committed micro-batch's manifest records the writing
+    PIPELINE's identity plus the micro-batch id, and commit() checks the
+    writer's latest committed batch first — a replayed batch (engine
+    crashed after the sink committed but before the checkpoint recorded
+    it) sees batchId ≤ last committed, deletes the duplicate files it
+    just wrote, and returns without a second commit.
 
-    def __init__(self, root: str, schema: StructType):
-        self.root = root
-        self.schema_json = schema.json()
-        self.commit_dir = f"data/commit-{uuid.uuid4().hex[:12]}"
+    ``writer_id`` is REQUIRED and must be stable across restarts of the
+    same pipeline but unique between pipelines (use the checkpoint
+    location). Keying the guard on batchId alone silently destroyed a
+    SECOND query's batch 0 as a "replay" of the first query's (review
+    r4, reproduced) — Delta/Iceberg key on (appId/queryId, batchId) for
+    exactly this reason, and the python datasource API does not expose
+    the engine's queryId. Append-only (streaming overwrite is refused).
 
-    # executors: identical file-per-partition write as the batch writer
-    write = _ManifestWriter.write
+    Inherits the batch writer's executor-side file-per-partition
+    ``write`` (and its failed-attempt cleanup)."""
+
+    def __init__(self, root: str, schema: StructType, writer_id: str):
+        super().__init__(root, schema, overwrite=False)
+        self.writer_id = writer_id
 
     def commit(self, messages, batchId: int) -> None:
         from ..catalog import ManifestTable
 
         t = ManifestTable(self.root)
         files = [f for m in messages if m is not None for f in m.files]
-        if t.find_snapshot_meta("stream_batch", batchId) is not None:
-            for f in files:  # replay: this batch already committed
-                try:
-                    os.remove(os.path.join(self.root, f))
-                except OSError:
-                    pass
+        last = t.last_stream_batch(self.writer_id)
+        if last is not None and batchId <= last:
+            _remove_files(self.root, files)  # replay: already committed
             return
         # operation MUST be the literal "append": _commit's rebase keeps
         # the head's files only for that operation and treats any other
-        # string as a wholesale overwrite (the batch id lives in the
+        # string as a wholesale overwrite (the identity lives in the
         # manifest metadata, not the operation name)
         t.commit_files(
             files,
             self.schema_json,
             "append",
-            extra_meta={"stream_batch": batchId},
+            extra_meta={"stream_writer": self.writer_id, "stream_batch": batchId},
         )
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            for f in m.files:
-                try:
-                    os.remove(os.path.join(self.root, f))
-                except OSError:
-                    pass
+        _remove_files(
+            self.root, [f for m in messages if m is not None for f in m.files]
+        )

@@ -160,6 +160,7 @@ def test_stream_write_availablenow_and_offset_resume(registered, tmp_path):
             .option("convs_per_batch", 10).load()
             .writeStream.format("manifest_table")
             .option("root", root).option("checkpointLocation", ck)
+            .option("writer_id", ck)
             .outputMode("append").trigger(availableNow=True).start()
         )
         q.awaitTermination()
@@ -169,6 +170,7 @@ def test_stream_write_availablenow_and_offset_resume(registered, tmp_path):
     assert t.read(spark).count() == 20  # first 10 convs × 2 turns
     head = t._load(t.current_snapshot_id())
     assert head["operation"] == "append" and "stream_batch" in head
+    assert head["stream_writer"] == ck
 
     run_once()
     got = t.read(spark)
@@ -198,7 +200,7 @@ def test_stream_commit_replay_is_idempotent(registered, tmp_path):
     spark = registered
     root = str(tmp_path / "tbl")
     schema = spark.createDataFrame([(1,)], "k long").schema
-    w = _ManifestStreamWriter(root, schema)
+    w = _ManifestStreamWriter(root, schema, writer_id="pipeline-A")
 
     def fake_files(tag):
         rel = f"data/commit-x/{tag}.parquet"
@@ -222,3 +224,15 @@ def test_stream_commit_replay_is_idempotent(registered, tmp_path):
     w.commit([_FilesMessage(fake_files("second"))], batchId=8)
     assert len(t.snapshots()) == 2
     assert t.read(spark).count() == 2
+
+    # review r4 (reproduced data loss): a DIFFERENT pipeline starting at
+    # batch 0 must NOT be treated as a replay of this one's batch 0
+    other = _ManifestStreamWriter(root, schema, writer_id="pipeline-B")
+    other.commit([_FilesMessage(fake_files("otherq"))], batchId=0)
+    assert len(t.snapshots()) == 3
+    assert t.read(spark).count() == 3
+    # while pipeline A replaying batch 8 is still detected across B's commit
+    dup8 = fake_files("replay8")
+    w.commit([_FilesMessage(dup8)], batchId=8)
+    assert len(t.snapshots()) == 3
+    assert not os.path.exists(os.path.join(root, dup8[0]))
