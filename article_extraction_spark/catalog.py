@@ -91,9 +91,14 @@ class ManifestTable:
         """
         for _ in range(retries):
             parent = self.current_snapshot_id()
+            attempt_schema = schema_json
             if operation == "append":
                 base = self._load(parent)["files"] if parent is not None else []
                 files = base + [p for p in new_files if p not in base]
+                # schema widening is per-attempt state exactly like the file
+                # list: a retry's head may carry columns the first attempt's
+                # head lacked (review r5)
+                attempt_schema = self._widened_schema_json(schema_json, parent)
             else:  # overwrite: replace the table contents wholesale
                 files = list(new_files)
             version = (parent if parent is not None else 0) + 1
@@ -102,7 +107,7 @@ class ManifestTable:
                 "parent": parent,
                 "operation": operation,
                 "files": files,
-                "schema": schema_json,
+                "schema": attempt_schema,
             }
             if extra_meta:
                 clash = set(extra_meta) & set(manifest)
@@ -142,13 +147,13 @@ class ManifestTable:
         schema wholesale would hide existing columns from every later
         read. A same-name field with a DIFFERENT type is rejected —
         silently keeping either type would misread the other side's
-        files."""
-        if operation == "append":
-            schema_json = self._widened_schema_json(schema_json)
+        files. The widening happens INSIDE the rebase-and-retry loop,
+        against each attempt's head (review r5: widening once up front
+        meant a CommitConflict retry rebased the file list but committed
+        the stale schema, hiding a column a concurrent commit added)."""
         return self._commit(list(files), operation, schema_json, extra_meta=extra_meta)
 
-    def _widened_schema_json(self, new_schema_json: str) -> str:
-        head = self.current_snapshot_id()
+    def _widened_schema_json(self, new_schema_json: str, head: int | None) -> str:
         if head is None:
             return new_schema_json
         head_schema = T.StructType.fromJson(json.loads(self._load(head)["schema"]))

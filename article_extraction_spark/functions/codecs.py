@@ -323,20 +323,32 @@ def _destuff_scan(payload: bytes, pos: int):
     ff = np.flatnonzero(arr[:-1] == 0xFF)
     if ff.size:
         nxt = arr[ff + 1]
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — an FF whose next byte is another FF is padding, not a
+        # scan terminator (review r5; classification belongs to the LAST
+        # FF of the run, whose next byte is the real discriminator)
+        is_fill = nxt == 0xFF
         is_stuff = nxt == 0x00
         is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-        is_term = ~(is_stuff | is_rst)
+        is_term = ~(is_stuff | is_rst | is_fill)
         end_i = int(ff[is_term][0]) if is_term.any() else len(arr)
         in_scan = ff < end_i
-        stuff_pos = ff[is_stuff & in_scan] + 1  # the 0x00 bytes to drop
+        drop_pos = np.sort(
+            np.concatenate(
+                [
+                    ff[is_stuff & in_scan] + 1,  # the 0x00 escape bytes
+                    ff[is_fill & in_scan],  # the fill FFs themselves
+                ]
+            )
+        )
         rst_pos = [int(x) for x in ff[is_rst & in_scan]]
     else:
-        end_i, stuff_pos, rst_pos = len(arr), np.empty(0, np.int64), []
+        end_i, drop_pos, rst_pos = len(arr), np.empty(0, np.int64), []
     segs = []
     start = 0
     for r in rst_pos + [end_i]:
         seg = arr[start:r]
-        drop = stuff_pos[(stuff_pos >= start) & (stuff_pos < r)] - start
+        drop = drop_pos[(drop_pos >= start) & (drop_pos < r)] - start
         segs.append((np.delete(seg, drop) if drop.size else seg).tobytes())
         start = r + 2  # skip the 0xFF D0-D7 pair
     return segs

@@ -271,18 +271,17 @@ def write_ivf(
     would otherwise land in a never-probed ``__HIVE_DEFAULT_PARTITION__``
     — review r4); a vector whose length differs from the centroid dim
     fails the write with a clear error instead of silently vanishing
-    into that same partition."""
-    assigned = (
-        df.where(F.col(vec_col).isNotNull())
-        .withColumn("cluster", nearest_centroid_col(vec_col, centroids))
-        .withColumn(
-            "_dim_ok",
-            F.assert_true(
-                F.col("cluster").isNotNull(),
-                F.lit(f"vector length != centroid dim ({len(centroids[0])})"),
-            ),
-        )
-        .drop("_dim_ok")
+    into that same partition. The guard is folded INTO the ``cluster``
+    column itself (``otherwise(raise_error)``) — a project-then-drop
+    assertion column gets pruned by Catalyst and never runs (review r5)."""
+    raw = nearest_centroid_col(vec_col, centroids)
+    guarded = F.when(raw.isNotNull(), raw).otherwise(
+        F.raise_error(
+            F.lit(f"vector length != centroid dim ({len(centroids[0])})")
+        ).cast("int")
+    )
+    assigned = df.where(F.col(vec_col).isNotNull()).withColumn(
+        "cluster", guarded
     )
     assigned.write.partitionBy("cluster").mode(mode).parquet(path)
 

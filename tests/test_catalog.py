@@ -42,9 +42,12 @@ def test_concurrent_commit_conflict_and_rebase(spark, tmp_path):
             # racing writer commits version real+1 just before us
             path = self._manifest_path(real + 1)
             if not os.path.exists(path):
+                from pyspark.sql import types as T
+
+                racer = T.StructType([T.StructField("k", T.IntegerType())]).json()
                 with open(path, "x") as f:
                     json.dump({"snapshot_id": real + 1, "parent": real,
-                               "operation": "append", "files": [], "schema": "{}"}, f)
+                               "operation": "append", "files": [], "schema": racer}, f)
             return real
 
     s = Stubborn(str(tmp_path / "tbl"))
@@ -253,3 +256,53 @@ def test_compact_conflict_deletes_orphaned_data_files(spark, tmp_path):
     # the live (racing) snapshot still reads cleanly
     rows = {(r["k"], r["v"]) for r in t.read(spark).collect()}
     assert rows == {(1, "a"), (2, "b")}
+
+
+def test_retry_rewidens_schema_against_new_head(spark, tmp_path):
+    """Review r5: a CommitConflict retry must re-widen the append schema
+    against the RETRY's head, not the head seen before the first attempt.
+    A racing commit adds column c between our first attempt and the retry;
+    the committed schema must still carry c."""
+    from pyspark.sql import types as T
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "k int, b string"))
+
+    class RaceOnce(ManifestTable):
+        """First current_snapshot_id() call also plants a racing commit
+        that widens the table with column c — our first exclusive-create
+        then loses and the retry rebases against the racer's head."""
+
+        def __init__(self, root):
+            super().__init__(root)
+            self._raced = False
+
+        def current_snapshot_id(self):
+            real = super().current_snapshot_id()
+            if not self._raced:
+                self._raced = True
+                racer_schema = T.StructType(
+                    [
+                        T.StructField("k", T.IntegerType()),
+                        T.StructField("b", T.StringType()),
+                        T.StructField("c", T.DoubleType()),
+                    ]
+                ).json()
+                with open(self._manifest_path(real + 1), "x") as f:
+                    json.dump(
+                        {
+                            "snapshot_id": real + 1,
+                            "parent": real,
+                            "operation": "append",
+                            "files": [],
+                            "schema": racer_schema,
+                        },
+                        f,
+                    )
+            return real
+
+    r = RaceOnce(str(tmp_path / "tbl"))
+    narrow = T.StructType([T.StructField("k", T.IntegerType())]).json()
+    v = r.commit_files([], narrow, operation="append")
+    committed = T.StructType.fromJson(json.loads(r._load(v)["schema"]))
+    assert [f.name for f in committed.fields] == ["k", "b", "c"]

@@ -495,3 +495,30 @@ def test_jpeg_truncated_stream_never_negative_shift():
             decode_jpeg(jp[:-cut])
         except ValueError as exc:
             assert "negative" not in str(exc), (cut, exc)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes.
+    Inject fill runs before every RSTn and before EOI of a DRI-encoded
+    image — the decode must be byte-identical to the unpadded stream
+    (review r5: FF FF used to be misread as a scan terminator, truncating
+    the scan into gray blocks)."""
+    from article_extraction_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 33, 3), dtype=np.uint8)
+    enc = encode_jpeg(img, restart_interval=2)
+    clean = decode_jpeg(enc)
+
+    padded = bytearray()
+    i = 0
+    while i < len(enc):
+        if enc[i] == 0xFF and i + 1 < len(enc):
+            nxt = enc[i + 1]
+            if (0xD0 <= nxt <= 0xD7) or nxt == 0xD9:
+                padded += b"\xff" * 3  # fill run before the marker
+        padded.append(enc[i])
+        i += 1
+    assert len(padded) > len(enc)
+    out = decode_jpeg(bytes(padded))
+    assert np.array_equal(out, clean)

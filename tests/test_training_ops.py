@@ -917,6 +917,33 @@ def test_ivf_topk_exhaustive_equals_brute_force(spark, tmp_path):
     ]
 
 
+def test_write_ivf_rejects_dim_mismatch(spark, tmp_path):
+    """A vector whose length differs from the centroid dim must FAIL the
+    write (review r5: the old assert lived on a projected-then-dropped
+    column, so Catalyst pruned it and the row silently landed in
+    cluster=__HIVE_DEFAULT_PARTITION__, excluded from every probe)."""
+    import pytest
+
+    from article_extraction_spark.operators.similarity_search import write_ivf
+
+    centroids = [[0.0, 0.0], [10.0, 10.0]]
+    bad = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [1.0, 2.0, 3.0])],  # row 2: dim 3 != 2
+        "vec_id long, v array<double>",
+    )
+    with pytest.raises(Exception) as ei:
+        write_ivf(bad, str(tmp_path / "ivf_bad"), "v", centroids)
+    assert "centroid dim" in str(ei.value)
+    # good vectors (plus a NULL, which is excluded by contract) still write
+    ok = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [9.0, 9.5]), (3, None)],
+        "vec_id long, v array<double>",
+    )
+    path = str(tmp_path / "ivf_ok")
+    write_ivf(ok, path, "v", centroids)
+    assert spark.read.parquet(path).count() == 2
+
+
 def test_tfidf_top_terms_hand_computed(spark):
     """3-doc fixture with hand-computed smoothed tf·idf scores."""
     import math
@@ -1284,3 +1311,39 @@ def test_media_features_arrow_twin_parity(spark):
     assert len(a) == 3
     null_row = next(t for t in a if t[0] == 3)
     assert null_row[3] is None  # null payload → null hash on both paths
+
+    # round 5: the features are REAL decoded stats, not the digest fake
+    by_id = {t[0]: t for t in a}
+    assert by_id[1][5] == "image" and by_id[2][5] == "audio"
+    assert by_id[3][5] == "null"
+    # raw-rgb8 repeating (1,2,3): channel means are 1/255, 2/255, 3/255
+    import numpy as np
+
+    np.testing.assert_allclose(by_id[1][4][:3], [1 / 255, 2 / 255, 3 / 255], atol=1e-6)
+    np.testing.assert_allclose(by_id[1][4][3:6], [0.0, 0.0, 0.0], atol=1e-6)
+    # pcm16 alternating 0x1000: rms/peak of the real samples
+    samples = np.frombuffer(bytes(rows[1][2]), dtype="<i2").astype(np.float64) / 32768.0
+    np.testing.assert_allclose(by_id[2][4][0], np.sqrt((samples**2).mean()), rtol=1e-6)
+    np.testing.assert_allclose(by_id[2][4][1], np.abs(samples).max(), rtol=1e-6)
+
+
+def test_media_features_digest_fallback_for_undecodable(spark):
+    """Corrupt/unknown payloads land on the digest fallback (feature_src
+    'digest') instead of failing the task; decodable rows in the same
+    batch still get real features."""
+    from article_extraction_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+
+    rows = [
+        (1, "image", bytearray(b"\x89PNG not really a png"), "image/png", 4, 4, None),
+        (2, "video", bytearray(b"\x00\x00ftypmp42"), "video/mp4", None, None, 900),
+        (3, "image", bytearray(b"\x05\x06\x07" * 4), "image/raw-rgb8", 2, 2, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert got[1]["feature_src"] == "digest"
+    assert got[2]["feature_src"] == "digest"
+    assert got[3]["feature_src"] == "image"
+    assert len(got[1]["feature"]) == 8 and got[1]["content_hash"] is not None
