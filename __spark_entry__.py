@@ -658,6 +658,151 @@ def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_windows(docs, "text", window=20, stride=10, by_chars=False)
 
 
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Train-once-per-sf merge table shared by the bpe_* queries (the gate
+    runs both; training twice would double the heaviest part)."""
+    merges = _BPE_MERGES_CACHE.get(sf_dir)
+    if merges is None:
+        from article_extraction_spark.extraction.bpe import bpe_train
+
+        docs = (
+            _t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 150)
+            .select("text")
+        )
+        merges = bpe_train(docs, "text", n_merges=24, checkpoint_every=12)
+        _BPE_MERGES_CACHE[sf_dir] = merges
+    return merges
+
+
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE trained RELATIONALLY on the corpus (one pre-token
+    count shuffle; per-merge-round native pair-count groupBy + fold —
+    extraction/bpe.py), then encode+decode each document with the
+    Arrow-batched kernels. Value oracle: decode(encode(text)) must equal
+    text byte-for-byte (DuckDB returns the original text), the token
+    count can never exceed the byte count (BPE starts at one symbol per
+    byte and merges only shrink), and the merge table reached the full
+    24 ranks (no early pair exhaustion)."""
+    from article_extraction_spark.extraction.bpe import (
+        bpe_decode_udf,
+        bpe_encode_udf,
+    )
+
+    _ensure_shipped(spark)
+    merges = _bpe_merges(spark, sf_dir)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    out = docs.withColumn("ids", bpe_encode_udf(merges)(F.col("text")))
+    return out.select(
+        "doc_id",
+        bpe_decode_udf(merges)(F.col("ids")).alias("decoded"),
+        (F.size("ids") <= F.octet_length("text")).alias("tokens_le_bytes"),
+        F.lit(len(merges)).alias("n_merges"),
+    )
+
+
+def q_bpe_token_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 windowing + sequence packing running on REAL BPE token ids
+    (VERDICT r4 #1): encode doc_id<150 with the trained merges, window
+    the id arrays natively (array_windows_col: 32-token windows, stride
+    24), and pack the real token counts with concat_chunk_plan. The
+    invariants are computed over the actual arrays and FOLDED into the
+    hashed 1-row result (the incremental_dedup oracle pattern):
+
+      * windows_ok        — every doc's windows reconstruct its exact id
+                            sequence (first `stride` ids of each window +
+                            the whole final window) AND the window count
+                            matches the closed-form formula;
+      * pack_blocks_full  — every non-final block sums to exactly 512;
+      * pack_docs_covered — per-doc span sums equal the doc's token count;
+      * pack_total_ok     — span grand total equals the corpus token total.
+    """
+    from article_extraction_spark.extraction.bpe import bpe_encode_udf
+    from article_extraction_spark.extraction.windows import array_windows_col
+    from article_extraction_spark.operators.packing import concat_chunk_plan
+
+    from pyspark import StorageLevel
+
+    _ensure_shipped(spark)
+    merges = _bpe_merges(spark, sf_dir)
+    W, S, BLOCK = 32, 24, 512
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    ids_df = (
+        docs.withColumn("ids", bpe_encode_udf(merges)(F.col("text")))
+        .select("doc_id", "ids", F.size("ids").cast("long").alias("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_docs = ids_df.count()
+
+    wins = ids_df.withColumn("wins", array_windows_col(F.col("ids"), W, S))
+    nw = F.size("wins")
+    recon = F.concat(
+        F.flatten(
+            F.transform(
+                F.slice("wins", F.lit(1), nw - 1), lambda w: F.slice(w, 1, S)
+            )
+        ),
+        F.element_at("wins", -1),
+    )
+    expected_nw = F.when(F.col("_n") <= W, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.ceil((F.col("_n") - F.lit(W)).cast("double") / F.lit(S)).cast("int")
+    )
+    wrow = wins.agg(
+        F.bool_and((recon == F.col("ids")) & (nw == expected_nw)).alias("ok")
+    ).collect()[0]
+
+    plan = concat_chunk_plan(ids_df.select("doc_id", "_n"), "_n", BLOCK, "doc_id")
+    plan = plan.persist(StorageLevel.MEMORY_AND_DISK)
+    max_block = plan.agg(F.max("block_id")).collect()[0][0]
+    blocks_full = plan.groupBy("block_id").agg(
+        F.sum("n_tokens").alias("s")
+    ).agg(
+        F.bool_and(
+            (F.col("s") == BLOCK) | (F.col("block_id") == F.lit(max_block))
+        ).alias("ok")
+    ).collect()[0]["ok"]
+    per_doc = (
+        ids_df.join(
+            plan.groupBy("doc_id").agg(F.sum("n_tokens").alias("s")),
+            "doc_id",
+            "left",
+        )
+        .agg(F.bool_and(F.coalesce("s", F.lit(0)) == F.col("_n")).alias("ok"))
+        .collect()[0]["ok"]
+    )
+    totals = plan.agg(F.sum("n_tokens")).collect()[0][0]
+    grand = ids_df.agg(F.sum("_n")).collect()[0][0]
+    plan._retained_cache.unpersist()
+    plan.unpersist()
+    ids_df.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                bool(wrow["ok"]),
+                bool(blocks_full),
+                bool(per_doc),
+                bool(totals == grand),
+                len(merges),
+            )
+        ],
+        "n_docs long, windows_ok boolean, pack_blocks_full boolean, "
+        "pack_docs_covered boolean, pack_total_ok boolean, n_merges int",
+    )
+
+
 def q_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7/E9: registry extractor over planted key:value text, one Arrow pass
     for all fields, numeric coercion per reference (parse_numeric → int)."""
@@ -1540,6 +1685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "char_windows": q_char_windows,
         "token_windows": q_token_windows,
+        "bpe_roundtrip": q_bpe_roundtrip,
+        "bpe_token_ops": q_bpe_token_ops,
         "extract_fields": q_extract_fields,
         "jaro_winkler": q_jaro_winkler,
         "upsert_merge": q_upsert_merge,
@@ -1737,6 +1884,24 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE cast(ceil((length(text) - 200) / 100.0) AS INTEGER) + 1 END)) AS i
                 FROM documents
             )
+        """,
+        "bpe_roundtrip": """
+            SELECT doc_id,
+                   text AS decoded,
+                   TRUE AS tokens_le_bytes,
+                   CAST(24 AS INTEGER) AS n_merges
+            FROM documents
+            WHERE doc_id < 150
+        """,
+        "bpe_token_ops": """
+            SELECT count(*) AS n_docs,
+                   TRUE AS windows_ok,
+                   TRUE AS pack_blocks_full,
+                   TRUE AS pack_docs_covered,
+                   TRUE AS pack_total_ok,
+                   CAST(24 AS INTEGER) AS n_merges
+            FROM documents
+            WHERE doc_id < 150
         """,
         "extract_fields": """
             SELECT o_orderkey,

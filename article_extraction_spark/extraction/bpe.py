@@ -1,0 +1,350 @@
+"""Byte-level BPE tokenizer, trained relationally (round 5).
+
+The reference defines its windowing/packing contracts in REAL tokenizer
+tokens (reference models/llm.py:155-185 — HF ``AutoTokenizer`` windows;
+diagnosis/nb_token_papers.py token counting), but HF is uninstallable in
+this container. This module implements the public byte-level BPE
+algorithm (Sennrich et al. 2016; the GPT-2 tokenizer construction,
+Radford et al. 2019) from scratch, Spark-first:
+
+* **Training** (`bpe_train`): the only corpus-size-dependent work is ONE
+  pre-token frequency count — mapInPandas partial counts per Arrow batch
+  (map-side combine in python) + one groupBy shuffle on the pre-token
+  string. Every merge round then runs on the DISTINCT pre-token table
+  (bounded by vocabulary, not corpus size): adjacent-pair counting is a
+  native slice/arrays_zip/explode + one groupBy (shuffles ``O(distinct
+  pre-tokens × avg syms)`` tiny rows), the argmax pair comes back to the
+  driver as ONE row, and the merge is applied with a native
+  ``aggregate`` fold — no Python in the loop. Lineage is truncated with
+  reliable ``.checkpoint(eager=True)`` every ``checkpoint_every`` rounds
+  (the connected-components pattern) so plan analysis stays O(1) per
+  round. At 100 TB you would also sample the corpus for the frequency
+  count (tokenizer training is statistics, not a full pass) — pass a
+  pre-sampled df.
+
+* **Encoding** (`bpe_encode_udf`): the canonical rank-priority merge
+  replay, as an Arrow-batched pandas UDF with a per-worker word→ids
+  memo (natural-language corpora repeat pre-tokens heavily, so the memo
+  hit rate is high; the executor-side analog of HF's cache).
+
+* **Ids**: byte ``b`` → id ``b`` (0-255 over the byte-to-unicode
+  alphabet), merge rank ``r`` → id ``256+r`` — decode is exact inverse,
+  so ``decode(encode(text)) == text`` for any valid UTF-8 input (the
+  value-oracle contract for the ``bpe_roundtrip`` query).
+
+Pre-tokenization uses a GPT-2-style regex (contractions, letter runs,
+digit runs, punctuation runs — each with an optional leading space,
+trailing-whitespace lookahead) written for Python ``re``'s unicode
+classes; it is this engine's own documented contract, applied
+identically at train and encode time.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# GPT-2-style pre-token pattern for Python `re`: [^\W\d_] = unicode
+# letters; (?:[^\w\s]|_) = unicode punctuation/symbols (incl. underscore,
+# which \w would otherwise swallow); trailing-space lookahead keeps the
+# final space of a run attached to the following word.
+_PRETOKEN_PAT = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\w\s]|_)+|\s+(?!\S)|\s+"
+)
+
+
+def pretokenize(text: str) -> list[str]:
+    """Split text into BPE pre-tokens (merges never cross these)."""
+    return _PRETOKEN_PAT.findall(text or "")
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte↔unicode table: every byte gets a printable
+    single-character symbol (printable latin bytes map to themselves,
+    the rest shift into 256+): BPE then operates on strings with no
+    unseen-character problem."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U = bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+# byte value -> id is identity; ordered alphabet for id assignment
+_BASE_SYMBOLS = [_B2U[b] for b in range(256)]
+
+
+def word_to_symbols(word: str) -> list[str]:
+    """Pre-token → initial per-byte symbol list."""
+    return [_B2U[b] for b in word.encode("utf-8")]
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+
+def pretoken_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(pretoken, freq) over the corpus — the ONLY corpus-size-dependent
+    step of training. mapInPandas emits per-batch partial counts (python
+    map-side combine: one output row per distinct pre-token per batch,
+    not per occurrence), then one groupBy shuffle sums partials."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for text in pdf[text_col]:
+                c.update(pretokenize(text))
+            if c:
+                yield pd.DataFrame(
+                    {"pretoken": list(c.keys()), "freq": list(c.values())}
+                )
+
+    partials = df.select(text_col).mapInPandas(
+        op, schema="pretoken string, freq long"
+    )
+    return partials.groupBy("pretoken").agg(F.sum("freq").alias("freq"))
+
+
+def _merge_fold(a: str, b: str) -> Column:
+    """Apply merge (a,b) → a+b to the ``syms`` array as ONE native fold:
+    left-to-right over the symbols, merging disjoint occurrences
+    leftmost-first (classic BPE training semantics)."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        F.col("syms"),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_freq: int = 2,
+    checkpoint_every: int = 10,
+    loop_partitions: int | None = None,
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges on the corpus; returns the ordered
+    merge list [(left_sym, right_sym), ...] (rank = position).
+
+    Per round: pair counting is slice+arrays_zip+explode → groupBy
+    (native, one small shuffle over the distinct-pretoken table), the
+    best pair (count desc, pair lexicographic asc — deterministic ties)
+    comes to the driver as one row, and the merge applies as a native
+    fold. Stops early when no pair reaches ``min_freq``.
+
+    Loop cost is JOB OVERHEAD, not data: merge folds chain LAZILY and
+    re-execute inside the next round's pair-count job (≤checkpoint_every
+    folds over the vocab table — cheaper than materializing each round as
+    its own job), and the vocab table is repartitioned down to
+    ``loop_partitions`` (default: ~1 partition per 50k distinct
+    pre-tokens) so each round schedules a handful of tasks, not the
+    corpus shuffle width."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import _checkpoint_rdd_dirs
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        base = sc.getConf().get("spark.local.dir", tempfile.gettempdir()).split(",")[0]
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="bpe-ckpt-", dir=base))
+    resolved = sc.getCheckpointDir()
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def to_syms(words: pd.Series) -> pd.Series:
+        return words.map(word_to_symbols)
+
+    # distinct pre-tokens only — one vectorized pass per VOCAB entry, not
+    # per corpus token
+    counts = pretoken_counts(df, text_col).withColumn(
+        "syms", to_syms(F.col("pretoken"))
+    ).select("syms", "freq")
+    counts = counts.persist()
+    n_vocab = counts.count()
+    parts = loop_partitions or max(
+        1, min(sc.defaultParallelism, n_vocab // 50_000 + 1)
+    )
+    anchor = counts.repartition(parts).persist()
+    anchor.count()
+    counts.unpersist(blocking=False)
+
+    merges: list[tuple[str, str]] = []
+    prev_ckpt_dirs: set[str] = set()
+    ws = anchor
+    try:
+        for rank in range(n_merges):
+            pairs = (
+                ws.where(F.size("syms") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+                            F.slice("syms", 2, F.size("syms") - 1).alias("b"),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs or pairs[0]["cnt"] < min_freq:
+                break
+            a, b = pairs[0]["a"], pairs[0]["b"]
+            merges.append((a, b))
+            # chain the fold LAZILY — it re-executes inside the next pair
+            # count (tiny table), saving a materialization job per round
+            ws = ws.withColumn("syms", _merge_fold(a, b))
+            if (rank + 1) % checkpoint_every == 0:
+                # reliable-checkpoint to truncate lineage (plan depth grows
+                # one fold per round otherwise → O(rounds²) analysis);
+                # persist around the count+write pair so nothing computes
+                # twice, then sweep superseded rdd-* dirs
+                # (connected_components pattern, operators/dedup.py)
+                before = _checkpoint_rdd_dirs(resolved)
+                cached = ws.persist()
+                flat = cached.checkpoint(eager=True)
+                cached.unpersist(blocking=False)
+                created = _checkpoint_rdd_dirs(resolved) - before
+                for d in prev_ckpt_dirs:
+                    shutil.rmtree(d, ignore_errors=True)
+                prev_ckpt_dirs = created
+                ws = flat
+    finally:
+        anchor.unpersist(blocking=False)
+        # nothing outlives training but the merges list — drop the last
+        # round's checkpoint files too
+        for d in prev_ckpt_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# encode / decode
+# ---------------------------------------------------------------------------
+
+
+def build_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """symbol string → token id: byte b → b, merge rank r → 256+r."""
+    vocab = {s: i for i, s in enumerate(_BASE_SYMBOLS)}
+    for r, (a, b) in enumerate(merges):
+        vocab[a + b] = 256 + r
+    return vocab
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Canonical rank-priority BPE merge replay for one pre-token:
+    repeatedly merge all disjoint occurrences of the lowest-rank pair
+    present (leftmost-first within a pass)."""
+    syms = word_to_symbols(word)
+    while len(syms) >= 2:
+        best = None
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def encode_text(text: str, ranks, vocab, memo: dict | None = None) -> list[int]:
+    """Pure-python reference encode (the UDF calls exactly this)."""
+    ids: list[int] = []
+    for w in pretokenize(text):
+        if memo is not None:
+            cached = memo.get(w)
+            if cached is None:
+                cached = [vocab[s] for s in encode_word(w, ranks)]
+                if len(memo) < 1_000_000:  # bound worker memory
+                    memo[w] = cached
+            ids.extend(cached)
+        else:
+            ids.extend(vocab[s] for s in encode_word(w, ranks))
+    return ids
+
+
+def decode_ids(ids: list[int], merges: list[tuple[str, str]]) -> str:
+    """Exact inverse of encode: ids → symbols → bytes → utf-8."""
+    id2sym = {i: s for i, s in enumerate(_BASE_SYMBOLS)}
+    for r, (a, b) in enumerate(merges):
+        id2sym[256 + r] = a + b
+    text = "".join(id2sym[i] for i in ids)
+    return bytes(_U2B[u] for u in text).decode("utf-8")
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched encoder: text → array<int> token ids. The merge
+    table ships in the closure (KB-scale broadcast); ranks/vocab/memo are
+    rebuilt once per python worker and cached at module scope keyed by
+    the merge-table identity."""
+    merges = [tuple(m) for m in merges]
+    key = ("enc", id(merges), len(merges))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        state = _WORKER_STATE.get(key)
+        if state is None:
+            ranks = {m: r for r, m in enumerate(merges)}
+            state = (ranks, build_vocab(merges), {})
+            _WORKER_STATE[key] = state
+        ranks, vocab, memo = state
+        return pd.Series(
+            [encode_text(t or "", ranks, vocab, memo) for t in texts]
+        )
+
+    return _udf
+
+
+def bpe_decode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched decoder: array<int> → text (exact inverse)."""
+    merges = [tuple(m) for m in merges]
+
+    @F.pandas_udf(T.StringType())
+    def _udf(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else decode_ids(list(v), merges) for v in ids]
+        )
+
+    return _udf
+
+
+_WORKER_STATE: dict = {}

@@ -54,6 +54,27 @@ def char_windows_col(text: Column, window: int, stride: int) -> Column:
     )
 
 
+def array_windows_col(arr: Column, window: int, stride: int) -> Column:
+    """Token windows over a precomputed token-id ARRAY as one native
+    expression — `iter_token_windows` semantics (whole array if window<=0
+    or >= len; else slide by stride, short final window, stop once a
+    window reaches the end). Round 5: pairs with the real BPE encoder
+    (extraction/bpe.py) so E5 windowing runs on real token ids without a
+    second Python pass; posexplode the result to fan out windows."""
+    if window <= 0:
+        return F.array(arr)
+    step = stride if stride > 0 else window
+    n = F.size(arr)
+    n_win = F.when(n <= window, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.ceil((n - F.lit(window)).cast("double") / F.lit(step)).cast("int")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.slice(arr, i * step + 1, window),
+    )
+
+
 _WINDOWS_TYPE = T.ArrayType(T.StringType())
 
 

@@ -101,19 +101,28 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(min(runs), 3)
 
-    # round-3/4 operators: timed once each into extras (NOT the headline
+    # round-3+ operators: cold single-shot into extras (NOT the headline
     # total, which stays the fixed r1/r2 set for round-over-round
-    # comparability)
+    # comparability) PLUS a warm min-of-2 re-run per extra (VERDICT r4 #8:
+    # the cold numbers are fixture/pipeline-construction-dominated; the
+    # warm block is the comparable steady-state signal — e.g. for the bpe
+    # queries the warm runs hit the per-sf merge cache, isolating
+    # encode+invariant cost from the one-off training).
+    extras_warm: dict[str, float] = {}
     for name in [
         "pack_blocks", "bigram_lm_score", "boilerplate_lines", "pdf_layout",
         "jpeg_decode", "ivf_topk", "tfidf_top_terms", "ngram_jaccard",
-        "incremental_dedup", "zorder_box",
+        "incremental_dedup", "zorder_box", "bpe_roundtrip", "bpe_token_ops",
     ]:
         if name in qs:
-            t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
-            extras[f"{name}_seconds"] = round(time.perf_counter() - t0, 3)
-            spark.catalog.clearCache()
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _force(qs[name](spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            extras[f"{name}_seconds"] = round(runs[0], 3)
+            extras_warm[f"{name}_seconds"] = round(min(runs[1:]), 3)
 
     # --- pure-codec micro-bench: JPEG entropy decode (VERDICT r3 #5) ---
     # The jpeg_decode query extra is Spark-fixture-overhead-dominated (12
@@ -192,6 +201,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "extras": extras,
+                "extras_warm": extras_warm,
                 "warm_min5": warm_min5,
                 "warm_min5_total": round(sum(warm_min5.values()), 3),
                 "warm_spread": warm_spread,
