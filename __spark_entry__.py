@@ -1518,6 +1518,52 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style incremental scan over the snapshot catalog (round 5,
+    VERDICT r4 #3): append docs 0-99, append 100-149, compact, append
+    150-199 — ``read_incremental(v1)`` must return EXACTLY docs 100-199
+    (the compaction rewrites rows but adds none). Then
+    ``expire_snapshots(keep_last=2)`` ages out the early history and two
+    properties are folded into every hashed row: the head still reads all
+    200 docs, and the surviving-window delta (v3→v4) still returns docs
+    150-199. DuckDB replays the delta relationally."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    root = f"{tempfile.gettempdir()}/aes_increread_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = ManifestTable(root)
+    v1 = t.append(docs.where(F.col("doc_id") < 100))
+    t.append(docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)))
+    v3 = t.compact(spark, target_bytes=1 << 30)
+    v4 = t.append(docs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 200)))
+
+    delta = t.read_incremental(spark, v1).select("doc_id", "text")
+    # materialize OFF the table's files before expiry deletes the ones the
+    # delta read (cache eviction would otherwise recompute against them)
+    delta_rows = spark.createDataFrame(delta.collect(), delta.schema)
+
+    t.expire_snapshots(keep_last=2)
+    head_ok = t.read(spark).count() == 200
+    surv = t.read_incremental(spark, v3, v4)
+    surv_ok = (
+        surv.agg(
+            F.count("*").alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+    )
+    surv_ok = surv_ok["n"] == 50 and surv_ok["lo"] == 150 and surv_ok["hi"] == 199
+    out = delta_rows.select(
+        "doc_id",
+        "text",
+        F.lit(bool(head_ok)).alias("head_after_expiry_ok"),
+        F.lit(bool(surv_ok)).alias("surviving_delta_ok"),
+    )
+    return out
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation + MERGE through the catalog layer, value-oracled:
     build a ManifestTable from orders (k ≤ 20), MERGE an update set (double
@@ -1716,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": q_bigram_lm_score,
         "boilerplate_lines": q_boilerplate_lines,
         "time_travel": q_time_travel,
+        "incremental_read": q_incremental_read,
         "answer_agg_modes": q_answer_agg_modes,
         "clean_convert": q_clean_convert,
         "pdf_layout": q_pdf_layout,
@@ -1884,6 +1931,14 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE cast(ceil((length(text) - 200) / 100.0) AS INTEGER) + 1 END)) AS i
                 FROM documents
             )
+        """,
+        "incremental_read": """
+            SELECT doc_id,
+                   text,
+                   TRUE AS head_after_expiry_ok,
+                   TRUE AS surviving_delta_ok
+            FROM documents
+            WHERE doc_id >= 100 AND doc_id < 200
         """,
         "bpe_roundtrip": """
             SELECT doc_id,

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,6 +109,7 @@ class ManifestTable:
                 "operation": operation,
                 "files": files,
                 "schema": attempt_schema,
+                "ts": time.time(),
             }
             if extra_meta:
                 clash = set(extra_meta) & set(manifest)
@@ -180,14 +182,180 @@ class ManifestTable:
         manifest carrying this writer's id — batch ids are monotonic per
         writer, so the most recent entry answers any replay question in
         one hit; only other writers' interleaved commits are skipped
-        (review r4: a full-chain scan per commit was O(history²))."""
+        (review r4: a full-chain scan per commit was O(history²)).
+
+        The walk ends at the expiry horizon (`expire_snapshots` deletes
+        old manifests); writers whose entries were ALL expired are
+        answered from the stream-watermark file expiry folds their
+        latest batch ids into — exactly-once survives history cleanup
+        (round 5)."""
         version = self.current_snapshot_id()
         while version is not None:
-            manifest = self._load(version)
+            try:
+                manifest = self._load(version)
+            except FileNotFoundError:
+                break  # expired history — fall through to the watermarks
             if manifest.get("stream_writer") == writer_id:
                 return manifest.get("stream_batch")
             version = manifest.get("parent")
-        return None
+        return self._stream_watermarks().get(writer_id)
+
+    # -- history management (round 5) -----------------------------------------
+
+    _WATERMARKS = "stream-watermarks.json"
+
+    def _stream_watermarks(self) -> dict[str, int]:
+        try:
+            with open(os.path.join(self.root, self._WATERMARKS)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def expire_snapshots(
+        self,
+        keep_last: int = 5,
+        older_than_ts: float | None = None,
+    ) -> dict:
+        """Iceberg-style snapshot expiry: delete old manifests and any data
+        file no SURVIVING snapshot references, keeping history (and the
+        replay-guard chain walk) bounded for long-running streaming tables
+        that commit one snapshot per micro-batch.
+
+        A snapshot expires when it is NOT among the ``keep_last`` newest
+        AND (when ``older_than_ts`` is given) its commit ts is older. The
+        current head never expires. Before deleting manifests, each
+        expiring streaming commit's (writer, batch) is folded max-wise
+        into ``stream-watermarks.json`` (atomic tmp+rename) so the
+        exactly-once replay guard keeps answering for writers whose whole
+        history aged out — deleting the guard's evidence without the
+        watermark would re-admit a replayed batch as new data (data
+        duplication). Crash between watermark write and manifest delete
+        is safe: watermarks only ever raise the floor.
+
+        Like ``compact``, run this as the single maintenance job for the
+        table (Iceberg's own expire_snapshots contract).
+
+        Returns {"expired": [ids], "deleted_files": n, "kept": [ids]}."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the head always survives)")
+        versions = self.snapshots()
+        keep = set(versions[-keep_last:])
+        expiring = []
+        for v in versions:
+            if v in keep:
+                continue
+            if older_than_ts is not None:
+                if self._load(v).get("ts", 0.0) >= older_than_ts:
+                    continue
+            expiring.append(v)
+        if not expiring:
+            return {"expired": [], "deleted_files": 0, "kept": versions}
+
+        # fold expiring stream commits into the watermark file FIRST
+        marks = self._stream_watermarks()
+        for v in expiring:
+            m = self._load(v)
+            w, b = m.get("stream_writer"), m.get("stream_batch")
+            if w is not None and b is not None:
+                if marks.get(w) is None or b > marks[w]:
+                    marks[w] = b
+        if marks:
+            tmp = os.path.join(self.root, f".{self._WATERMARKS}.{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                json.dump(marks, f)
+            os.replace(tmp, os.path.join(self.root, self._WATERMARKS))
+
+        surviving = [v for v in versions if v not in set(expiring)]
+        live_files = set()
+        for v in surviving:
+            live_files.update(self._load(v)["files"])
+        dead_files = set()
+        for v in expiring:
+            dead_files.update(self._load(v)["files"])
+        dead_files -= live_files
+
+        deleted = 0
+        for f in sorted(dead_files):
+            try:
+                os.remove(os.path.join(self.root, f))
+                deleted += 1
+            except OSError:
+                pass
+        for v in expiring:
+            try:
+                os.remove(self._manifest_path(v))
+            except OSError:
+                pass
+        return {"expired": expiring, "deleted_files": deleted, "kept": surviving}
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        on_non_append: str = "error",
+    ) -> DataFrame:
+        """CDC-style incremental scan (the Iceberg incremental-read analog):
+        rows ADDED strictly after ``from_snapshot`` up to and including
+        ``to_snapshot`` (default head) — downstream curation consumes only
+        the delta instead of rescanning the table (pairs with
+        incremental_exact_dedup).
+
+        Walks the parent chain ``to → from``; every APPEND snapshot
+        contributes exactly the files it added over its parent (manifests
+        carry full file lists, so the delta is a set diff — no row-level
+        bookkeeping needed); ``compact`` rewrites the same rows into new
+        files and contributes nothing. ``merge``/``overwrite`` rewrite
+        rows in place, which a file-level delta cannot express —
+        ``on_non_append="error"`` (default) raises;
+        ``"skip"`` ignores them (documented under-count, Iceberg's
+        incremental scan refuses the same way). Raises if ``from`` is not
+        an ancestor of ``to`` or the chain crosses expired history.
+
+        Reads with ``to``'s schema: files written before a widening are
+        NULL-aligned exactly like a full read."""
+        if on_non_append not in ("error", "skip"):
+            raise ValueError("on_non_append must be 'error' or 'skip'")
+        to = to_snapshot if to_snapshot is not None else self.current_snapshot_id()
+        if to is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        if from_snapshot > to:
+            raise ValueError(f"from_snapshot {from_snapshot} is newer than {to}")
+        to_manifest = self._load(to)
+        added: list[str] = []
+        version, manifest = to, to_manifest
+        while version != from_snapshot:
+            parent = manifest.get("parent")
+            if parent is None:
+                raise ValueError(
+                    f"snapshot {from_snapshot} is not an ancestor of {to}"
+                )
+            try:
+                parent_manifest = self._load(parent)
+            except FileNotFoundError as exc:
+                raise ValueError(
+                    f"cannot read incrementally across expired snapshot {parent} "
+                    f"(run from a surviving ancestor)"
+                ) from exc
+            op = manifest["operation"]
+            if op == "append":
+                base = set(parent_manifest["files"])
+                added[:0] = [f for f in manifest["files"] if f not in base]
+            elif op == "compact":
+                pass  # same rows, new files — nothing added
+            elif on_non_append == "error":
+                raise ValueError(
+                    f"snapshot {version} is {op!r}: a file-level incremental "
+                    "read cannot express rewrites — re-read the full table or "
+                    "pass on_non_append='skip'"
+                )
+            version, manifest = parent, parent_manifest
+        schema = T.StructType.fromJson(json.loads(to_manifest["schema"]))
+        if not added:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in added]
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(self._write_data(df), "overwrite", df.schema.json())
@@ -272,6 +440,7 @@ class ManifestTable:
             "operation": "merge",
             "files": keep_files + new_files,
             "schema": schema_json,
+            "ts": time.time(),
         }
         try:
             with open(self._manifest_path(version), "x") as fh:
@@ -331,6 +500,7 @@ class ManifestTable:
             "operation": "compact",
             "files": new_files,
             "schema": manifest["schema"],
+            "ts": time.time(),
         }
         try:
             with open(self._manifest_path(version), "x") as fh:

@@ -306,3 +306,136 @@ def test_retry_rewidens_schema_against_new_head(spark, tmp_path):
     v = r.commit_files([], narrow, operation="append")
     committed = T.StructType.fromJson(json.loads(r._load(v)["schema"]))
     assert [f.name for f in committed.fields] == ["k", "b", "c"]
+
+
+def test_expire_snapshots_keeps_head_and_sweeps_orphans(spark, tmp_path):
+    """Round 5: expiry deletes old manifests and data files no surviving
+    snapshot references; the head and recent history stay readable."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    v1 = t.append(spark.createDataFrame([(1,)], "k int"))
+    old_files = [os.path.join(t.root, f) for f in t._load(v1)["files"]]
+    v2 = t.overwrite(spark.createDataFrame([(2,)], "k int"))
+    v3 = t.append(spark.createDataFrame([(3,)], "k int"))
+    v4 = t.append(spark.createDataFrame([(4,)], "k int"))
+
+    res = t.expire_snapshots(keep_last=2)
+    assert res["expired"] == [v1, v2]
+    # v1's files are referenced by NO survivor (v2 overwrote) → deleted
+    assert res["deleted_files"] >= 1
+    assert all(not os.path.exists(p) for p in old_files)
+    # head + kept snapshot still read correctly
+    assert {r["k"] for r in t.read(spark).collect()} == {2, 3, 4}
+    assert {r["k"] for r in t.read(spark, snapshot_id=v3).collect()} == {2, 3}
+    # expired snapshot unreadable
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=v1)
+    # pure-append history: expiry deletes NO data files (head references all)
+    res2 = t.expire_snapshots(keep_last=1)
+    assert res2["expired"] == [v3] and res2["deleted_files"] == 0
+    assert {r["k"] for r in t.read(spark).collect()} == {2, 3, 4}
+    # never expires the head, even keep_last=1 repeatedly
+    assert t.expire_snapshots(keep_last=1)["expired"] == []
+    assert t.current_snapshot_id() == v4
+
+
+def test_expire_older_than_ts_filter(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1,)], "k int"))
+    t.append(spark.createDataFrame([(2,)], "k int"))
+    t.append(spark.createDataFrame([(3,)], "k int"))
+    # cutoff before every commit → nothing old enough, nothing expires
+    first_ts = t._load(1)["ts"]
+    assert t.expire_snapshots(keep_last=1, older_than_ts=first_ts)["expired"] == []
+    # cutoff after every commit → count policy alone decides
+    res = t.expire_snapshots(keep_last=2, older_than_ts=first_ts + 1e9)
+    assert res["expired"] == [1]
+
+
+def test_expire_preserves_stream_replay_guard(spark, tmp_path):
+    """Expiring ALL of a writer's streaming commits must not reopen the
+    exactly-once window: the watermark file answers for expired history
+    (review r5 design note — without it a replayed batch would re-commit
+    as new data)."""
+    from article_extraction_spark.sources.manifest_source import (
+        _FilesMessage,
+        _ManifestStreamWriter,
+    )
+
+    root = str(tmp_path / "tbl")
+    schema = spark.createDataFrame([(1,)], "k long").schema
+    w = _ManifestStreamWriter(root, schema, writer_id="pipe-A")
+
+    def fake_files(tag):
+        rel = f"data/commit-{tag}/{tag}.parquet"
+        os.makedirs(os.path.join(root, f"data/commit-{tag}"), exist_ok=True)
+        spark.createDataFrame([(1,)], "k long").toPandas().to_parquet(
+            os.path.join(root, rel)
+        )
+        return [rel]
+
+    for b in range(4):
+        w.commit([_FilesMessage(fake_files(f"b{b}"))], batchId=b)
+    t = ManifestTable(root)
+    # plain append on top so the head carries NO pipe-A metadata
+    t.append(spark.createDataFrame([(99,)], "k long"))
+    res = t.expire_snapshots(keep_last=1)
+    assert len(res["expired"]) == 4
+    assert t.last_stream_batch("pipe-A") == 3  # from the watermark file
+    # a replay of batch 3 after expiry must be dropped, not re-committed
+    n_before = t.read(spark).count()
+    dup = fake_files("replay3")
+    w.commit([_FilesMessage(dup)], batchId=3)
+    assert t.read(spark).count() == n_before
+    assert not os.path.exists(os.path.join(root, dup[0]))
+    # batch 4 is genuinely new
+    w.commit([_FilesMessage(fake_files("b4"))], batchId=4)
+    assert t.read(spark).count() == n_before + 1
+
+
+def test_read_incremental_appends(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    v1 = t.append(spark.createDataFrame([(1,), (2,)], "k int"))
+    v2 = t.append(spark.createDataFrame([(3,)], "k int"))
+    v3 = t.append(spark.createDataFrame([(4,), (5,)], "k int"))
+    assert {r["k"] for r in t.read_incremental(spark, v1).collect()} == {3, 4, 5}
+    assert {r["k"] for r in t.read_incremental(spark, v1, v2).collect()} == {3}
+    assert {r["k"] for r in t.read_incremental(spark, v2, v3).collect()} == {4, 5}
+    assert t.read_incremental(spark, v3).count() == 0
+    with pytest.raises(ValueError, match="newer"):
+        t.read_incremental(spark, v3, v1)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.read_incremental(spark, 0, v3)
+
+
+def test_read_incremental_compact_merge_expiry(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    v1 = t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    v2 = t.compact(spark, target_bytes=1 << 30)
+    v3 = t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    # compact rewrites rows, adds none
+    assert {r["k"] for r in t.read_incremental(spark, v1).collect()} == {3}
+    # merge in the window: error by default, skip drops its rewrites
+    t.merge(spark, spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"), ["k"])
+    with pytest.raises(ValueError, match="incremental"):
+        t.read_incremental(spark, v1)
+    skipped = {r["k"] for r in t.read_incremental(spark, v1, on_non_append="skip").collect()}
+    assert skipped == {3}
+    # expired history inside the window → clear error
+    v5 = t.append(spark.createDataFrame([(5, "e")], "k int, v string"))
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        t.read_incremental(spark, v1)
+    # within surviving history it still works
+    assert {r["k"] for r in t.read_incremental(spark, v5 - 1, v5).collect()} == {5}
+
+
+def test_read_incremental_null_aligns_prewidening_files(spark, tmp_path):
+    """A file appended before a widening reads back through the delta with
+    the widened schema (missing column → NULL), same as full reads."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    v1 = t.append(spark.createDataFrame([(0,)], "k int"))
+    t.append(spark.createDataFrame([(1,)], "k int"))
+    t.append(spark.createDataFrame([(2, 20.0)], "k int, extra double"))
+    rows = {r["k"]: r for r in t.read_incremental(spark, v1).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["extra"] is None and rows[2]["extra"] == 20.0
