@@ -18,6 +18,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1564,6 +1565,51 @@ def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset detection + correct decoding of non-UTF-8 payloads (round 5,
+    VERDICT r4 #6 — the reference's errors='ignore' silently destroys
+    legacy-charset bytes). Four planted variants per doc_id%4: plain
+    UTF-8, UTF-16-LE with BOM, bare windows-1252 (high-byte heuristic),
+    and windows-1252 with a declared <meta charset>. The oracle
+    reconstructs the exact decoded text, the detected encoding label, and
+    the ladder's confidence constant for every row."""
+    import codecs
+
+    from article_extraction_spark.extract.charset import detect_decode_udf
+
+    _ensure_shipped(spark)
+    SUF = " — café ±15° €"
+    META = '<meta charset="windows-1252">'
+
+    @F.pandas_udf("binary")
+    def make_payload(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(doc_id, text):
+            v = int(i) % 4
+            if v == 0:
+                out.append((t + SUF).encode("utf-8"))
+            elif v == 1:
+                out.append(codecs.BOM_UTF16_LE + (t + SUF).encode("utf-16-le"))
+            elif v == 2:
+                out.append((t + SUF).encode("windows-1252"))
+            else:
+                out.append((META + t + SUF).encode("windows-1252"))
+        return pd.Series(out)
+
+    docs = (
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id", "text")
+    )
+    det = docs.withColumn(
+        "payload", make_payload(F.col("doc_id"), F.col("text"))
+    ).withColumn("d", detect_decode_udf()(F.col("payload")))
+    return det.select(
+        "doc_id",
+        F.col("d.text").alias("decoded"),
+        F.col("d.encoding").alias("encoding"),
+        F.col("d.confidence").alias("confidence"),
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation + MERGE through the catalog layer, value-oracled:
     build a ManifestTable from orders (k ≤ 20), MERGE an update set (double
@@ -1763,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "time_travel": q_time_travel,
         "incremental_read": q_incremental_read,
+        "charset_detect": q_charset_detect,
         "answer_agg_modes": q_answer_agg_modes,
         "clean_convert": q_clean_convert,
         "pdf_layout": q_pdf_layout,
@@ -1931,6 +1978,21 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE cast(ceil((length(text) - 200) / 100.0) AS INTEGER) + 1 END)) AS i
                 FROM documents
             )
+        """,
+        "charset_detect": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN '<meta charset="windows-1252">' || text || ' — café ±15° €'
+                        ELSE text || ' — café ±15° €' END AS decoded,
+                   CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                                   WHEN 1 THEN 'utf-16-le'
+                                   ELSE 'windows-1252' END AS encoding,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 0.99
+                                        WHEN 1 THEN 1.0
+                                        WHEN 2 THEN 0.6
+                                        ELSE 0.9 END AS DOUBLE) AS confidence
+            FROM documents
+            WHERE doc_id < 200
         """,
         "incremental_read": """
             SELECT doc_id,

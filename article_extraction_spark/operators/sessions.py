@@ -11,23 +11,166 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ts_numeric(dt, ts_col: str):
+    """Monotonic numeric image of a timestamp column, in seconds. NTZ wall
+    times must NOT go through unix_timestamp: under a DST session timezone
+    the spring-forward gap maps out of order (review r3) — derive the
+    number from the wall-clock fields themselves. Shared by the as-of
+    two-phase carry and sessionize (round 5)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return (
+            F.unix_date(F.to_date(ts_col)).cast("double") * 86400
+            + F.hour(ts_col) * 3600
+            + F.minute(ts_col) * 60
+            + F.second(ts_col)
+        )
+    if isinstance(dt, T.TimestampType):
+        return F.unix_timestamp(ts_col).cast("double")  # instant-based
+    return F.col(ts_col).cast("double")
+
+
 def sessionize(
     df: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
     session_col: str = "session_id",
+    skew_buckets: int | str | None = None,
+    skew_threshold: int = 500_000,
+    skew_sample_fraction: float = 0.01,
+    skew_max_buckets: int = 64,
 ) -> DataFrame:
     """Gap-based sessions: a new session starts when the time since the
     previous event of the same user exceeds the gap. session_id is the
-    running count of boundaries per user (lag + conditional cumsum)."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    prev_ts = F.lag(ts_col).over(w)
-    gap_s = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
-    boundary = F.when(prev_ts.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)
-    return df.withColumn("_b", boundary).withColumn(
-        session_col, F.sum("_b").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    ).drop("_b")
+    running count of boundaries per user (lag + conditional cumsum).
+
+    The per-user window serializes a mega-user into one task (the same
+    hazard as the as-of join). ``skew_buckets=N`` splits each user's
+    timeline into N uniform time buckets and runs the two-phase boundary
+    count (within-bucket windows in parallel, then an O(buckets)-per-user
+    prefix pass over bucket summaries — see `_sessionize_two_phase`).
+    ``skew_buckets="auto"`` (round 5, VERDICT r4 #7) reuses the as-of
+    join's sampled key-histogram probe: a ``skew_sample_fraction`` sample
+    is key-counted and the hottest key's estimated row count flips the
+    path when it reaches ``skew_threshold``; the auto path returns a
+    ``_retained_cache`` handle the caller unpersists after consuming."""
+    probe_cache = None
+    if skew_buckets == "auto":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        probe_cache = df
+        hottest = (
+            df.sample(fraction=skew_sample_fraction, seed=42)
+            .groupBy(user_col)
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        est_max = int((hottest or 0) / skew_sample_fraction)
+        if est_max >= skew_threshold:
+            skew_buckets = min(
+                skew_max_buckets, max(8, -(-est_max // max(1, skew_threshold // 2)))
+            )
+        else:
+            skew_buckets = None
+    if skew_buckets is not None:
+        out = _sessionize_two_phase(
+            df, user_col, ts_col, gap_minutes, session_col, int(skew_buckets)
+        )
+    else:
+        tsn = _ts_numeric(df.schema[ts_col].dataType, ts_col)
+        w = Window.partitionBy(user_col).orderBy(ts_col)
+        prev = F.lag(tsn).over(w)
+        boundary = F.when(
+            prev.isNull() | (tsn - prev > gap_minutes * 60), 1
+        ).otherwise(0)
+        out = df.withColumn("_b", boundary).withColumn(
+            session_col,
+            F.sum("_b").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        ).drop("_b")
+    if probe_cache is not None:
+        out._retained_cache = probe_cache  # type: ignore[attr-defined]
+    return out
+
+
+def _sessionize_two_phase(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: float,
+    session_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Distributed session numbering for skewed users (round 5): the same
+    two-phase prefix shape as the as-of carry.
+
+    Phase 1 — bucket each user's timeline into ``n_buckets`` uniform time
+    buckets and window WITHIN (user, bucket): per-bucket boundary flags
+    and running counts, all buckets in parallel. The first event of every
+    bucket provisionally counts as a boundary (its true predecessor lives
+    in an earlier bucket).
+
+    Phase 2 — per-bucket summaries (first/last ts, within count): one row
+    per non-empty (user, bucket), so the cross-bucket window is
+    O(n_buckets) rows per user, not O(events). lag(last_ts) decides each
+    bucket's TRUE first-event boundary (non-empty buckets only, so lag(1)
+    is the nearest predecessor), and a prefix sum turns corrected
+    per-bucket session counts into an offset. session_id =
+    within_running_count + offset, exactly equal to the single-window
+    numbering (parity + 10⁶-row single-key tests)."""
+    from pyspark import StorageLevel
+
+    gap_s = gap_minutes * 60
+    tsn = _ts_numeric(df.schema[ts_col].dataType, ts_col)
+    # persist the BASE df (idempotent when the auto probe already did) so
+    # the three consumers (span agg, within-bucket window, summaries)
+    # share one cache entry and the caller's single _retained_cache handle
+    # releases everything (the _tsn projection is a free expression on top)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    ev = df.withColumn("_tsn", tsn)
+    lo, hi = ev.agg(F.min("_tsn"), F.max("_tsn")).first()
+    if lo is None or hi is None or hi <= lo:
+        lo, hi = 0, 1
+    b = ev.withColumn(
+        "_bkt", F.width_bucket("_tsn", F.lit(lo), F.lit(hi + 1), F.lit(n_buckets))
+    )
+    w_in = Window.partitionBy(user_col, "_bkt").orderBy(ts_col)
+    prev_in = F.lag("_tsn").over(w_in)
+    bnd_in = F.when(
+        prev_in.isNull() | (F.col("_tsn") - prev_in > gap_s), 1
+    ).otherwise(0)
+    b = b.withColumn("_bnd", bnd_in).withColumn(
+        "_c", F.sum("_bnd").over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    summaries = b.groupBy(user_col, "_bkt").agg(
+        F.min("_tsn").alias("_first"),
+        F.max("_tsn").alias("_last"),
+        F.max("_c").alias("_clast"),
+    )
+    w_b = Window.partitionBy(user_col).orderBy("_bkt")
+    prev_last = F.lag("_last").over(w_b)
+    fb = F.when(prev_last.isNull() | (F.col("_first") - prev_last > gap_s), 1).otherwise(0)
+    # true sessions opened in this bucket = (within count - provisional
+    # first boundary) + true first boundary
+    with_fb = summaries.withColumn("_fb", fb).withColumn(
+        "_true", F.col("_clast") - 1 + F.col("_fb")
+    )
+    prev_sum = F.sum("_true").over(w_b.rowsBetween(Window.unboundedPreceding, -1))
+    offsets = with_fb.select(
+        user_col,
+        "_bkt",
+        (F.coalesce(prev_sum, F.lit(0)) + F.col("_fb") - 1).alias("_off"),
+    )
+    out = (
+        b.join(offsets, [user_col, "_bkt"])
+        .withColumn(session_col, F.col("_c") + F.col("_off"))
+        .drop("_tsn", "_bkt", "_bnd", "_c", "_off")
+    )
+    out._retained_cache = df  # type: ignore[attr-defined]
+    return out
 
 
 def session_stats(sessions: DataFrame, user_col: str = "user_id", session_col: str = "session_id") -> DataFrame:

@@ -197,3 +197,84 @@ def test_asof_join_auto_skew_detection(spark):
     a = auto_uni.orderBy("seq").collect()
     auto_uni._retained_cache.unpersist(blocking=True)
     assert a == plain_uni.orderBy("seq").collect()
+
+
+def test_sessionize_two_phase_parity_random(spark):
+    """Two-phase session numbering must equal the single-window numbering
+    row for row across a random event sweep (multiple users, ties, gaps
+    straddling bucket boundaries)."""
+    import numpy as np
+
+    from article_extraction_spark.operators.sessions import sessionize
+
+    rng = np.random.RandomState(3)
+    rows = []
+    base = 1_700_000_000
+    for u in range(6):
+        t = base + rng.randint(0, 500)
+        for i in range(rng.randint(50, 200)):
+            # mixture of small steps and occasional > gap jumps; some ties
+            step = int(rng.choice([0, 5, 60, 300, 2400, 7200], p=[.1, .3, .3, .15, .1, .05]))
+            t += step
+            rows.append((f"u{u}", t, i))
+    df = spark.createDataFrame(rows, "user_id string, ts long, seq int")
+    plain = sessionize(df, gap_minutes=30.0)
+    for n_buckets in (3, 8, 17):
+        two = sessionize(df, gap_minutes=30.0, skew_buckets=n_buckets)
+        a = sorted(
+            (r["user_id"], r["ts"], r["seq"], r["session_id"]) for r in two.collect()
+        )
+        two._retained_cache.unpersist(blocking=True)
+        b = sorted(
+            (r["user_id"], r["ts"], r["seq"], r["session_id"]) for r in plain.collect()
+        )
+        assert a == b, f"n_buckets={n_buckets}"
+
+
+def test_sessionize_auto_skew_single_hot_key(spark):
+    """VERDICT r4 #7: a 10⁶-row single-user stream sessionizes through the
+    two-phase path with NO manual flag (auto probe flips it); result
+    equals the closed-form expected session numbering. A uniform key
+    distribution stays on the plain single-window path (plan-asserted via
+    width_bucket, the two-phase marker)."""
+    from article_extraction_spark.operators.sessions import sessionize
+
+    n = 1_000_000
+    gap_every = 1000  # every 1000th event jumps past the gap
+    ev = spark.range(n).select(
+        F.lit("megauser").alias("user_id"),
+        (
+            F.lit(1_700_000_000)
+            + F.col("id") * 10
+            + (F.col("id") / gap_every).cast("long") * 10_000
+        ).alias("ts"),
+        F.col("id").alias("seq"),
+    )
+    auto = sessionize(ev, gap_minutes=30.0, skew_buckets="auto",
+                      skew_threshold=100_000, skew_sample_fraction=0.01)
+    plan = auto._jdf.queryExecution().analyzed().toString().lower()
+    assert "width_bucket" in plan, "hot key did not flip to two-phase"
+    got = auto.agg(
+        F.count("*").alias("n"),
+        F.max("session_id").alias("mx"),
+        F.sum(F.hash("seq", "session_id").cast("long")).alias("h"),
+    ).first()
+    # session k+1 starts at every gap_every boundary: ids 1..n/gap_every
+    assert got["n"] == n and got["mx"] == n // gap_every
+    # exact per-row expectation: session_id = seq // gap_every + 1
+    wrong = auto.where(
+        F.col("session_id") != (F.col("seq") / gap_every).cast("long") + 1
+    ).count()
+    auto._retained_cache.unpersist(blocking=True)
+    assert wrong == 0
+
+    # uniform distribution: probe must keep the plain path
+    uni = spark.range(100_000).select(
+        (F.col("id") % 500).cast("string").alias("user_id"),
+        (F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.col("id").alias("seq"),
+    )
+    auto_uni = sessionize(uni, gap_minutes=30.0, skew_buckets="auto",
+                          skew_threshold=100_000, skew_sample_fraction=0.05)
+    assert "width_bucket" not in auto_uni._jdf.queryExecution().analyzed().toString().lower()
+    auto_uni._retained_cache.unpersist(blocking=True)
