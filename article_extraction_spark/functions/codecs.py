@@ -1,26 +1,30 @@
 """Pure-stdlib media codecs: PNG (zlib + RFC 2083 filter reconstruction),
-baseline JPEG (ITU-T T.81 huffman + IDCT), and WAV (stdlib ``wave``).
+baseline + progressive JPEG (ITU-T T.81 huffman + IDCT), and WAV (stdlib
+``wave``).
 
 The sandbox has no PIL/soundfile, but these formats don't need them — PNG
-is DEFLATE plus five per-row byte filters, JPEG baseline is huffman
-entropy coding + dequant + 8×8 IDCT, WAV is a RIFF header around raw PCM.
-Implemented from the public specs so compressed-media decode in
-operators/multimodal.py is REAL, with PIL/soundfile remaining optional
-backends only for formats outside the scope below (progressive JPEG,
-FLAC, ...).
+is DEFLATE plus five per-row byte filters, JPEG is huffman entropy coding
++ dequant + 8×8 IDCT, WAV is a RIFF header around raw PCM. Implemented
+from the public specs so compressed-media decode in operators/
+multimodal.py is REAL, with PIL/soundfile remaining optional backends
+only for formats outside the scope below (CMYK JPEG, FLAC, ...).
 
 Scope (documented, checked, errors surface per-row upstream):
 - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette via PLTE),
   4 (gray+alpha), 6 (RGBA), non-interlaced. Alpha is dropped (not
   composited). 16-bit and Adam7 raise ValueError.
-- JPEG: baseline sequential (SOF0), 8-bit, grayscale/YCbCr, 4:4:4/4:2:2/
-  4:2:0 sampling, restart markers; a single-component scan is decoded
-  non-interleaved per T.81 §A.2.2 regardless of declared factors.
-  Progressive/arithmetic/12-bit/CMYK/multi-scan raise ValueError; the
-  media operator falls back to PIL (when importable) for those. Entropy
-  decode is LUT-based (16-bit prefix table — the per-bit variant measured
-  ~45× slower). Decode pinned by HAND-assembled fixtures (spec math) plus
-  encoder round-trips (4:4:4/4:2:2/4:2:0, DRI) at near-lossless quant.
+- JPEG: baseline sequential (SOF0) AND progressive (SOF2, round 5 —
+  spectral selection + successive approximation per T.81 §G.2, the
+  majority variant in real web corpora), 8-bit, grayscale/YCbCr,
+  4:4:4/4:2:2/4:2:0 sampling, restart markers; a single-component scan
+  is decoded non-interleaved per T.81 §A.2.2 regardless of declared
+  factors. Arithmetic/12-bit/CMYK/multi-scan-baseline raise ValueError;
+  the media operator falls back to PIL (when importable) for those.
+  Entropy decode is LUT-based (16-bit prefix table — the per-bit variant
+  measured ~45× slower). Decode pinned by HAND-assembled fixtures (spec
+  math) plus encoder round-trips at near-lossless quant: baseline
+  (4:4:4/4:2:2/4:2:0, DRI) and a progressive encoder twin whose
+  full-refinement output must decode pixel-identical to baseline.
 - WAV: integer PCM 8/16/32-bit, any channel count (channels preserved).
 """
 
@@ -236,15 +240,18 @@ def encode_wav(samples, rate: int = 16000) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (ITU-T T.81 / JFIF), pure stdlib + numpy — round 3.
+# JPEG (ITU-T T.81 / JFIF), pure stdlib + numpy — baseline round 3,
+# progressive round 5.
 #
-# Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-# 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers; progressive (SOF2),
-# arithmetic coding, and 12-bit raise ValueError. The encoder twin emits
-# 4:4:4 with standard Annex-K huffman tables and a configurable flat quant
-# table (quality=lossless-ish with all-1s) — used by the round-trip tests;
-# decode correctness is additionally pinned by HAND-assembled DC-only
-# fixtures whose expected pixels come from spec math, not from the encoder.
+# Scope: baseline sequential DCT (SOF0) and progressive DCT (SOF2,
+# huffman), 8-bit, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+# sampling, restart markers; arithmetic coding and 12-bit raise
+# ValueError. The encoder twins emit 4:4:4 with Annex-K (baseline) /
+# flat (progressive AC, includes the EOBn symbols Annex K lacks) huffman
+# tables and a configurable flat quant table (quality=lossless-ish with
+# all-1s) — used by the round-trip tests; decode correctness is
+# additionally pinned by HAND-assembled DC-only fixtures whose expected
+# pixels come from spec math, not from the encoder.
 # ---------------------------------------------------------------------------
 
 _ZIGZAG = [
@@ -311,12 +318,15 @@ def _build_huff_encode(bits, vals):
 
 
 def _destuff_scan(payload: bytes, pos: int):
-    """Entropy-coded scan region → list of destuffed byte segments, one per
-    restart interval. One vectorized pass finds every 0xFF: stuffed 0x00s
-    are dropped, RSTn markers split segments, the first real marker (EOI /
+    """Entropy-coded scan region → (list of destuffed byte segments — one
+    per restart interval, absolute offset of the terminating marker's
+    0xFF). One vectorized pass finds every 0xFF: stuffed 0x00s are
+    dropped, RSTn markers split segments, the first real marker (EOI /
     next segment) terminates the scan. Replaces the per-byte marker
     inspection the old bit reader did on every refill (round 4 — the
-    entropy loop then reads bits with zero marker checks)."""
+    entropy loop then reads bits with zero marker checks). The end offset
+    lets the progressive decoder resume marker parsing after each scan
+    (round 5)."""
     import numpy as np
 
     arr = np.frombuffer(payload, dtype=np.uint8)[pos:]
@@ -351,7 +361,7 @@ def _destuff_scan(payload: bytes, pos: int):
         drop = drop_pos[(drop_pos >= start) & (drop_pos < r)] - start
         segs.append((np.delete(seg, drop) if drop.size else seg).tobytes())
         start = r + 2  # skip the 0xFF D0-D7 pair
-    return segs
+    return segs, pos + end_i
 
 
 def _idct_matrix():
@@ -365,7 +375,10 @@ def _idct_matrix():
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (grayscale broadcast)."""
+    """Baseline (SOF0) or progressive (SOF2) huffman JPEG bytes →
+    (h, w, 3) uint8 RGB (grayscale broadcast). Progressive support is
+    round 5: spectral selection + successive approximation per T.81 §G.2,
+    restart markers, inter-scan DHT redefinition."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -373,7 +386,10 @@ def decode_jpeg(payload: bytes):
     pos = 2
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}
+    lut_cache: dict[tuple[int, int], list] = {}
     frame = None
+    progressive = False
+    prog_state = None
     restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -406,8 +422,9 @@ def decode_jpeg(payload: bytes):
                 n = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _build_huff_decode(bits, vals)
+                lut_cache.pop((tc, th), None)  # progressive scans may redefine DHT
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -416,21 +433,38 @@ def decode_jpeg(payload: bytes):
                 cid, hv, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0) JPEG supported")
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only SOF0 baseline and SOF2 progressive huffman JPEG supported")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = {}
-            for si in range(ns):
-                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
-                scan[cs] = (tdta >> 4, tdta & 0xF)
             data_start = pos + 2 + seglen
-            return _decode_scan(payload, data_start, frame, scan, qt, huff, restart_interval)
+            if not progressive:
+                scan = {}
+                for si in range(ns):
+                    cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                    scan[cs] = (tdta >> 4, tdta & 0xF)
+                return _decode_scan(payload, data_start, frame, scan, qt, huff, restart_interval)
+            # progressive (round 5): each scan refines the persistent
+            # per-component coefficient grids; reconstruction happens once
+            # at EOI. Scan header carries the spectral band Ss..Se and the
+            # successive-approximation bit positions Ah (prior) / Al (this).
+            scan_list = [(seg[1 + 2 * si], seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 0xF) for si in range(ns)]
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if prog_state is None:
+                prog_state = _alloc_progressive(frame)
+            pos = _decode_scan_progressive(
+                payload, data_start, frame, scan_list, ss, se, ahal >> 4, ahal & 0xF,
+                huff, lut_cache, restart_interval, prog_state,
+            )
+            continue
         pos += 2 + seglen
+    if prog_state is not None:
+        return _reconstruct_progressive(frame, qt, prog_state)
     raise ValueError("JPEG has no scan data")
 
 
@@ -483,7 +517,7 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
     total_blocks = total_mcus * bpm
     ncomp = len(comps)
 
-    segs = _destuff_scan(payload, pos)
+    segs, _scan_end = _destuff_scan(payload, pos)
     interval = restart_interval if restart_interval else total_mcus
     # typed arrays, not python lists: 8 B/entry instead of ~50 (a dense
     # 24-MP image has ~10^7 coefficients — review r4); append speed is
@@ -625,12 +659,23 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
             if sel.any():
                 grids[ci][rb_all[sel], cb_all[sel]] = spatial[g_all[sel] - start]
 
-    # grids → planes, upsample to full resolution, crop
+    # grids → planes, then the shared upsample/crop/colorspace tail
+    planes = [
+        grids[ci].transpose(0, 2, 1, 3).reshape(mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)
+        for ci, c in enumerate(comps)
+    ]
+    return _planes_to_rgb(planes, comps, hmax, vmax, h, w)
+
+
+def _planes_to_rgb(planes, comps, hmax, vmax, h, w):
+    """Per-component sample planes (block-padded resolution) → (h, w, 3)
+    uint8 RGB: nearest-neighbor chroma upsample, crop to the frame size,
+    BT.601 YCbCr→RGB. Shared by the baseline and progressive decoders."""
+    import numpy as np
+
     full = []
     for ci, c in enumerate(comps):
-        p = grids[ci].transpose(0, 2, 1, 3).reshape(
-            mcus_y * c["v"] * 8, mcus_x * c["h"] * 8
-        )
+        p = planes[ci]
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
@@ -644,6 +689,306 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _Bits:
+    """MSB-first bit reader over one destuffed entropy segment. Keeps a
+    ≥16-bit buffer so a huffman LUT probe is a single peek; zero-pads at
+    stream end like the baseline reader (T.81 allows the final entropy
+    bits to be 1-padded — over-reads decode to garbage the block loop
+    never uses)."""
+
+    __slots__ = ("d", "p", "buf", "n")
+
+    def __init__(self, d):
+        self.d = d
+        self.p = 0
+        self.buf = 0
+        self.n = 0
+
+    def _fill(self):
+        c = self.d[self.p : self.p + 6]
+        if c:
+            self.p += len(c)
+            self.buf = ((self.buf & ((1 << self.n) - 1)) << (8 * len(c))) | int.from_bytes(c, "big")
+            self.n += 8 * len(c)
+        else:
+            self.buf = (self.buf & ((1 << self.n) - 1)) << 32
+            self.n += 32
+
+    def get(self, k):
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        return (self.buf >> self.n) & ((1 << k) - 1)
+
+    def huff(self, lut):
+        while self.n < 16:
+            self._fill()
+        hit = lut[(self.buf >> (self.n - 16)) & 0xFFFF]
+        if hit is None:
+            raise ValueError("invalid JPEG huffman code")
+        sym, ln = hit
+        self.n -= ln
+        return sym
+
+    def recv_extend(self, t):
+        """RECEIVE + EXTEND (T.81 F.2.2.1): t magnitude bits → signed."""
+        if t == 0:
+            return 0
+        v = self.get(t)
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _alloc_progressive(frame):
+    """Persistent per-component DCT coefficient grids for a progressive
+    frame, flat (n_blocks, 64) int32 in zigzag coefficient order, MCU-
+    padded so interleaved DC scans and non-interleaved AC scans address
+    the same storage. dims[ci] = (block_rows, block_cols, padded_cols):
+    non-interleaved scans cover only the component's true sample region
+    (T.81 §A.2.2), which can be narrower than the MCU-padded grid."""
+    import numpy as np
+
+    comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise ValueError(
+            f"unsupported JPEG component count {len(comps)} (grayscale/YCbCr only — CMYK?)"
+        )
+    if len(comps) == 1:
+        # single-component frames are non-interleaved everywhere: sampling
+        # factors do not tile blocks (same rule as the baseline decoder)
+        comps = [dict(comps[0], h=1, v=1)]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids, dims = [], []
+    for c in comps:
+        rows, cols = mcus_y * c["v"], mcus_x * c["h"]
+        grids.append(np.zeros((rows * cols, 64), dtype=np.int32))
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        dims.append((-(-ch // 8), -(-cw // 8), cols))
+    return {
+        "comps": comps,
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "grids": grids,
+        "dims": dims,
+    }
+
+
+def _decode_scan_progressive(
+    payload, pos, frame, scan_list, ss, se, ah, al, huff, lut_cache, restart_interval, state
+):
+    """One progressive scan (T.81 §G.2): updates the coefficient grids in
+    place and returns the absolute payload offset of the terminating
+    marker so decode_jpeg's marker loop can resume. The four scan kinds
+    (DC/AC × first/refinement) follow the spec's figures G.2/G.7 — the AC
+    refinement control flow mirrors the well-known libjpeg structure
+    (skip r ZERO-HISTORY coefficients, emitting one correction bit at
+    every nonzero-history coefficient passed). scan_list is the ordered
+    [(component-id, dc-table, ac-table)] from the SOS header."""
+    comps = state["comps"]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    grids = state["grids"]
+    segs, scan_end = _destuff_scan(payload, pos)
+
+    def lut(tc, th):
+        key = (tc, th)
+        if key not in lut_cache:
+            if key not in huff:
+                raise ValueError("JPEG scan references undefined huffman table")
+            lut_cache[key] = _build_huff_lut(huff[key])
+        return lut_cache[key]
+
+    # decode-order schedule: (component index, flat block index)
+    if len(scan_list) > 1:
+        if ss != 0:
+            raise ValueError("progressive AC scans must be single-component (T.81 §G.1.1.1.1)")
+        mcus_x, mcus_y = state["mcus_x"], state["mcus_y"]
+        order = []
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for cs, _td, _ta in scan_list:
+                ci = by_id[cs]
+                c = comps[ci]
+                cols = mcus_x * c["h"]
+                for byy in range(c["v"]):
+                    for bxx in range(c["h"]):
+                        order.append((ci, (my * c["v"] + byy) * cols + mx * c["h"] + bxx))
+        bpm = len(order) // (mcus_x * mcus_y)
+        per_seg = restart_interval * bpm if restart_interval else len(order)
+    else:
+        ci = by_id[scan_list[0][0]]
+        bh, bw, cols = state["dims"][ci]
+        order = [(ci, byy * cols + bxx) for byy in range(bh) for bxx in range(bw)]
+        per_seg = restart_interval if restart_interval else len(order)
+    per_seg = max(per_seg, 1)
+
+    if ss == 0 and ah == 0:
+        # ---- DC first scan: diff-coded (DC >> Al), stored << Al ----
+        dlut = {}
+        for cs, td, _ta in scan_list:
+            dlut[by_id[cs]] = lut(0, td)
+        for s0 in range(0, len(order), per_seg):
+            b = _Bits(segs[s0 // per_seg] if s0 // per_seg < len(segs) else b"")
+            preds = [0] * len(comps)
+            for ci2, blk in order[s0 : s0 + per_seg]:
+                preds[ci2] += b.recv_extend(b.huff(dlut[ci2]))
+                grids[ci2][blk, 0] = preds[ci2] << al
+    elif ss == 0:
+        # ---- DC refinement: one raw bit per block, ORed at Al ----
+        bit = 1 << al
+        for s0 in range(0, len(order), per_seg):
+            b = _Bits(segs[s0 // per_seg] if s0 // per_seg < len(segs) else b"")
+            for ci2, blk in order[s0 : s0 + per_seg]:
+                if b.get(1):
+                    grids[ci2][blk, 0] |= bit
+    elif ah == 0:
+        # ---- AC first scan over band Ss..Se, EOBn run skipping ----
+        aclut = lut(1, scan_list[0][2])
+        fb = grids[order[0][0]]
+        for s0 in range(0, len(order), per_seg):
+            b = _Bits(segs[s0 // per_seg] if s0 // per_seg < len(segs) else b"")
+            eobrun = 0
+            for _ci2, blk in order[s0 : s0 + per_seg]:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = b.huff(aclut)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += b.get(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC run overflow")
+                        fb[blk, k] = b.recv_extend(s) << al
+                        k += 1
+    else:
+        # ---- AC refinement: append one magnitude bit at Al ----
+        aclut = lut(1, scan_list[0][2])
+        fb = grids[order[0][0]]
+        p1, m1 = 1 << al, -(1 << al)
+        for s0 in range(0, len(order), per_seg):
+            b = _Bits(segs[s0 // per_seg] if s0 // per_seg < len(segs) else b"")
+            eobrun = 0
+            for _ci2, blk in order[s0 : s0 + per_seg]:
+                row = fb[blk].tolist()
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = b.huff(aclut)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += b.get(r)
+                                break
+                            sval = 0  # ZRL: 16 zero-history coefficients
+                        else:
+                            sval = p1 if b.get(1) else m1
+                        while k <= se:
+                            c0 = row[k]
+                            if c0:
+                                # nonzero history → correction bit ("1 if
+                                # the magnitude grows at this bit plane")
+                                if b.get(1) and not (c0 & p1):
+                                    row[k] = c0 + (p1 if c0 >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break  # the (r+1)-th zero-history slot
+                                r -= 1
+                            k += 1
+                        if sval and k <= se:
+                            row[k] = sval  # newly-nonzero placement
+                        k += 1
+                if eobrun:
+                    # EOB-covered remainder: correction bits only
+                    while k <= se:
+                        c0 = row[k]
+                        if c0 and b.get(1) and not (c0 & p1):
+                            row[k] = c0 + (p1 if c0 >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+                fb[blk] = row
+    return scan_end
+
+
+def _reconstruct_progressive(frame, qt, state):
+    """Accumulated coefficient grids → RGB: chunked dequant (zigzag-order
+    tables) + de-zigzag + batched IDCT per component, then the shared
+    plane tail. Chunking bounds float64 transients the same way the
+    baseline reconstruction does (the int32 grids themselves are the only
+    full-image allocation)."""
+    import numpy as np
+
+    comps = state["comps"]
+    h, w = frame["h"], frame["w"]
+    zig = np.asarray(_ZIGZAG)
+    idct = _idct_matrix()
+    planes = []
+    for ci, c in enumerate(comps):
+        rows, cols = state["mcus_y"] * c["v"], state["mcus_x"] * c["h"]
+        qz = qt[c["tq"]].reshape(64)[zig]
+        g = state["grids"][ci].reshape(rows, cols, 64)
+        plane = np.empty((rows * 8, cols * 8))
+        chunk_rows = max(1, (1 << 16) // max(cols, 1))
+        for r0 in range(0, rows, chunk_rows):
+            nr = min(chunk_rows, rows - r0)
+            sub = g[r0 : r0 + nr].reshape(-1, 64).astype(np.float64) * qz
+            nat = np.empty_like(sub)
+            nat[:, zig] = sub
+            sp = idct.T @ nat.reshape(-1, 8, 8) @ idct + 128.0
+            plane[r0 * 8 : (r0 + nr) * 8] = (
+                sp.reshape(nr, cols, 8, 8).transpose(0, 2, 1, 3).reshape(nr * 8, cols * 8)
+            )
+        planes.append(plane)
+    return _planes_to_rgb(planes, comps, state["hmax"], state["vmax"], h, w)
+
+
+def _pack_entropy(out_bits) -> bytes:
+    """(length, code) pairs → entropy bytes: MSB-first packing, 0xFF byte
+    stuffing, trailing 1-padding. ``("flush", n)`` sentinels byte-align
+    with 1-padding and emit RSTn. Shared by both JPEG encoders."""
+    body = bytearray()
+    acc, nacc = 0, 0
+    for length, code in out_bits:
+        if length == "flush":
+            if nacc:
+                b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+                body.append(b)
+                if b == 0xFF:
+                    body.append(0x00)
+                acc, nacc = 0, 0
+            body += bytes([0xFF, 0xD0 + code])
+            continue
+        acc = (acc << length) | (code & ((1 << length) - 1))
+        nacc += length
+        while nacc >= 8:
+            nacc -= 8
+            b = (acc >> nacc) & 0xFF
+            body.append(b)
+            if b == 0xFF:
+                body.append(0x00)
+    if nacc:
+        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        body.append(b)
+        if b == 0xFF:
+            body.append(0x00)
+    return bytes(body)
 
 
 def encode_jpeg(img, quant: int = 1, subsample=False, restart_interval: int = 0) -> bytes:
@@ -752,32 +1097,7 @@ def encode_jpeg(img, quant: int = 1, subsample=False, restart_interval: int = 0)
                     encode_block(p, my, mx, ci)
             mcu_idx += 1
 
-    # pack bits, byte-stuff 0xFF; "flush" sentinels byte-align + emit RSTn
-    body = bytearray()
-    acc, nacc = 0, 0
-    for length, code in out_bits:
-        if length == "flush":
-            if nacc:
-                b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
-                body.append(b)
-                if b == 0xFF:
-                    body.append(0x00)
-                acc, nacc = 0, 0
-            body += bytes([0xFF, 0xD0 + code])
-            continue
-        acc = (acc << length) | (code & ((1 << length) - 1))
-        nacc += length
-        while nacc >= 8:
-            nacc -= 8
-            b = (acc >> nacc) & 0xFF
-            body.append(b)
-            if b == 0xFF:
-                body.append(0x00)
-    if nacc:
-        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
-        body.append(b)
-        if b == 0xFF:
-            body.append(0x00)
+    body = _pack_entropy(out_bits)
 
     def seg(marker, payload_):
         return bytes([0xFF, marker]) + (len(payload_) + 2).to_bytes(2, "big") + payload_
@@ -797,3 +1117,234 @@ def encode_jpeg(img, quant: int = 1, subsample=False, restart_interval: int = 0)
     dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos + bytes(body) + b"\xff\xd9"
+
+
+# progressive AC scans emit EOBn run-length symbols (0x10..0xE0) that the
+# Annex-K baseline tables lack, so the progressive encoder carries a flat
+# canonical table: all 256 run/size symbols, 128 at 8 bits + 128 at 9
+# bits (DHT stores one count byte per length, so a single 256-wide length
+# is unrepresentable; Kraft sum 0.75, all-ones codewords unassigned)
+_PROG_AC_BITS = [0] * 8 + [128, 128] + [0] * 7
+_PROG_AC_VALS = list(range(256))
+
+
+def encode_jpeg_progressive(img, quant: int = 1, restart_interval: int = 0, band_split: int = 6) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 → progressive JFIF (SOF2)
+    bytes, 4:4:4. Encoder twin for the progressive decoder's round-trip
+    tests — the scan script exercises every T.81 §G scan kind:
+
+      1. DC first (interleaved for color), Ah=0 → Al=1
+      2. AC first, luma band 1..band_split-1, Al=1
+      3. AC first, luma band band_split..63, Al=1  (spectral selection)
+      4-5. AC first, chroma 1..63, Al=1
+      6. DC refinement, Ah=1 → Al=0 (raw bits)
+      7-10. AC refinement of the same bands, Ah=1 → Al=0
+
+    Coefficients are identical to the baseline encoder's (same forward
+    DCT, same flat quant table), so after the refinement scans the decode
+    must reproduce the baseline decode exactly. ``restart_interval=N``
+    emits RSTn every N MCUs (interleaved scan) / N blocks (single-
+    component scans), resetting DC predictors and EOB runs."""
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr]
+    else:
+        planes = [
+            0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2],
+            -0.168736 * arr[:, :, 0] - 0.331264 * arr[:, :, 1] + 0.5 * arr[:, :, 2] + 128.0,
+            0.5 * arr[:, :, 0] - 0.418688 * arr[:, :, 1] - 0.081312 * arr[:, :, 2] + 128.0,
+        ]
+    ncomp = len(planes)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    bh, bw = ph // 8, pw // 8
+    nblocks = bh * bw
+    fdct = _idct_matrix()  # forward DCT = M @ block @ M.T
+    coefs = []
+    for p in planes:
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+        cz = np.round((fdct @ blocks @ fdct.T) / quant).astype(np.int64).reshape(-1, 64)
+        coefs.append(cz[:, _ZIGZAG])  # zigzag coefficient order
+
+    dc_enc = _build_huff_encode(*_STD_DC_LUMA)
+    ac_enc = _build_huff_encode(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def scan_dc_first(al):
+        out = []
+        pred = [0] * ncomp
+        rst = 0
+        for m in range(nblocks):
+            if restart_interval and m and m % restart_interval == 0:
+                out.append(("flush", rst % 8))
+                rst += 1
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                v = int(coefs[ci][m, 0]) >> al  # arithmetic shift (G.1.2.1)
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+                out.append(dc_enc[t])
+                if t:
+                    out.append((t, diff if diff >= 0 else diff + (1 << t) - 1))
+        return out
+
+    def scan_dc_refine(al):
+        out = []
+        rst = 0
+        for m in range(nblocks):
+            if restart_interval and m and m % restart_interval == 0:
+                out.append(("flush", rst % 8))
+                rst += 1
+            for ci in range(ncomp):
+                out.append((1, (int(coefs[ci][m, 0]) >> al) & 1))
+        return out
+
+    def scan_ac_first(ci, ss, se, al):
+        out = []
+        eobrun = 0
+        rst = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                out.append(ac_enc[r << 4])
+                if r:
+                    out.append((r, eobrun - (1 << r)))
+                eobrun = 0
+
+        for m in range(nblocks):
+            if restart_interval and m and m % restart_interval == 0:
+                flush_eob()
+                out.append(("flush", rst % 8))
+                rst += 1
+            row = coefs[ci][m]
+            # successive-approximation point transform: magnitude shift,
+            # truncation toward zero (G.1.2.2)
+            sv = [
+                (abs(int(row[k])) >> al) * (1 if row[k] >= 0 else -1) for k in range(ss, se + 1)
+            ]
+            last = -1
+            for j in range(len(sv) - 1, -1, -1):
+                if sv[j]:
+                    last = j
+                    break
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for j in range(last + 1):
+                v = sv[j]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    out.append(ac_enc[0xF0])  # ZRL
+                    run -= 16
+                t = abs(v).bit_length()
+                out.append(ac_enc[(run << 4) | t])
+                out.append((t, v if v >= 0 else v + (1 << t) - 1))
+                run = 0
+            if last < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return out
+
+    def scan_ac_refine(ci, ss, se, al):
+        # libjpeg's encode_mcu_AC_refine structure: correction bits for
+        # nonzero-history coefficients ride buffered behind the next
+        # symbol (BR) or the next EOBn (BE)
+        out = []
+        eobrun = 0
+        be: list[int] = []
+        rst = 0
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                out.append(ac_enc[r << 4])
+                if r:
+                    out.append((r, eobrun - (1 << r)))
+                out.extend((1, bb) for bb in be)
+                be = []
+                eobrun = 0
+
+        for m in range(nblocks):
+            if restart_interval and m and m % restart_interval == 0:
+                flush_eob()
+                out.append(("flush", rst % 8))
+                rst += 1
+            row = coefs[ci][m]
+            absv = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+            eobpos = -1
+            for j, t in enumerate(absv):
+                if t == 1:
+                    eobpos = j
+            r = 0
+            br: list[int] = []
+            for j, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and j <= eobpos:  # ZRLs not foldable into EOB
+                    flush_eob()
+                    out.append(ac_enc[0xF0])
+                    r -= 16
+                    out.extend((1, bb) for bb in br)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)  # already nonzero: correction bit only
+                    continue
+                flush_eob()
+                out.append(ac_enc[(r << 4) | 1])
+                out.append((1, 1 if row[ss + j] >= 0 else 0))
+                out.extend((1, bb) for bb in br)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF or len(be) > 900:
+                    flush_eob()
+        flush_eob()
+        return out
+
+    def seg(marker, payload_):
+        return bytes([0xFF, marker]) + (len(payload_) + 2).to_bytes(2, "big") + payload_
+
+    def sos(comp_ids, ss, se, ah, al, ac):
+        b = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            b += bytes([cid, 0x01 if ac else 0x00])  # DC table 0, AC table 1
+        return seg(0xDA, b + bytes([ss, se, (ah << 4) | al]))
+
+    all_ids = list(range(1, ncomp + 1))
+    pieces = []
+    pieces.append(sos(all_ids, 0, 0, 0, 1, ac=False) + _pack_entropy(scan_dc_first(1)))
+    bands = [(0, 1, band_split - 1), (0, band_split, 63)] + [(ci, 1, 63) for ci in range(1, ncomp)]
+    for ci, ss, se in bands:
+        pieces.append(sos([ci + 1], ss, se, 0, 1, ac=True) + _pack_entropy(scan_ac_first(ci, ss, se, 1)))
+    pieces.append(sos(all_ids, 0, 0, 1, 0, ac=False) + _pack_entropy(scan_dc_refine(0)))
+    for ci, ss, se in bands:
+        pieces.append(sos([ci + 1], ss, se, 1, 0, ac=True) + _pack_entropy(scan_ac_refine(ci, ss, se, 0)))
+
+    qtab = bytes([0]) + bytes([quant] * 64)
+    sof_comps = bytes([ncomp]) + b"".join(bytes([cid, 0x11, 0]) for cid in all_ids)
+    sof = seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + sof_comps)
+    dbits, dvals = _STD_DC_LUMA
+    dht_dc = seg(0xC4, bytes([0x00] + dbits[1:]) + bytes(dvals))
+    dht_ac = seg(0xC4, bytes([0x11] + _PROG_AC_BITS[1:]) + bytes(_PROG_AC_VALS))
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    return (
+        b"\xff\xd8" + seg(0xDB, qtab) + sof + dht_dc + dht_ac + dri + b"".join(pieces) + b"\xff\xd9"
+    )

@@ -1,14 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Decode coverage (round 4): raw-rgb8 / pcm16 AND compressed PNG / baseline
-JPEG / WAV are REAL decodes. Backend order is NATIVE-FIRST: when PIL /
-soundfile import successfully they are preferred even for in-scope
-formats (libjpeg/libpng/libsndfile are 10²–10³× faster than the
-pure-Python entropy loops at corpus scale); the stdlib spec codecs in
-functions/codecs.py (zlib+filters PNG, from-spec huffman+IDCT JPEG,
-``wave`` WAV) are the zero-dependency fallback that keeps decode real in
-this container. Out-of-scope variants for the stdlib path (progressive
-JPEG, 16-bit/Adam7 PNG, FLAC, ...) also route to the native backend,
+Decode coverage (round 4): raw-rgb8 / pcm16 AND compressed PNG /
+baseline + progressive JPEG / WAV are REAL decodes. Backend order is
+NATIVE-FIRST: when PIL / soundfile import successfully they are
+preferred even for in-scope formats (libjpeg/libpng/libsndfile are
+10²–10³× faster than the pure-Python entropy loops at corpus scale); the
+stdlib spec codecs in functions/codecs.py (zlib+filters PNG, from-spec
+huffman+IDCT JPEG incl. progressive since round 5, ``wave`` WAV) are the
+zero-dependency fallback that keeps decode real in this container.
+Out-of-scope variants for the stdlib path (CMYK/arithmetic JPEG,
+16-bit/Adam7 PNG, FLAC, ...) also route to the native backend,
 surfacing a per-row decode_error when it is absent. Round 5: the generic
 extract_media_features kernel now runs the REAL decodes too (pooled
 pixel stats / RMS features via the same dispatchers); the digest vector
@@ -246,8 +247,8 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 # ---------------------------------------------------------------------------
 # REAL decode kernels (rounds 2-3): raw payloads (mime="image/raw-rgb8" =
 # uint8 RGB width*height*3 bytes; "audio/pcm16" = mono int16 LE) plus
-# compressed PNG/baseline-JPEG/WAV via the stdlib codecs in
-# functions/codecs.py. Formats beyond those (progressive JPEG, FLAC, ...)
+# compressed PNG/JPEG (baseline + progressive)/WAV via the stdlib codecs
+# in functions/codecs.py. Formats beyond those (CMYK JPEG, FLAC, ...)
 # need PIL/soundfile (requirements-optional.txt) and surface a clearly
 # marked per-row error rather than failing the task.
 # ---------------------------------------------------------------------------
@@ -355,7 +356,7 @@ def _decode_image(mime, payload, width, height):
       you want on an image-heavy corpus at 100×), stdlib spec codec as
       fallback if PIL rejects the file;
     - PNG/JPEG without PIL → stdlib spec codec (functions/codecs.py);
-      out-of-scope variants (progressive/CMYK JPEG, 16-bit/Adam7 PNG)
+      out-of-scope variants (CMYK/arithmetic JPEG, 16-bit/Adam7 PNG)
       raise ValueError and fall through to `_pil_decode`, whose
       NotImplementedError becomes the row's decode_error;
     - anything else → PIL only.
@@ -394,7 +395,7 @@ def _decode_image(mime, payload, width, height):
         try:
             return decode_jpeg(bytes(payload))
         except ValueError:
-            return _pil_decode(mime, payload)  # progressive / CMYK variants
+            return _pil_decode(mime, payload)  # CMYK / arithmetic variants
     return _pil_decode(mime, payload)
 
 

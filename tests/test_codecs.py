@@ -268,10 +268,11 @@ def test_jpeg_error_paths():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
     good = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
-    # flip SOF0 marker to SOF2 (progressive)
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(prog)
+    # flip SOF0 to SOF3 (lossless) — still out of scope (SOF2 is handled
+    # by the round-5 progressive decoder, covered below)
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(lossless)
 
 
 def test_spark_jpeg_media_features(spark):
@@ -443,39 +444,46 @@ def test_jpeg_roundtrip_property_sweep():
 
 def test_destuff_scan_edge_cases():
     """The r4 one-pass destuffer: stuffed FF00 removal, RST segmentation,
-    terminator detection, and the awkward byte patterns around them."""
+    terminator detection, and the awkward byte patterns around them.
+    Round 5: also returns the terminating marker's absolute offset so the
+    progressive multi-scan loop can resume marker parsing."""
     from article_extraction_spark.functions.codecs import _destuff_scan
 
-    # plain data, stuffing removed
-    segs = _destuff_scan(b"\x12\xff\x00\x34\xff\xd9", 0)
+    # plain data, stuffing removed; end = offset of the terminator's 0xFF
+    segs, end = _destuff_scan(b"\x12\xff\x00\x34\xff\xd9", 0)
     assert segs == [b"\x12\xff\x34"]
+    assert end == 4
 
     # RST markers split segments; stuffing works on both sides
-    segs = _destuff_scan(b"\xaa\xff\x00\xbb\xff\xd0\xcc\xff\x00\xdd\xff\xd9", 0)
+    segs, end = _destuff_scan(b"\xaa\xff\x00\xbb\xff\xd0\xcc\xff\x00\xdd\xff\xd9", 0)
     assert segs == [b"\xaa\xff\xbb", b"\xcc\xff\xdd"]
+    assert end == 10
 
     # consecutive RSTs → empty middle segment
-    segs = _destuff_scan(b"\x01\xff\xd0\xff\xd1\x02\xff\xd9", 0)
+    segs, _ = _destuff_scan(b"\x01\xff\xd0\xff\xd1\x02\xff\xd9", 0)
     assert segs == [b"\x01", b"", b"\x02"]
 
     # no terminator: runs to end of payload
-    segs = _destuff_scan(b"\x01\x02\x03", 0)
+    segs, end = _destuff_scan(b"\x01\x02\x03", 0)
     assert segs == [b"\x01\x02\x03"]
+    assert end == 3
 
     # stuffed FF00 immediately before the terminator
-    segs = _destuff_scan(b"\xff\x00\xff\xd9\x99", 0)
+    segs, _ = _destuff_scan(b"\xff\x00\xff\xd9\x99", 0)
     assert segs == [b"\xff"]
 
     # data after the terminator is ignored even if it contains RSTs
-    segs = _destuff_scan(b"\x07\xff\xd9\xff\xd0\x08", 0)
+    segs, end = _destuff_scan(b"\x07\xff\xd9\xff\xd0\x08", 0)
     assert segs == [b"\x07"]
+    assert end == 1
 
-    # pos offset honored
-    segs = _destuff_scan(b"\xde\xad\x42\xff\xd9", 2)
+    # pos offset honored; end stays absolute
+    segs, end = _destuff_scan(b"\xde\xad\x42\xff\xd9", 2)
     assert segs == [b"\x42"]
+    assert end == 3
 
     # trailing lone 0xFF (no following byte) stays as data
-    segs = _destuff_scan(b"\x10\xff", 0)
+    segs, _ = _destuff_scan(b"\x10\xff", 0)
     assert segs == [b"\x10\xff"]
 
 
@@ -522,3 +530,101 @@ def test_jpeg_fill_bytes_before_markers():
     assert len(padded) > len(enc)
     out = decode_jpeg(bytes(padded))
     assert np.array_equal(out, clean)
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive (SOF2) decode — spectral selection + successive
+    approximation (T.81 §G.2). The progressive encoder twin entropy-codes
+    the SAME quantized coefficients as the baseline encoder, so after all
+    refinement scans the decode must be pixel-IDENTICAL to the baseline
+    decode (entropy coding is lossless), on solids, random noise, and
+    gradients alike."""
+    from article_extraction_spark.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    solid = np.zeros((16, 16, 3), dtype=np.uint8)
+    solid[:, :] = (120, 33, 200)
+    noise = rng.integers(0, 256, (24, 33, 3), dtype=np.uint8)
+    ramp = np.linspace(0, 255, 40 * 24).reshape(24, 40).astype(np.uint8)
+    grad = np.stack([ramp, ramp.T[:24, :40] if False else ramp, ramp // 2 + 60], axis=2).astype(np.uint8)
+    for img, q in ((solid, 1), (noise, 1), (noise, 3), (grad, 2)):
+        base = decode_jpeg(encode_jpeg(img, quant=q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quant=q))
+        assert np.array_equal(prog, base), (img.shape, q)
+    # solid at quant=1 is DC-exact → progressive equals the ORIGINAL too
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(solid)), solid)
+
+
+def test_jpeg_progressive_scan_variants():
+    """Band splits, restart intervals, grayscale, and degenerate shapes —
+    each a different path through the four progressive scan kinds (DC/AC
+    × first/refinement), all still pixel-identical to baseline."""
+    from article_extraction_spark.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape, q, band_split, dri in [
+        ((8, 8, 3), 1, 6, 0),
+        ((9, 15, 3), 2, 2, 0),      # minimal first band (Ss=1,Se=1)
+        ((40, 40, 3), 3, 20, 3),    # wide band + restarts
+        ((64, 1, 3), 1, 6, 1),      # single-block-column, restart every block
+        ((1, 64, 3), 1, 63, 0),     # band_split=63 → second band is Ss=Se=63
+    ]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quant=q))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quant=q, band_split=band_split, restart_interval=dri)
+        )
+        assert np.array_equal(prog, base), (shape, q, band_split, dri)
+    # grayscale: single-component frame → every scan non-interleaved,
+    # including the DC scans
+    g = rng.integers(0, 256, (17, 22), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_progressive(g))
+    assert out.shape == (17, 22, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    # near-lossless grayscale: DC-exact on a solid
+    gs = np.full((16, 16), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(gs)), np.full((16, 16, 3), 77, dtype=np.uint8)
+    )
+
+
+def test_jpeg_progressive_eob_runs_and_zrl():
+    """A sparse image (two isolated dots on flat gray) forces long EOBn
+    runs across blocks and ZRL/long zero runs inside blocks, in both the
+    first and the refinement AC scans."""
+    from article_extraction_spark.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    sp = np.full((64, 64, 3), 128, dtype=np.uint8)
+    sp[5, 60] = (255, 0, 0)
+    sp[40, 3] = (0, 255, 0)
+    base = decode_jpeg(encode_jpeg(sp))
+    enc = encode_jpeg_progressive(sp)
+    assert np.array_equal(decode_jpeg(enc), base)
+    # and the truncation property progressive exists for: decoding only a
+    # prefix of the scans (cut after the first AC-first scan's data) still
+    # yields a valid, lower-fidelity image rather than an error
+    # (find the 3rd SOS and stop before it, appending EOI)
+    sos_positions = []
+    i = 2
+    while i + 4 <= len(enc):
+        if enc[i] == 0xFF and enc[i + 1] == 0xDA:
+            sos_positions.append(i)
+        i += 1
+    assert len(sos_positions) == 10  # DC first + 4 AC first + DC refine + 4 AC refine
+    partial = enc[: sos_positions[2]] + b"\xff\xd9"
+    rough = decode_jpeg(partial)
+    assert rough.shape == base.shape
+    # the flat background should already be approximately right
+    assert abs(int(rough[32, 32, 0]) - 128) <= 2
