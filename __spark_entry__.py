@@ -1567,6 +1567,57 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus 50 planted rows each embedding the 150-char prefix
+    of a base doc — deterministic, replayed identically in DuckDB, so
+    cross-document ≥k-char repeats exist by construction (natural repeats
+    in the synthetic text count too: both engines compute the same
+    definition, so they agree on those as well)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("PLANT-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" >> "),
+            F.substring("text", 1, 150),
+            F.lit(" << END"),
+        ).alias("text"),
+    )
+    return docs.unionByName(plant)
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (round 5; Lee et al. 2021): maximal merged
+    spans of ≥40-char repeated passages over documents + planted
+    contaminated rows — rolling md5 fingerprints, occurrence counts, and
+    window-function island merge, all native expressions. DuckDB replays
+    the identical algorithm (generate_series + substr + the same island
+    windows)."""
+    from article_extraction_spark.operators.substring_dedup import duplicate_spans
+
+    spans = duplicate_spans(_substring_corpus(spark, sf_dir), k=40, min_count=2, scope="global")
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip duplicated spans keeping each repeat's FIRST occurrence
+    under (doc_id, pos) order — the cleaned text itself is value-hashed,
+    so the rebuild (aggregate() fold over the merged spans) must agree
+    byte-for-byte with DuckDB's string_agg reconstruction."""
+    from article_extraction_spark.operators.substring_dedup import strip_duplicate_spans
+
+    out = strip_duplicate_spans(_substring_corpus(spark, sf_dir), k=40)
+    return out.select(
+        "doc_id", "cleaned_text", F.col("removed_chars").cast("long").alias("removed_chars")
+    )
+
+
 def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style incremental scan over the snapshot catalog (round 5,
     VERDICT r4 #3): append docs 0-99, append 100-149, compact, append
@@ -1867,6 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_roundtrip": q_sink_roundtrip,
         "jpeg_decode": q_jpeg_decode,
         "jpeg_progressive": q_jpeg_progressive,
+        "substring_dup_spans": q_substring_dup_spans,
+        "substring_strip": q_substring_strip,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2575,6 +2628,112 @@ def oracle_sql() -> dict[str, str]:
             SELECT 50, round(77.0/255, 9), round(77.0/255, 9), round(77.0/255, 9), FALSE
             UNION ALL
             SELECT 99, NULL, NULL, NULL, TRUE
+        """,
+        "substring_dup_spans": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     'PLANT-' || CAST(doc_id AS VARCHAR) || ' >> ' ||
+                     substr(text, 1, 150) || ' << END'
+              FROM documents WHERE doc_id < 50
+            ),
+            pos0 AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 39)) AS pos
+              FROM corpus WHERE length(text) >= 40
+            ),
+            pos AS (
+              SELECT doc_id, pos,
+                     md5(substr(text, CAST(pos AS INTEGER), 40)) AS fp
+              FROM pos0
+            ),
+            hot AS (SELECT fp FROM pos GROUP BY fp HAVING count(*) >= 2),
+            marked AS (SELECT p.doc_id, p.pos FROM pos p JOIN hot USING (fp)),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos + 40) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS newi
+              FROM marked
+            ),
+            isl2 AS (
+              SELECT doc_id, pos, sum(newi) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM isl
+            )
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
+                   max(pos) + 40 - min(pos) AS span_len
+            FROM isl2 GROUP BY doc_id, island
+        """,
+        "substring_strip": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     'PLANT-' || CAST(doc_id AS VARCHAR) || ' >> ' ||
+                     substr(text, 1, 150) || ' << END'
+              FROM documents WHERE doc_id < 50
+            ),
+            pos0 AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 39)) AS pos
+              FROM corpus WHERE length(text) >= 40
+            ),
+            pos AS (
+              SELECT doc_id, pos,
+                     md5(substr(text, CAST(pos AS INTEGER), 40)) AS fp
+              FROM pos0
+            ),
+            ranked AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY fp) AS n,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+              FROM pos
+            ),
+            marked AS (SELECT doc_id, pos FROM ranked WHERE n >= 2 AND rn > 1),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos + 40) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS newi
+              FROM marked
+            ),
+            isl2 AS (
+              SELECT doc_id, pos, sum(newi) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM isl
+            ),
+            spans AS (
+              SELECT doc_id, island, min(pos) AS s, max(pos) + 40 AS e
+              FROM isl2 GROUP BY doc_id, island
+            ),
+            wseg AS (
+              SELECT doc_id, s, e,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS prev_e
+              FROM spans
+            ),
+            pieces AS (
+              SELECT w.doc_id,
+                     string_agg(substr(c.text, CAST(w.prev_e AS INTEGER),
+                                       CAST(w.s - w.prev_e AS INTEGER)),
+                                '' ORDER BY w.s) AS mid,
+                     max(w.e) AS last_e
+              FROM wseg w JOIN corpus c ON c.doc_id = w.doc_id
+              GROUP BY w.doc_id
+            )
+            SELECT c.doc_id,
+                   CASE WHEN p.doc_id IS NULL THEN c.text
+                        ELSE p.mid || substr(c.text, CAST(p.last_e AS INTEGER)) END
+                     AS cleaned_text,
+                   length(c.text) - length(CASE WHEN p.doc_id IS NULL THEN c.text
+                        ELSE p.mid || substr(c.text, CAST(p.last_e AS INTEGER)) END)
+                     AS removed_chars
+            FROM corpus c LEFT JOIN pieces p ON p.doc_id = c.doc_id
         """,
         "sink_roundtrip": """
             SELECT 'parquet' AS sink, n_nationkey, n_name, n_regionkey FROM nation

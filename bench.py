@@ -111,8 +111,9 @@ def main() -> None:
     extras_warm: dict[str, float] = {}
     for name in [
         "pack_blocks", "bigram_lm_score", "boilerplate_lines", "pdf_layout",
-        "jpeg_decode", "ivf_topk", "tfidf_top_terms", "ngram_jaccard",
-        "incremental_dedup", "zorder_box", "bpe_roundtrip", "bpe_token_ops",
+        "jpeg_decode", "jpeg_progressive", "ivf_topk", "tfidf_top_terms",
+        "ngram_jaccard", "incremental_dedup", "zorder_box", "bpe_roundtrip",
+        "bpe_token_ops", "substring_dup_spans", "substring_strip",
     ]:
         if name in qs:
             runs = []
