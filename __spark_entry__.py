@@ -1618,6 +1618,67 @@ def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup (round 5, rollup.py): ingest
+    events into a snapshot table in three appends, refreshing a
+    per-event-type count/sum/min/max rollup after each — bootstrap full,
+    then two CDC-delta refreshes that only aggregate new rows. Then a
+    source MERGE (row rewrite) forces the documented full-recompute
+    fallback. The returned rows are the final rollup (micros-floored
+    doubles) plus the observed refresh modes folded in, so the oracle
+    hash pins BOTH the values and that the incremental path actually ran;
+    DuckDB recomputes the aggregates relationally from the same rows."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.rollup import IncrementalRollup
+
+    root = f"{tempfile.gettempdir()}/aes_rollup_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    # floored-micros BEFORE aggregation: integer sums are exact, so the
+    # incremental fold order cannot drift a ulp from DuckDB's one-pass sum
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v_micro"),
+    )
+    source = ManifestTable(f"{root}/src")
+    rollup = ManifestTable(f"{root}/roll")
+    ir = IncrementalRollup(
+        source,
+        rollup,
+        ["event_type"],
+        {
+            "n": ("count", None),
+            "sum_v": ("sum", "v_micro"),
+            "min_v": ("min", "v_micro"),
+            "max_v": ("max", "v_micro"),
+        },
+    )
+    modes = []
+    for lo, hi in ((0, 300), (300, 700), (700, 10**9)):
+        source.append(ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)))
+        modes.append(ir.refresh(spark)["mode"])
+    # a row rewrite in source history → full-recompute fallback
+    source.merge(
+        spark,
+        ev.where(F.col("event_id") < 5).withColumn(
+            "v_micro", F.col("v_micro") + F.lit(1_000_000_000).cast("long")
+        ),
+        ["event_id"],
+    )
+    modes.append(ir.refresh(spark)["mode"])
+    return rollup.read(spark).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_v").cast("long").alias("sum_v_micro"),
+        F.col("min_v").cast("long").alias("min_v_micro"),
+        F.col("max_v").cast("long").alias("max_v_micro"),
+        F.lit("|".join(modes)).alias("refresh_modes"),
+    )
+
+
 def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style incremental scan over the snapshot catalog (round 5,
     VERDICT r4 #3): append docs 0-99, append 100-149, compact, append
@@ -1920,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive": q_jpeg_progressive,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_strip": q_substring_strip,
+        "rollup_refresh": q_rollup_refresh,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2667,6 +2729,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
                    max(pos) + 40 - min(pos) AS span_len
             FROM isl2 GROUP BY doc_id, island
+        """,
+        "rollup_refresh": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(floor(value * 1000000) AS BIGINT)
+                       + CASE WHEN event_id < 5 THEN 1000000000 ELSE 0 END AS v_micro
+              FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(v_micro) AS sum_v_micro,
+                   min(v_micro) AS min_v_micro,
+                   max(v_micro) AS max_v_micro,
+                   'full|incremental|incremental|full' AS refresh_modes
+            FROM ev GROUP BY event_type
         """,
         "substring_strip": """
             WITH corpus AS (

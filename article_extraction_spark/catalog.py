@@ -357,10 +357,18 @@ class ManifestTable:
             *[os.path.join(self.root, f) for f in added]
         )
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._commit(self._write_data(df), "overwrite", df.schema.json())
+    def overwrite(self, df: DataFrame, extra_meta: dict | None = None) -> int:
+        return self._commit(
+            self._write_data(df), "overwrite", df.schema.json(), extra_meta=extra_meta
+        )
 
-    def merge(self, spark: SparkSession, src: DataFrame, keys: list[str]) -> int:
+    def merge(
+        self,
+        spark: SparkSession,
+        src: DataFrame,
+        keys: list[str],
+        extra_meta: dict | None = None,
+    ) -> int:
         """Copy-on-write MERGE (Iceberg ``MERGE INTO ... WHEN MATCHED UPDATE
         SET * WHEN NOT MATCHED INSERT *``): only data files that CONTAIN a
         matched key are rewritten (their unmatched rows survive); untouched
@@ -376,7 +384,7 @@ class ManifestTable:
             # still commit with merge's strict conflict contract: a racing
             # writer must surface as CommitConflict, never a silent rebase
             new_files = self._write_data(src)
-            return self._commit_merge(parent, new_files, [], src.schema.json())
+            return self._commit_merge(parent, new_files, [], src.schema.json(), extra_meta)
         manifest = self._load(parent)
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         key_df = src.select(*keys).distinct()
@@ -428,10 +436,17 @@ class ManifestTable:
         # column read back as NULL, so widening is always safe.
         new_data = survivors.unionByName(src, allowMissingColumns=True)
         new_files = self._write_data(new_data)
-        return self._commit_merge(parent, new_files, keep_files, new_data.schema.json())
+        return self._commit_merge(
+            parent, new_files, keep_files, new_data.schema.json(), extra_meta
+        )
 
     def _commit_merge(
-        self, parent: int | None, new_files: list[str], keep_files: list[str], schema_json: str
+        self,
+        parent: int | None,
+        new_files: list[str],
+        keep_files: list[str],
+        schema_json: str,
+        extra_meta: dict | None = None,
     ) -> int:
         version = (parent if parent is not None else 0) + 1
         out = {
@@ -442,6 +457,13 @@ class ManifestTable:
             "schema": schema_json,
             "ts": time.time(),
         }
+        if extra_meta:
+            clash = set(extra_meta) & set(out)
+            if clash:
+                raise ValueError(
+                    f"extra_meta may not override reserved manifest keys: {sorted(clash)}"
+                )
+            out.update(extra_meta)
         try:
             with open(self._manifest_path(version), "x") as fh:
                 json.dump(out, fh)

@@ -1,0 +1,183 @@
+"""Incrementally-maintained rollups over the snapshot catalog — the
+materialized-view-maintenance pattern (Iceberg/Delta ecosystems call it
+incremental refresh).
+
+A 100-TB curation pipeline keeps aggregate tables (per-domain doc
+counts, per-source token sums, quality-score extrema) next to the raw
+corpus; recomputing them from scratch after every ingest batch rescans
+the world. ``IncrementalRollup`` instead consumes the CDC delta between
+the last-refreshed source snapshot and the head
+(``ManifestTable.read_incremental``, round 5), aggregates ONLY the new
+rows, and folds the partials into the rollup table with a copy-on-write
+MERGE. The maintenance cursor (the source snapshot the rollup now
+reflects) rides on that same merge commit's manifest (``extra_meta``),
+so state + cursor are ONE atomic commit: a crash between them is
+impossible, and re-running a completed refresh is a no-op.
+
+Soundness: the supported aggregates (count / sum / min / max, mean as
+sum÷count at read time) are decomposable under APPEND-ONLY deltas, which
+is exactly what read_incremental can express — compaction contributes
+nothing, and a source merge/overwrite (rows rewritten in place) raises
+there, which this module catches and answers with a FULL recompute
+committed as an overwrite (cursor still atomic). min/max would be
+unsound under deletes; append-only is the contract.
+
+Scale shape: the delta aggregation is one groupBy over new rows only;
+the fold touches only affected keys (left-semi the rollup against the
+partials' keys); the catalog merge rewrites only data files containing
+an affected key. Nothing rescans the source table on the incremental
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import ManifestTable
+
+_CURSOR_KEY = "rollup_source_snapshot"
+_SUPPORTED = ("count", "sum", "min", "max")
+
+
+class IncrementalRollup:
+    """Maintains ``rollup`` = ``source.groupBy(keys).agg(aggs)``.
+
+    ``aggs`` maps output column → ("count"|"sum"|"min"|"max", source
+    column); the source column is ignored for "count" (row count). The
+    rollup table's rows are exactly the full-recompute rows at the
+    cursor snapshot — asserted by the invariant tests and the
+    ``rollup_refresh`` oracle query."""
+
+    def __init__(
+        self,
+        source: ManifestTable,
+        rollup: ManifestTable,
+        keys: list[str],
+        aggs: dict[str, tuple[str, str | None]],
+    ):
+        if not keys:
+            raise ValueError("rollup needs at least one group key")
+        for out, (fn, col) in aggs.items():
+            if fn not in _SUPPORTED:
+                raise ValueError(f"unsupported aggregate {fn!r} for {out!r} (use {_SUPPORTED})")
+            if fn != "count" and not col:
+                raise ValueError(f"aggregate {fn!r} for {out!r} needs a source column")
+            if out in keys:
+                raise ValueError(f"aggregate output {out!r} collides with a group key")
+        self.source = source
+        self.rollup = rollup
+        self.keys = list(keys)
+        self.aggs = dict(aggs)
+
+    # -- cursor ---------------------------------------------------------------
+
+    def cursor(self) -> int | None:
+        """Source snapshot the rollup currently reflects: the nearest
+        manifest on the rollup's parent chain carrying the cursor key
+        (same walk as the streaming replay guard). None → never
+        refreshed (or history expired past every cursor) → full
+        recompute."""
+        try:
+            v = self.rollup.current_snapshot_id()
+            while v is not None:
+                m = self.rollup._load(v)
+                if _CURSOR_KEY in m:
+                    return m[_CURSOR_KEY]
+                v = m.get("parent")
+        except FileNotFoundError:
+            return None
+        return None
+
+    # -- aggregation pieces ---------------------------------------------------
+
+    def _agg_exprs(self):
+        exprs = []
+        for out, (fn, col) in self.aggs.items():
+            if fn == "count":
+                exprs.append(F.count(F.lit(1)).alias(out))
+            else:
+                exprs.append(getattr(F, fn)(col).alias(out))
+        return exprs
+
+    def _combine(self, old: str, new: str, fn: str):
+        a, b = F.col(old), F.col(new)
+        if fn in ("count", "sum"):
+            combined = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        elif fn == "min":
+            combined = F.least(a, b)  # least/greatest skip NULLs
+        else:
+            combined = F.greatest(a, b)
+        # a key present on only one side keeps that side's value exactly
+        return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(combined)
+
+    def _full_rows(self, spark: SparkSession, snapshot: int) -> DataFrame:
+        return (
+            self.source.read(spark, snapshot_id=snapshot)
+            .groupBy(*self.keys)
+            .agg(*self._agg_exprs())
+        )
+
+    # -- refresh --------------------------------------------------------------
+
+    def refresh(self, spark: SparkSession) -> dict:
+        """Bring the rollup up to the source head. Returns
+        {"mode": "noop"|"incremental"|"full", "from", "to",
+        "keys_updated"}."""
+        head = self.source.current_snapshot_id()
+        if head is None:
+            return {"mode": "noop", "from": None, "to": None, "keys_updated": 0}
+        cur = self.cursor()
+        if cur == head:
+            return {"mode": "noop", "from": cur, "to": head, "keys_updated": 0}
+
+        delta = None
+        if cur is not None:
+            try:
+                delta = self.source.read_incremental(spark, cur, head)
+            except ValueError:
+                delta = None  # rewrite in source history → full recompute
+
+        if delta is None:
+            rows = self._full_rows(spark, head)
+            n = rows.count()
+            self.rollup.overwrite(rows, extra_meta={_CURSOR_KEY: head})
+            return {"mode": "full", "from": cur, "to": head, "keys_updated": n}
+
+        partial = delta.groupBy(*self.keys).agg(*self._agg_exprs())
+        # fold: existing rows for AFFECTED keys only, outer-joined with the
+        # partials, per-aggregate combine
+        existing = self.rollup.read(spark).join(
+            F.broadcast(partial.select(*self.keys).distinct()), self.keys, "left_semi"
+        )
+        renamed = partial
+        for out in self.aggs:
+            renamed = renamed.withColumnRenamed(out, f"__new_{out}")
+        folded = existing.join(renamed, self.keys, "full_outer").select(
+            *self.keys,
+            *[
+                self._combine(out, f"__new_{out}", fn).alias(out)
+                for out, (fn, _col) in self.aggs.items()
+            ],
+        )
+        n = folded.count()
+        if n == 0:
+            # empty delta (e.g. only empty appends): still advance the cursor
+            # atomically via an empty merge
+            self.rollup.merge(
+                spark,
+                spark.createDataFrame([], self.rollup.read(spark).schema),
+                self.keys,
+                extra_meta={_CURSOR_KEY: head},
+            )
+            return {"mode": "incremental", "from": cur, "to": head, "keys_updated": 0}
+        self.rollup.merge(spark, folded, self.keys, extra_meta={_CURSOR_KEY: head})
+        return {"mode": "incremental", "from": cur, "to": head, "keys_updated": n}
+
+
+def with_mean(df: DataFrame, mean_col: str, sum_col: str, count_col: str) -> DataFrame:
+    """Derive a mean column from maintained sum+count (means are not
+    directly decomposable; this is the standard read-time derivation)."""
+    return df.withColumn(
+        mean_col, F.col(sum_col) / F.nullif(F.col(count_col), F.lit(0))
+    )
