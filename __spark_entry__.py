@@ -1618,6 +1618,30 @@ def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational BM25 retrieval (round 5, operators/retrieval.py): three
+    fixed queries against the documents corpus — inverted index + the
+    Lucene non-negative idf formula, broadcast query side. All scored
+    (query, doc) pairs are returned floored to micros (no top-k in the
+    oracle: rank-k tie boundaries are where cross-engine float noise
+    bites; the top-k path is pytest-pinned against a python twin
+    instead). DuckDB replays the identical formula relationally."""
+    from article_extraction_spark.operators.retrieval import bm25_scores, build_text_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        [(1, "merge sort join"), (2, "spark filter customer"), (3, "window hash scan")],
+        "query_id long, qtext string",
+    )
+    postings, stats = build_text_index(docs)
+    scored = bm25_scores(postings, stats, queries)
+    return scored.select(
+        "query_id",
+        "doc_id",
+        F.floor(F.col("score") * 1e6).cast("long").alias("score_micro"),
+    )
+
+
 def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained rollup (round 5, rollup.py): ingest
     events into a snapshot table in three appends, refreshing a
@@ -1982,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": q_substring_dup_spans,
         "substring_strip": q_substring_strip,
         "rollup_refresh": q_rollup_refresh,
+        "bm25": q_bm25,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2729,6 +2754,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
                    max(pos) + 40 - min(pos) AS span_len
             FROM isl2 GROUP BY doc_id, island
+        """,
+        "bm25": """
+            WITH q(query_id, qtext) AS (
+              VALUES (1, 'merge sort join'), (2, 'spark filter customer'),
+                     (3, 'window hash scan')
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                            w -> length(w) > 0)) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            qt AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT query_id,
+                       unnest(list_filter(regexp_split_to_array(lower(trim(qtext)), '[^a-z0-9]+'),
+                              w -> length(w) > 0)) AS term
+                FROM q)
+            )
+            SELECT qt.query_id, tf.doc_id,
+                   CAST(floor(sum(
+                     ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                   ) * 1000000) AS BIGINT) AS score_micro
+            FROM qt
+            JOIN tf USING (term)
+            JOIN df USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+            GROUP BY qt.query_id, tf.doc_id
         """,
         "rollup_refresh": """
             WITH ev AS (

@@ -1,0 +1,143 @@
+"""BM25 retrieval (operators/retrieval.py): textbook-formula python twin
+equality, ranking determinism, idf monotonicity, and plan shape."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from article_extraction_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_search,
+    bm25_topk,
+    build_text_index,
+)
+
+DOCS = [
+    (0, "spark shuffles data between stages during wide transformations"),
+    (1, "broadcast joins avoid the shuffle for small dimension tables"),
+    (2, "the optimizer reorders joins and pushes filters down to the scan"),
+    (3, "shuffle partitions should be sized so spills stay rare"),
+    (4, "window functions sort within partitions without a full shuffle"),
+    (5, "completely unrelated text about cooking pasta with tomato sauce"),
+    (6, ""),  # tokenless: never scores, excluded from N/avgdl
+]
+QUERIES = [(100, "shuffle partitions"), (200, "broadcast joins"), (300, "pasta")]
+
+
+def _tok(s):
+    return [w for w in re.split(r"[^a-z0-9]+", s.lower().strip()) if w]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    toks = {d: _tok(t) for d, t in docs}
+    toks = {d: t for d, t in toks.items() if t}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        for d, t in toks.items():
+            s = 0.0
+            for term in set(_tok(qtext)):
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            if s > 0:
+                out[(qid, d)] = s
+    return out
+
+
+def _spark_docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _spark_queries(spark):
+    return spark.createDataFrame(QUERIES, "query_id long, qtext string")
+
+
+def test_scores_match_python_twin(spark):
+    postings, stats = build_text_index(_spark_docs(spark))
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(postings, stats, _spark_queries(spark)).collect()
+    }
+    expect = _py_bm25(DOCS, QUERIES)
+    assert set(got) == set(expect)
+    for key in expect:
+        assert got[key] == pytest.approx(expect[key], rel=1e-12), key
+
+
+def test_topk_ranking_and_determinism(spark):
+    res = bm25_search(_spark_docs(spark), _spark_queries(spark), k=2).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for q in by_q:
+        by_q[q].sort()
+    # 'shuffle partitions': doc 3 has both terms → must rank first
+    assert by_q[100][0][1] == 3
+    # 'broadcast joins': doc 1 has both
+    assert by_q[200][0][1] == 1
+    # 'pasta' appears only in doc 5 → exactly one hit
+    assert [d for _, d, _ in by_q[300]] == [5]
+    # ranks are 1..k contiguous, scores non-increasing
+    for q, rows in by_q.items():
+        assert [r for r, _, _ in rows] == list(range(1, len(rows) + 1))
+        scores = [s for _, _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_rare_term_outranks_common_on_equal_tf(spark):
+    """idf monotonicity: with tf and dl equal, the rarer term scores
+    higher — 'pasta' (df=1) beats 'shuffle' (df=4) for the same doc
+    shape."""
+    docs = _spark_docs(spark)
+    postings, stats = build_text_index(docs)
+    q = spark.createDataFrame(
+        [(1, "pasta"), (2, "shuffle")], "query_id long, qtext string"
+    )
+    scored = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(postings, stats, q).collect()
+    }
+    # doc 5 (pasta, dl=8? whatever it is) vs doc 0 (shuffles→no; doc 3 has
+    # 'shuffle' tf=1). Compare the per-term idf directly via two docs with
+    # tf=1: pick max score per query; rare-term max must exceed common-term max
+    assert max(s for (qq, _), s in scored.items() if qq == 1) > max(
+        s for (qq, _), s in scored.items() if qq == 2
+    )
+
+
+def test_empty_and_oov_queries(spark):
+    docs = _spark_docs(spark)
+    postings, stats = build_text_index(docs)
+    q = spark.createDataFrame(
+        [(1, "zzzqx notinthecorpus"), (2, "   "), (3, None)],
+        "query_id long, qtext string",
+    )
+    assert bm25_scores(postings, stats, q).count() == 0
+
+
+def test_plan_broadcasts_query_side(spark):
+    """Scale shape: the scoring join must broadcast the query-term side —
+    postings never shuffle at query time; no cartesian anywhere; the only
+    nested-loop join is the deliberate ONE-ROW broadcast stats join (the
+    same n_docs/avgdl pattern tfidf_top_terms uses)."""
+    docs = _spark_docs(spark)
+    plan = (
+        bm25_search(docs, _spark_queries(spark), k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoop") <= 1
