@@ -1618,6 +1618,21 @@ def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain-mixture sampling (round 5): α=0.5-
+    smoothed language mixture over documents, target 2× the corpus —
+    skewed languages down-weighted, rare ones up-sampled by integer
+    repetition + a 16-bit md5-threshold fractional copy. The exploded
+    (doc_id, lang, copy) multiset is the result; DuckDB replays the
+    share/rate arithmetic and the hex-threshold draw exactly."""
+    from article_extraction_spark.operators.split import domain_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    n = docs.count()
+    out = domain_mixture_sample(docs, "lang", "doc_id", target_rows=2 * n, alpha=0.5, seed=42)
+    return out.select("doc_id", "lang", F.col("copy").cast("long").alias("copy"))
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational BM25 retrieval (round 5, operators/retrieval.py): three
     fixed queries against the documents corpus — inverted index + the
@@ -2007,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_strip": q_substring_strip,
         "rollup_refresh": q_rollup_refresh,
         "bm25": q_bm25,
+        "domain_mixture": q_domain_mixture,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2754,6 +2770,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
                    max(pos) + 40 - min(pos) AS span_len
             FROM isl2 GROUP BY doc_id, island
+        """,
+        "domain_mixture": """
+            WITH total AS (SELECT count(*) AS n_total FROM documents),
+            counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            z AS (SELECT sum(pow(n, 0.5)) AS z FROM counts),
+            rates AS (
+              SELECT c.lang, (2.0 * t.n_total) * pow(c.n, 0.5) / z.z / c.n AS w
+              FROM counts c, z, total t
+            ),
+            picked AS (
+              SELECT d.doc_id, d.lang,
+                     CAST(least(floor(r.w), 10) AS INTEGER)
+                     + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '|42'), 1, 4)
+                                 < lpad(lower(to_hex(CAST(floor((r.w - floor(r.w)) * 65536) AS INTEGER))), 4, '0')
+                            THEN 1 ELSE 0 END AS copies
+              FROM documents d JOIN rates r USING (lang)
+            )
+            SELECT doc_id, lang,
+                   unnest(generate_series(0, copies - 1)) AS copy
+            FROM picked WHERE copies >= 1
         """,
         "bm25": """
             WITH q(query_id, qtext) AS (

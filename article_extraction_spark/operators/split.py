@@ -74,6 +74,64 @@ def stratified_sample(
     return df.where(expr)
 
 
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+    max_repeat: int = 10,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Temperature-based domain-mixture sampling — the multilingual-LM /
+    data-mixture standard (the α-smoothed sampling of the XLM-R /
+    mBERT data cards): domain share p_d ∝ n_d^α (α=1 natural, α=0
+    uniform), per-row expected copies w_d = target_rows · p_d / n_d.
+    Rows are DOWN-sampled (w_d < 1) or UP-sampled by repetition
+    (w_d > 1): each row yields ⌊w_d⌋ copies plus one more iff its
+    16-bit md5(key|seed) fraction falls under frac(w_d) — the same
+    engine-portable hex-threshold construction as stratified_sample, so
+    the exact row multiset is reproducible at any partitioning and
+    expressible in SQL for the oracle. E[output rows] = target_rows.
+
+    Output = input columns + ``copy_col`` (0..copies-1) so repeated rows
+    are real rows downstream (packing/shuffling treats them
+    independently). ⌊w_d⌋ is capped at ``max_repeat`` — a pathologically
+    tiny domain should be flagged, not silently replicated thousands of
+    times. One groupBy over domains (tiny) broadcast back; no other
+    shuffle."""
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(F.col(domain_col).alias("__dom")).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(F.sum(F.pow("__n", F.lit(alpha))).alias("__z"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "__dom",
+        (
+            F.lit(float(target_rows)) * F.pow("__n", F.lit(alpha)) / F.col("__z") / F.col("__n")
+        ).alias("__w"),
+    )
+    base = F.least(F.floor("__w").cast("int"), F.lit(max_repeat))
+    frac_hex = F.lpad(
+        F.conv(F.floor((F.col("__w") - F.floor("__w")) * 65536).cast("int").cast("string"), 10, 16),
+        4,
+        "0",
+    )
+    h4 = F.substring(
+        F.md5(F.concat_ws("|", F.col(key).cast("string"), F.lit(str(seed)))), 1, 4
+    )
+    out = (
+        df.join(F.broadcast(rates), df[domain_col] == F.col("__dom"))
+        .withColumn("__copies", base + (h4 < F.lower(frac_hex)).cast("int"))
+        .where(F.col("__copies") >= 1)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)))
+        .drop("__dom", "__n", "__w", "__copies")
+    )
+    return out
+
+
 def reference_exact_split(
     df: DataFrame,
     order_col: str,

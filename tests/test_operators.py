@@ -172,3 +172,59 @@ def test_stratified_sample(spark):
     assert {r["id"] for r in out.collect()} == {r["id"] for r in again.collect()}
     # unknown strata are dropped
     assert stratified_sample(df, "q", {"zz": 1.0}, key="id").count() == 0
+
+
+def test_domain_mixture_sample(spark):
+    """Temperature mixture: exact python-twin multiset equality, alpha
+    endpoints (1 → near-natural shares, 0 → near-uniform), determinism
+    across partitionings, and the max_repeat cap."""
+    import collections
+    import hashlib
+    import math
+
+    from article_extraction_spark.operators.split import domain_mixture_sample
+
+    data = [(i, (["big"] * 80 + ["mid"] * 16 + ["tiny"] * 4)[i % 100]) for i in range(300)]
+    df = spark.createDataFrame(data, "doc_id long, dom string")
+
+    def twin(target, alpha, max_repeat=10):
+        n_d = collections.Counter(d for _, d in data)
+        z = sum(n ** alpha for n in n_d.values())
+        w = {d: target * (n ** alpha) / z / n for d, n in n_d.items()}
+        out = collections.Counter()
+        for doc_id, dom in data:
+            base = min(int(math.floor(w[dom])), max_repeat)
+            frac = w[dom] - math.floor(w[dom])
+            h4 = hashlib.md5(f"{doc_id}|42".encode()).hexdigest()[:4]
+            out[(doc_id, dom)] = base + (1 if h4 < format(int(math.floor(frac * 65536)), "04x") else 0)
+        return {k: v for k, v in out.items() if v > 0}
+
+    for alpha in (0.0, 0.5, 1.0):
+        got = collections.Counter(
+            (r["doc_id"], r["dom"])
+            for r in domain_mixture_sample(df, "dom", "doc_id", 600, alpha=alpha).collect()
+        )
+        assert dict(got) == twin(600, alpha), alpha
+
+    # determinism across partitionings
+    a = sorted(
+        (r["doc_id"], r["copy"])
+        for r in domain_mixture_sample(df, "dom", "doc_id", 600).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["copy"])
+        for r in domain_mixture_sample(df.repartition(13), "dom", "doc_id", 600).collect()
+    )
+    assert a == b
+
+    # alpha=0 upweights the tiny domain hard; the cap bounds replication
+    capped = domain_mixture_sample(df, "dom", "doc_id", 10000, alpha=0.0, max_repeat=3)
+    per_doc = capped.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_doc <= 4  # cap + at most one fractional copy
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_rows"):
+        domain_mixture_sample(df, "dom", "doc_id", 0)
+    with _pytest.raises(ValueError, match="alpha"):
+        domain_mixture_sample(df, "dom", "doc_id", 10, alpha=1.5)
