@@ -1618,6 +1618,42 @@ def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes (round 5, Iceberg v2 pattern):
+    append docs 0-99 → DELETE ids 10-19 (no data file rewritten — the
+    flag is hashed into every row) → append docs 100-149 plus a
+    re-insert of doc 15 (the delete must not cover new files) → compact
+    (materializes: the new manifest carries no delete entries and reads
+    identically) → head read. Time travel to the pre-delete snapshot
+    still sees all 100 rows. DuckDB replays the surviving row set
+    relationally."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    root = f"{tempfile.gettempdir()}/aes_mordel_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = ManifestTable(root)
+    v1 = t.append(docs.where(F.col("doc_id") < 100))
+    files_v1 = t._load(v1)["files"]
+    v2 = t.delete(
+        spark, docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)), ["doc_id"]
+    )
+    no_rewrite = t._load(v2)["files"] == files_v1
+    reinsert = spark.createDataFrame([(15, "REINSERTED-15")], "doc_id long, text string")
+    t.append(
+        docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).unionByName(reinsert)
+    )
+    pre_rows = t.read(spark).count()
+    vc = t.compact(spark, target_bytes=1 << 30)
+    materialized = "deletes" not in t._load(vc) and t.read(spark).count() == pre_rows
+    travel_ok = t.read(spark, snapshot_id=v1).count() == 100
+    ok = bool(no_rewrite and materialized and travel_ok)
+    return t.read(spark).select("doc_id", "text", F.lit(ok).alias("invariants_ok"))
+
+
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain-mixture sampling (round 5): α=0.5-
     smoothed language mixture over documents, target 2× the corpus —
@@ -2023,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_refresh": q_rollup_refresh,
         "bm25": q_bm25,
         "domain_mixture": q_domain_mixture,
+        "mor_delete": q_mor_delete,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2770,6 +2807,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
                    max(pos) + 40 - min(pos) AS span_len
             FROM isl2 GROUP BY doc_id, island
+        """,
+        "mor_delete": """
+            SELECT doc_id, text, TRUE AS invariants_ok
+            FROM documents
+            WHERE doc_id < 100 AND doc_id NOT BETWEEN 10 AND 19
+            UNION ALL
+            SELECT doc_id, text, TRUE FROM documents
+            WHERE doc_id >= 100 AND doc_id < 150
+            UNION ALL
+            SELECT 15, 'REINSERTED-15', TRUE
         """,
         "domain_mixture": """
             WITH total AS (SELECT count(*) AS n_total FROM documents),

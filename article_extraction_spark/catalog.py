@@ -93,13 +93,19 @@ class ManifestTable:
         for _ in range(retries):
             parent = self.current_snapshot_id()
             attempt_schema = schema_json
+            deletes: list[dict] = []
             if operation == "append":
-                base = self._load(parent)["files"] if parent is not None else []
+                parent_manifest = self._load(parent) if parent is not None else {}
+                base = parent_manifest.get("files", [])
                 files = base + [p for p in new_files if p not in base]
                 # schema widening is per-attempt state exactly like the file
                 # list: a retry's head may carry columns the first attempt's
                 # head lacked (review r5)
                 attempt_schema = self._widened_schema_json(schema_json, parent)
+                # outstanding MoR delete entries carry forward: they apply
+                # only to the files listed in their applies_to, so the
+                # newly appended files are untouched (round 5)
+                deletes = parent_manifest.get("deletes", [])
             else:  # overwrite: replace the table contents wholesale
                 files = list(new_files)
             version = (parent if parent is not None else 0) + 1
@@ -111,6 +117,8 @@ class ManifestTable:
                 "schema": attempt_schema,
                 "ts": time.time(),
             }
+            if deletes:
+                manifest["deletes"] = deletes
             if extra_meta:
                 clash = set(extra_meta) & set(manifest)
                 if clash:
@@ -268,10 +276,16 @@ class ManifestTable:
         surviving = [v for v in versions if v not in set(expiring)]
         live_files = set()
         for v in surviving:
-            live_files.update(self._load(v)["files"])
+            m = self._load(v)
+            live_files.update(m["files"])
+            for e in m.get("deletes", []):  # MoR delete files are live too
+                live_files.update(e["files"])
         dead_files = set()
         for v in expiring:
-            dead_files.update(self._load(v)["files"])
+            m = self._load(v)
+            dead_files.update(m["files"])
+            for e in m.get("deletes", []):
+                dead_files.update(e["files"])
         dead_files -= live_files
 
         deleted = 0
@@ -394,10 +408,10 @@ class ManifestTable:
         # unmatched rows forward; untouched files are reused by reference.
         # (The per-file probe-loop alternative issues O(n_files) sequential
         # driver jobs — linear latency in file count regardless of data.)
-        all_paths = [os.path.join(self.root, f) for f in manifest["files"]]
-        tagged = spark.read.schema(schema).parquet(*all_paths).withColumn(
-            "_file", F.input_file_name()
-        )
+        # read through outstanding MoR deletes (round 5): survivors must
+        # not resurrect deleted rows, and matched-file detection must see
+        # the delete-applied view
+        tagged = self._read_with_deletes(spark, manifest, schema, file_tag_col="_file")
         from urllib.parse import unquote, urlparse
 
         root_abs = os.path.abspath(self.root)
@@ -422,13 +436,20 @@ class ManifestTable:
         keep_files = [f for f in manifest["files"] if f not in matched_rel]
         rewrite = [f for f in manifest["files"] if f in matched_rel]
         if rewrite:
-            survivors = (
-                spark.read.schema(schema)
-                .parquet(*[os.path.join(self.root, f) for f in rewrite])
-                .join(F.broadcast(key_df), keys, "left_anti")
+            sub = {"files": rewrite, "deletes": manifest.get("deletes", [])}
+            survivors = self._read_with_deletes(spark, sub, schema).join(
+                F.broadcast(key_df), keys, "left_anti"
             )
         else:
             survivors = spark.createDataFrame([], schema)
+        # delete entries survive on the untouched files only; rewritten
+        # files are delete-applied, so their coverage drops away
+        keep_set = set(keep_files)
+        surviving_deletes = []
+        for e in manifest.get("deletes", []):
+            cov = [f for f in e["applies_to"] if f in keep_set]
+            if cov:
+                surviving_deletes.append({**e, "applies_to": cov})
         # union even when nothing is rewritten so the committed schema is the
         # TABLE ∪ src schema: committing src's (possibly narrower) schema
         # would hide existing columns from every later read — silent data
@@ -437,7 +458,8 @@ class ManifestTable:
         new_data = survivors.unionByName(src, allowMissingColumns=True)
         new_files = self._write_data(new_data)
         return self._commit_merge(
-            parent, new_files, keep_files, new_data.schema.json(), extra_meta
+            parent, new_files, keep_files, new_data.schema.json(), extra_meta,
+            deletes=surviving_deletes,
         )
 
     def _commit_merge(
@@ -447,6 +469,7 @@ class ManifestTable:
         keep_files: list[str],
         schema_json: str,
         extra_meta: dict | None = None,
+        deletes: list[dict] | None = None,
     ) -> int:
         version = (parent if parent is not None else 0) + 1
         out = {
@@ -457,6 +480,8 @@ class ManifestTable:
             "schema": schema_json,
             "ts": time.time(),
         }
+        if deletes:
+            out["deletes"] = deletes
         if extra_meta:
             clash = set(extra_meta) & set(out)
             if clash:
@@ -549,5 +574,117 @@ class ManifestTable:
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         if not manifest["files"]:
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, p) for p in manifest["files"]]
-        return spark.read.schema(schema).parquet(*paths)
+        return self._read_with_deletes(spark, manifest, schema)
+
+    def _read_with_deletes(
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        schema: "T.StructType",
+        file_tag_col: str | None = None,
+    ) -> DataFrame:
+        """Snapshot read applying outstanding MoR delete entries (round 5,
+        the Iceberg v2 equality-delete read path): data files are grouped
+        by WHICH delete entries cover them (``applies_to``), each group
+        anti-joins the covering entries' key sets (broadcast — equality
+        deletes are small by construction; Iceberg readers hash-join them
+        the same way), and the groups union back. Files appended after a
+        delete carry no coverage, so re-inserted keys survive. ``compact``
+        materializes deletes (it reads through this path and commits a
+        manifest without delete entries)."""
+        from pyspark.sql import functions as F
+
+        def raw(paths: list[str]) -> DataFrame:
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in paths]
+            )
+            if file_tag_col:
+                df = df.withColumn(file_tag_col, F.input_file_name())
+            return df
+
+        deletes = manifest.get("deletes", [])
+        if not deletes:
+            return raw(manifest["files"])
+        applies = [set(e["applies_to"]) for e in deletes]
+        groups: dict[tuple, list[str]] = {}
+        for f in manifest["files"]:
+            sig = tuple(i for i, s in enumerate(applies) if f in s)
+            groups.setdefault(sig, []).append(f)
+        key_dfs: dict[int, DataFrame] = {}
+        out = None
+        for sig, paths in groups.items():
+            df = raw(paths)
+            for i in sig:
+                e = deletes[i]
+                if i not in key_dfs:
+                    kschema = T.StructType.fromJson(json.loads(e["schema"]))
+                    key_dfs[i] = spark.read.schema(kschema).parquet(
+                        *[os.path.join(self.root, p) for p in e["files"]]
+                    )
+                df = df.join(F.broadcast(key_dfs[i]), e["keys"], "left_anti")
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def delete(self, spark: SparkSession, keys_df: DataFrame, keys: list[str]) -> int:
+        """Merge-on-read equality DELETE (Iceberg v2 pattern, round 5):
+        write the distinct key tuples as a delete file and commit a
+        ``delete`` snapshot whose entry applies to the data files present
+        at commit time — NO data file is rewritten. Reads anti-join the
+        keys out; a later append of the same key is a re-insert (the
+        delete never covers new files); ``compact`` materializes all
+        outstanding deletes. Rebase-and-retry like append: a retry
+        recomputes ``applies_to`` against the new head, so the delete
+        always covers exactly the data visible when it commits.
+        ``read_incremental`` refuses to cross a delete snapshot (row
+        removal is inexpressible as a file-level delta) — same contract
+        as merge/overwrite."""
+        if not keys:
+            raise ValueError("delete needs at least one key column")
+        head = self.current_snapshot_id()
+        if head is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        table_cols = {
+            f.name for f in T.StructType.fromJson(json.loads(self._load(head)["schema"])).fields
+        }
+        missing = [k for k in keys if k not in table_cols]
+        if missing:
+            raise KeyError(f"delete key column(s) {missing} not in table schema")
+        key_rows = keys_df.select(*keys).distinct()
+        delete_files = self._write_data(key_rows)
+        entry_schema = key_rows.schema.json()
+        for _ in range(5):
+            parent = self.current_snapshot_id()
+            pm = self._load(parent)
+            entry = {
+                "files": delete_files,
+                "keys": list(keys),
+                "schema": entry_schema,
+                "applies_to": pm["files"],
+            }
+            manifest = {
+                "snapshot_id": parent + 1,
+                "parent": parent,
+                "operation": "delete",
+                "files": pm["files"],
+                "schema": pm["schema"],
+                "ts": time.time(),
+                "deletes": pm.get("deletes", []) + [entry],
+            }
+            try:
+                with open(self._manifest_path(parent + 1), "x") as fh:
+                    json.dump(manifest, fh)
+                return parent + 1
+            except FileExistsError:
+                continue
+        for f in delete_files:  # never referenced — don't leak (compact's rule)
+            try:
+                os.remove(os.path.join(self.root, f))
+            except OSError:
+                pass
+        raise CommitConflict("could not commit delete after 5 attempts")
+
+    def delete_where(self, spark: SparkSession, condition, keys: list[str]) -> int:
+        """Predicate convenience: delete every CURRENT row matching
+        ``condition`` by its key tuple (evaluated against the
+        delete-applied head, so already-deleted rows don't re-enter)."""
+        return self.delete(spark, self.read(spark).where(condition), keys)

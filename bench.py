@@ -114,7 +114,7 @@ def main() -> None:
         "jpeg_decode", "jpeg_progressive", "ivf_topk", "tfidf_top_terms",
         "ngram_jaccard", "incremental_dedup", "zorder_box", "bpe_roundtrip",
         "bpe_token_ops", "substring_dup_spans", "substring_strip",
-        "rollup_refresh", "bm25", "domain_mixture",
+        "rollup_refresh", "bm25", "domain_mixture", "mor_delete",
     ]:
         if name in qs:
             runs = []

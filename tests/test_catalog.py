@@ -439,3 +439,107 @@ def test_read_incremental_null_aligns_prewidening_files(spark, tmp_path):
     rows = {r["k"]: r for r in t.read_incremental(spark, v1).collect()}
     assert set(rows) == {1, 2}
     assert rows[1]["extra"] is None and rows[2]["extra"] == 20.0
+
+
+def test_mor_delete_basic_and_time_travel(spark, tmp_path):
+    """Merge-on-read equality delete (round 5): no data file rewritten,
+    head reads exclude the keys, time travel before the delete still
+    sees them."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    v1 = t.append(spark.createDataFrame([(i, f"r{i}") for i in range(10)], "id long, s string"))
+    files_before = t._load(v1)["files"]
+    v2 = t.delete(spark, spark.createDataFrame([(3,), (7,)], "id long"), ["id"])
+    assert t._load(v2)["files"] == files_before  # nothing rewritten
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+    assert sorted(r["id"] for r in t.read(spark, snapshot_id=v1).collect()) == list(range(10))
+
+
+def test_mor_delete_reinsert_and_where(spark, tmp_path):
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i, i * 10) for i in range(6)], "id long, v long"))
+    t.delete_where(spark, "v >= 30", ["id"])
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 1, 2]
+    # re-insert id=4: the old delete never covers the new file
+    t.append(spark.createDataFrame([(4, 999)], "id long, v long"))
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 4: 999}
+    # a second delete with the same key hits ONLY files existing now
+    t.delete(spark, spark.createDataFrame([(1,), (4,)], "id long"), ["id"])
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 2]
+
+
+def test_mor_delete_compact_materializes(spark, tmp_path):
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(20)], "id long"))
+    vdel = t.delete(spark, spark.createDataFrame([(i,) for i in range(0, 20, 2)], "id long"), ["id"])
+    vc = t.compact(spark, target_bytes=1 << 30)
+    assert "deletes" not in t._load(vc)  # materialized
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(1, 20, 2))
+    # the pre-compact snapshot still applies its delete entries
+    assert sorted(r["id"] for r in t.read(spark, snapshot_id=vdel).collect()) == list(range(1, 20, 2))
+
+
+def test_mor_delete_merge_does_not_resurrect(spark, tmp_path):
+    """MERGE over a table with outstanding deletes: survivors come from
+    the delete-applied view, and entries keep covering untouched files."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i, "old") for i in range(8)], "id long, s string"))
+    t.delete(spark, spark.createDataFrame([(2,), (5,)], "id long"), ["id"])
+    t.merge(spark, spark.createDataFrame([(0, "new"), (9, "new")], "id long, s string"), ["id"])
+    got = {r["id"]: r["s"] for r in t.read(spark).collect()}
+    assert 2 not in got and 5 not in got  # deletes survived the merge
+    assert got[0] == "new" and got[9] == "new"
+    assert got[1] == got[3] == "old"
+
+
+def test_mor_delete_expiry_keeps_referenced_delete_files(spark, tmp_path):
+    import os
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "id long"))
+    t.delete(spark, spark.createDataFrame([(1,)], "id long"), ["id"])
+    dfiles = [e["files"] for e in t._load(t.current_snapshot_id())["deletes"]][0]
+    for _ in range(6):  # push history past keep_last
+        t.append(spark.createDataFrame([], "id long"))
+    t.expire_snapshots(keep_last=2)
+    # the delete entry still rides the surviving manifests → files live
+    for f in dfiles:
+        assert os.path.exists(os.path.join(t.root, f)), f
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [0] + list(range(2, 10))
+    # after compact (materialize) + expiry of the pre-compact history,
+    # the delete files become orphans and are swept
+    t.compact(spark, target_bytes=1 << 30)
+    t.expire_snapshots(keep_last=1)
+    assert not any(os.path.exists(os.path.join(t.root, f)) for f in dfiles)
+
+
+def test_mor_delete_incremental_read_refuses(spark, tmp_path):
+    """Row removal is inexpressible as a file-level delta: crossing a
+    delete snapshot errors (or skips on request), same contract as
+    merge/overwrite; validation errors stay crisp."""
+    import pytest as _pytest
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    v1 = t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    t.delete(spark, spark.createDataFrame([(1,)], "id long"), ["id"])
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    with _pytest.raises(ValueError, match="delete"):
+        t.read_incremental(spark, v1)
+    skipped = t.read_incremental(spark, v1, on_non_append="skip")
+    assert sorted(r["id"] for r in skipped.collect()) == [3]
+    with _pytest.raises(KeyError, match="not in table schema"):
+        t.delete(spark, spark.createDataFrame([(1,)], "nope long"), ["nope"])
+    with _pytest.raises(ValueError, match="at least one key"):
+        t.delete(spark, spark.createDataFrame([(1,)], "id long"), [])
