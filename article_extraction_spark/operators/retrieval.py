@@ -36,16 +36,22 @@ from pyspark.sql import functions as F
 def build_text_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
-    """(postings, doc_stats): postings = (term, doc_id, tf);
+    """(postings, doc_stats): postings = (term, doc_id, tf, dl);
     doc_stats = (doc_id, dl) for every document with ≥1 token. Documents
     tokenizing to nothing carry no postings and no length — they can
-    never score, and N/avgdl are defined over scorable docs."""
+    never score, and N/avgdl are defined over scorable docs.
+
+    ``dl`` is DENORMALIZED into the postings (standard search-index
+    practice): the doc-length join happens ONCE at build time, so query
+    time never shuffles the corpus-wide doc_stats table — scoring reads
+    only the pruned postings plus a one-row stats aggregate."""
     terms = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("term"),
     )
-    postings = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     doc_stats = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = tf.join(doc_stats, "doc_id").select("term", "doc_id", "tf", "dl")
     return postings, doc_stats
 
 
@@ -76,7 +82,11 @@ def bm25_scores(
     # prune the postings to query terms FIRST: df over the pruned set is
     # still the full-corpus document frequency of those terms (a posting
     # row exists per (term, doc) regardless of the query), and the
-    # vocabulary-wide df shuffle disappears
+    # vocabulary-wide df shuffle disappears. dl rides inside the pruned
+    # postings (denormalized at build), so the only corpus-sized input
+    # touched at query time is the one-row n/avgdl aggregate.
+    if "dl" not in postings.columns:  # pre-denormalization index layout
+        postings = postings.join(doc_stats, "doc_id")
     pruned = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
     df_t = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     stats = doc_stats.agg(
@@ -85,7 +95,6 @@ def bm25_scores(
     contrib = (
         pruned.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_t), "term")
-        .join(doc_stats, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",

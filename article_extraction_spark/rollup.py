@@ -40,6 +40,115 @@ _CURSOR_KEY = "rollup_source_snapshot"
 _SUPPORTED = ("count", "sum", "min", "max")
 
 
+def _agg_exprs(aggs: dict[str, tuple[str, str | None]]):
+    exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            exprs.append(F.count(F.lit(1)).alias(out))
+        else:
+            exprs.append(getattr(F, fn)(col).alias(out))
+    return exprs
+
+
+def _combine(old: str, new: str, fn: str):
+    a, b = F.col(old), F.col(new)
+    if fn in ("count", "sum"):
+        combined = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+    elif fn == "min":
+        combined = F.least(a, b)  # least/greatest skip NULLs
+    else:
+        combined = F.greatest(a, b)
+    # a key present on only one side keeps that side's value exactly
+    return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(combined)
+
+
+def fold_partials(
+    spark: SparkSession,
+    rollup: ManifestTable,
+    partial: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    extra_meta: dict | None = None,
+) -> int:
+    """Fold already-aggregated partials into a rollup table: affected
+    keys' existing rows outer-join the partials, per-aggregate combine,
+    copy-on-write MERGE (``extra_meta`` rides the commit — the refresh
+    cursor / stream batch id). Bootstrap (empty rollup) merges the
+    partials directly. Shared by the batch refresher and the streaming
+    twin. Returns the number of keys written."""
+    if rollup.current_snapshot_id() is None:
+        rollup.merge(spark, partial, keys, extra_meta=extra_meta)
+        return partial.count()
+    existing = rollup.read(spark).join(
+        F.broadcast(partial.select(*keys).distinct()), keys, "left_semi"
+    )
+    renamed = partial
+    for out in aggs:
+        renamed = renamed.withColumnRenamed(out, f"__new_{out}")
+    folded = existing.join(renamed, keys, "full_outer").select(
+        *keys,
+        *[_combine(out, f"__new_{out}", fn).alias(out) for out, (fn, _c) in aggs.items()],
+    )
+    n = folded.count()
+    if n == 0:
+        folded = spark.createDataFrame([], rollup.read(spark).schema)
+    rollup.merge(spark, folded, keys, extra_meta=extra_meta)
+    return n
+
+
+def run_available_now_rollup(
+    df: DataFrame,
+    rollup_root: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    writer_id: str,
+    query_name: str = "stream-rollup",
+) -> None:
+    """Streaming materialized rollup: each micro-batch's partial
+    aggregates fold into a ManifestTable rollup via foreachBatch.
+
+    Exactly-once needs MORE than checkpoint replay here: folding sums is
+    NOT idempotent (re-folding a replayed batch double-counts), so every
+    fold commit records (stream_writer, stream_batch) on its manifest
+    and a batch id at or below the writer's recorded watermark is
+    SKIPPED — the same replayed-batch guard the ``manifest_table``
+    streaming sink uses (sources/manifest_source.py), keyed on writer
+    identity so two pipelines rolling into one table can't eat each
+    other's batch 0. Use a stable ``writer_id`` (the checkpoint path is
+    a good one)."""
+    if not writer_id:
+        raise ValueError("writer_id is required (stable per pipeline — e.g. the checkpoint path)")
+
+    def _roll(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        rollup = ManifestTable(rollup_root)
+        last = rollup.last_stream_batch(writer_id)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already folded
+        partial = batch_df.groupBy(*keys).agg(*_agg_exprs(aggs))
+        fold_partials(
+            spark,
+            rollup,
+            partial,
+            keys,
+            aggs,
+            extra_meta={"stream_writer": writer_id, "stream_batch": batch_id},
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_roll)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
+
+
 class IncrementalRollup:
     """Maintains ``rollup`` = ``source.groupBy(keys).agg(aggs)``.
 
@@ -91,31 +200,11 @@ class IncrementalRollup:
 
     # -- aggregation pieces ---------------------------------------------------
 
-    def _agg_exprs(self):
-        exprs = []
-        for out, (fn, col) in self.aggs.items():
-            if fn == "count":
-                exprs.append(F.count(F.lit(1)).alias(out))
-            else:
-                exprs.append(getattr(F, fn)(col).alias(out))
-        return exprs
-
-    def _combine(self, old: str, new: str, fn: str):
-        a, b = F.col(old), F.col(new)
-        if fn in ("count", "sum"):
-            combined = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
-        elif fn == "min":
-            combined = F.least(a, b)  # least/greatest skip NULLs
-        else:
-            combined = F.greatest(a, b)
-        # a key present on only one side keeps that side's value exactly
-        return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(combined)
-
     def _full_rows(self, spark: SparkSession, snapshot: int) -> DataFrame:
         return (
             self.source.read(spark, snapshot_id=snapshot)
             .groupBy(*self.keys)
-            .agg(*self._agg_exprs())
+            .agg(*_agg_exprs(self.aggs))
         )
 
     # -- refresh --------------------------------------------------------------
@@ -144,34 +233,14 @@ class IncrementalRollup:
             self.rollup.overwrite(rows, extra_meta={_CURSOR_KEY: head})
             return {"mode": "full", "from": cur, "to": head, "keys_updated": n}
 
-        partial = delta.groupBy(*self.keys).agg(*self._agg_exprs())
+        partial = delta.groupBy(*self.keys).agg(*_agg_exprs(self.aggs))
         # fold: existing rows for AFFECTED keys only, outer-joined with the
-        # partials, per-aggregate combine
-        existing = self.rollup.read(spark).join(
-            F.broadcast(partial.select(*self.keys).distinct()), self.keys, "left_semi"
+        # partials, per-aggregate combine; an empty delta still advances
+        # the cursor atomically via an empty merge (fold_partials)
+        n = fold_partials(
+            spark, self.rollup, partial, self.keys, self.aggs,
+            extra_meta={_CURSOR_KEY: head},
         )
-        renamed = partial
-        for out in self.aggs:
-            renamed = renamed.withColumnRenamed(out, f"__new_{out}")
-        folded = existing.join(renamed, self.keys, "full_outer").select(
-            *self.keys,
-            *[
-                self._combine(out, f"__new_{out}", fn).alias(out)
-                for out, (fn, _col) in self.aggs.items()
-            ],
-        )
-        n = folded.count()
-        if n == 0:
-            # empty delta (e.g. only empty appends): still advance the cursor
-            # atomically via an empty merge
-            self.rollup.merge(
-                spark,
-                spark.createDataFrame([], self.rollup.read(spark).schema),
-                self.keys,
-                extra_meta={_CURSOR_KEY: head},
-            )
-            return {"mode": "incremental", "from": cur, "to": head, "keys_updated": 0}
-        self.rollup.merge(spark, folded, self.keys, extra_meta={_CURSOR_KEY: head})
         return {"mode": "incremental", "from": cur, "to": head, "keys_updated": n}
 
 
