@@ -265,6 +265,44 @@ def main() -> None:
         )
     )
 
+    from article_extraction_spark.operators.substring_dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ss = duplicate_spans(docs, k=40, winnow=8)
+    sections.append(
+        (
+            "Substring dedup, winnowed (round 5)",
+            "Span-level dedup never shuffles text: the position stream is "
+            "(doc_id, pos, md5, xxhash64) only; winnowing is ONE window pass "
+            "(min(struct) over forward frames — fp rides inside the struct, "
+            "no join back) + distinct; duplicated fingerprints come from a "
+            "groupBy(fp) joined back on fp; island merge is two per-doc "
+            "windows + one aggregate. No CartesianProduct/BNLJ anywhere "
+            "(asserted in test_substring_dedup.py).",
+            plan_str(ss),
+        )
+    )
+
+    from article_extraction_spark.operators.retrieval import bm25_search
+
+    queries = spark.createDataFrame(
+        [(1, "merge sort join"), (2, "spark filter customer")],
+        "query_id long, qtext string",
+    )
+    bm = bm25_search(docs, queries, k=5)
+    sections.append(
+        (
+            "BM25 top-k (round 5)",
+            "Query time never shuffles the corpus: postings (with dl "
+            "denormalized at build) are pruned by a BROADCAST of the query "
+            "terms before the df count, the per-term df and one-row "
+            "n/avgdl stats join back as broadcasts, and the only windows "
+            "are per-query top-k. The single BroadcastNestedLoop is the "
+            "deliberate one-row stats cross join (tfidf's pattern).",
+            plan_str(bm),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/dump_plans.py)\n"]
     for title, note, plan in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
