@@ -1654,6 +1654,49 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "text", F.lit(ok).alias("invariants_ok"))
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (round 5, ManifestTable.diff — the
+    complement of the append-only CDC read): append docs 0-99, then
+    MERGE-update 0-9 (upper-cased text), MoR-delete 50-59, append
+    100-119 — diff(v1 → head) must classify exactly the changed/
+    removed/added rows with NULL-safe value comparison. DuckDB replays
+    the expected classification relationally."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    root = f"{tempfile.gettempdir()}/aes_tdiff_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = ManifestTable(root)
+    v1 = t.append(docs.where(F.col("doc_id") < 100))
+    t.merge(
+        spark,
+        docs.where(F.col("doc_id") < 10).withColumn("text", F.upper("text")),
+        ["doc_id"],
+    )
+    t.delete(spark, docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 60)), ["doc_id"])
+    t.append(docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)))
+    return t.diff(spark, v1, keys=["doc_id"]).select("change", "doc_id", "text")
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped winsorization (round 5): clip events.value to each
+    event_type's exact [p10, p90] (linear-interpolation percentiles —
+    Spark F.percentile and DuckDB quantile_cont share the definition),
+    floored to micros."""
+    from article_extraction_spark.operators.aggregates import winsorize_by_group
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = winsorize_by_group(ev, "event_type", "value", 0.1, 0.9)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value_winsor") * 1e6).cast("long").alias("winsor_micro"),
+    )
+
+
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain-mixture sampling (round 5): α=0.5-
     smoothed language mixture over documents, target 2× the corpus —
@@ -2060,6 +2103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "domain_mixture": q_domain_mixture,
         "mor_delete": q_mor_delete,
+        "table_diff": q_table_diff,
+        "winsorize": q_winsorize,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2807,6 +2852,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
                    max(pos) + 40 - min(pos) AS span_len
             FROM isl2 GROUP BY doc_id, island
+        """,
+        "table_diff": """
+            SELECT 'changed' AS change, doc_id, upper(text) AS text
+            FROM documents WHERE doc_id < 10
+            UNION ALL
+            SELECT 'removed', doc_id, text FROM documents
+            WHERE doc_id BETWEEN 50 AND 59
+            UNION ALL
+            SELECT 'added', doc_id, text FROM documents
+            WHERE doc_id >= 100 AND doc_id < 120
+        """,
+        "winsorize": """
+            WITH bounds AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.1) AS plo,
+                     quantile_cont(value, 0.9) AS phi
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   CAST(floor(least(greatest(e.value, b.plo), b.phi) * 1000000) AS BIGINT)
+                     AS winsor_micro
+            FROM events e JOIN bounds b USING (event_type)
         """,
         "mor_delete": """
             SELECT doc_id, text, TRUE AS invariants_ok

@@ -688,3 +688,65 @@ class ManifestTable:
         ``condition`` by its key tuple (evaluated against the
         delete-applied head, so already-deleted rows don't re-enter)."""
         return self.delete(spark, self.read(spark).where(condition), keys)
+
+    def diff(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level diff between two snapshots: (change ∈ added/removed/
+        changed, key columns, value columns) — added/changed rows carry
+        the ``to`` side's values, removed rows the ``from`` side's.
+        Unchanged rows are excluded.
+
+        This is the COMPLEMENT of ``read_incremental``: it compares
+        materialized states, so it works across ANY operation mix
+        (merge, overwrite, MoR delete, compact) at the cost of reading
+        both snapshots — a full-outer join on the keys, NULL-safe struct
+        comparison for change detection. ``keys`` must identify rows
+        uniquely in both snapshots (duplicate keys raise)."""
+        if not keys:
+            raise ValueError("diff needs key columns")
+        from pyspark.sql import functions as F
+
+        a = self.read(spark, snapshot_id=from_snapshot)
+        b = self.read(spark, snapshot_id=to_snapshot)
+        val_cols = [c for c in b.columns if c not in keys]
+        missing = [k for k in keys if k not in a.columns or k not in b.columns]
+        if missing:
+            raise KeyError(f"diff key column(s) {missing} absent from a snapshot")
+        for side, df in (("from", a), ("to", b)):
+            dup = df.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+            if dup:
+                raise ValueError(f"diff keys are not unique in the {side} snapshot")
+        # align the from-side struct to the to-side's value columns:
+        # schema widening between the snapshots (append/merge widen-only)
+        # reads as NULL on the old side, which the NULL-safe comparison
+        # then treats as a real difference
+        a_cols = set(a.columns)
+        av = a.select(
+            *keys,
+            F.struct(
+                *[
+                    (F.col(c) if c in a_cols else F.lit(None).cast(b.schema[c].dataType)).alias(c)
+                    for c in val_cols
+                ]
+            ).alias("__a"),
+        )
+        bv = b.select(*keys, F.struct(*val_cols).alias("__b"))
+        j = av.join(bv, keys, "full_outer")
+        change = (
+            F.when(F.col("__a").isNull(), F.lit("added"))
+            .when(F.col("__b").isNull(), F.lit("removed"))
+            .when(~F.col("__a").eqNullSafe(F.col("__b")), F.lit("changed"))
+        )
+        picked = F.coalesce(F.col("__b"), F.col("__a"))
+        return (
+            j.withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(
+                "change", *keys, *[picked.getField(c).alias(c) for c in val_cols]
+            )
+        )

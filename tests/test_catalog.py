@@ -543,3 +543,45 @@ def test_mor_delete_incremental_read_refuses(spark, tmp_path):
         t.delete(spark, spark.createDataFrame([(1,)], "nope long"), ["nope"])
     with _pytest.raises(ValueError, match="at least one key"):
         t.delete(spark, spark.createDataFrame([(1,)], "id long"), [])
+
+
+def test_table_diff_lifecycle(spark, tmp_path):
+    """Row-level snapshot diff across merge + MoR delete + append (+
+    schema widening): added/removed/changed classification with NULL-safe
+    comparison, unchanged rows excluded, duplicate keys rejected."""
+    import pytest as _pytest
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    v1 = t.append(
+        spark.createDataFrame([(i, f"r{i}", i * 10) for i in range(8)], "id long, s string, v long")
+    )
+    t.merge(spark, spark.createDataFrame([(1, "CHANGED", 10)], "id long, s string, v long"), ["id"])
+    t.delete(spark, spark.createDataFrame([(5,), (6,)], "id long"), ["id"])
+    t.append(spark.createDataFrame([(100, "new", 0)], "id long, s string, v long"))
+
+    d = {(r["change"], r["id"]): (r["s"], r["v"]) for r in t.diff(spark, v1, keys=["id"]).collect()}
+    assert d == {
+        ("changed", 1): ("CHANGED", 10),
+        ("removed", 5): ("r5", 50),
+        ("removed", 6): ("r6", 60),
+        ("added", 100): ("new", 0),
+    }
+    # identical snapshots → empty diff
+    head = t.current_snapshot_id()
+    assert t.diff(spark, head, head, keys=["id"]).count() == 0
+    # schema widening: a new column reads NULL on the old side → every
+    # row whose new column is non-NULL is "changed"
+    t2 = ManifestTable(str(tmp_path / "t2"))
+    w1 = t2.append(spark.createDataFrame([(1, "a")], "id long, s string"))
+    t2.merge(spark, spark.createDataFrame([(1, "a", 9)], "id long, s string, extra long"), ["id"])
+    dd = t2.diff(spark, w1, keys=["id"]).collect()
+    assert len(dd) == 1 and dd[0]["change"] == "changed" and dd[0]["extra"] == 9
+    # duplicate keys raise
+    t3 = ManifestTable(str(tmp_path / "t3"))
+    t3.append(spark.createDataFrame([(1, "x"), (1, "y")], "id long, s string"))
+    with _pytest.raises(ValueError, match="not unique"):
+        t3.diff(spark, t3.current_snapshot_id(), keys=["id"])
+    with _pytest.raises(ValueError, match="key columns"):
+        t.diff(spark, v1, keys=[])

@@ -228,3 +228,26 @@ def test_domain_mixture_sample(spark):
         domain_mixture_sample(df, "dom", "doc_id", 0)
     with _pytest.raises(ValueError, match="alpha"):
         domain_mixture_sample(df, "dom", "doc_id", 10, alpha=1.5)
+
+
+def test_winsorize_by_group(spark):
+    """Exact-percentile clipping per group: hand-computed bounds on a
+    tiny group, NULL passthrough, untouched mid-range values."""
+    import pytest as _pytest
+
+    from article_extraction_spark.operators.aggregates import winsorize_by_group
+
+    rows = [("g", float(v)) for v in range(1, 11)] + [("g", None), ("h", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {
+        (r["grp"], r["value"]): r["value_winsor"]
+        for r in winsorize_by_group(df, "grp", "value", 0.1, 0.9).collect()
+    }
+    # group g = 1..10: p10 = 1.9, p90 = 9.1 (linear interpolation)
+    assert out[("g", 1.0)] == _pytest.approx(1.9)
+    assert out[("g", 10.0)] == _pytest.approx(9.1)
+    assert out[("g", 5.0)] == 5.0  # mid-range untouched
+    assert out[("g", None)] is None
+    assert out[("h", 5.0)] == 5.0  # single-value group maps to itself
+    with _pytest.raises(ValueError, match="lo <= hi"):
+        winsorize_by_group(df, "grp", "value", 0.9, 0.1)
