@@ -1654,6 +1654,28 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "text", F.lit(ok).alias("invariants_ok"))
 
 
+def q_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one near-dup pruning (round 5): the dedup_components corpus
+    (docs + tail-edited copies) runs MinHash pairs → transitive closure →
+    keep each cluster's min id → surviving corpus with cluster sizes.
+    The oracle recomputes the TRUE exact-Jaccard edge set, closes it
+    with a recursive CTE, and derives the identical survivor set — a
+    hash match certifies LSH recall, the component labeling, AND the
+    materialized prune in one result."""
+    from article_extraction_spark.operators.dedup import minhash_dedup, prune_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    edited = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail edit")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edited)
+    pairs = minhash_dedup(corpus, "doc_id", "text", threshold=0.6, num_hashes=32, bands=16)
+    out = prune_near_duplicates(corpus, pairs, id_col="doc_id")
+    pairs.unpersist()
+    return out.select("doc_id", "cluster_size")
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot diff (round 5, ManifestTable.diff — the
     complement of the append-only CDC read): append docs 0-99, then
@@ -2105,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_delete": q_mor_delete,
         "table_diff": q_table_diff,
         "winsorize": q_winsorize,
+        "near_dup_prune": q_near_dup_prune,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2704,6 +2727,60 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "near_dup_prune": """
+            WITH RECURSIVE docs500 AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+            corpus AS (
+              SELECT doc_id, text FROM docs500
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' tail edit' AS text FROM docs500
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                                 w -> length(w) > 0) AS t
+              FROM corpus
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     END AS s
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT id_a, id_b
+              FROM common
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+              JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b
+              WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
+            ),
+            und AS (
+              SELECT id_a AS u, id_b AS v FROM edges
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM edges
+            ),
+            reach(id, n) AS (
+              SELECT DISTINCT u AS id, u AS n FROM und
+              UNION
+              SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.n
+            )
+            ,
+            labels AS (SELECT id, min(n) AS component FROM reach GROUP BY id),
+            sizes AS (SELECT component, count(*) AS cluster_size FROM labels GROUP BY component)
+            SELECT c.doc_id,
+                   coalesce(s.cluster_size, 1) AS cluster_size
+            FROM corpus c
+            LEFT JOIN labels l ON l.id = c.doc_id
+            LEFT JOIN sizes s ON s.component = c.doc_id
+            WHERE l.id IS NULL OR l.component = c.doc_id
         """,
         "dedup_components": """
             WITH RECURSIVE docs500 AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),

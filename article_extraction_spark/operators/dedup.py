@@ -812,3 +812,41 @@ def connected_components(
         for d in prev_dirs:
             shutil.rmtree(d, ignore_errors=True)
     return final
+
+
+def prune_near_duplicates(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup PAIRS → the deduplicated corpus (round 5): the keep-one
+    materialization the near-dup family was missing — pairs from ANY
+    candidate generator (MinHash, SimHash, embedding LSH, exact n-gram
+    Jaccard) are transitively closed with connected_components, each
+    cluster keeps its MINIMUM id (the component label — deterministic,
+    partition-independent), and every other member is anti-joined out.
+    This is the SemDeDup-shaped "cluster then keep one" step (Abbas et
+    al. 2023) with whichever similarity relation produced the pairs.
+
+    Returns the surviving corpus rows plus ``cluster_size`` (1 for rows
+    in no cluster; the cluster's member count for kept representatives)
+    so downstream sampling can up/down-weight survivors of large
+    duplicate families. Shape: component labeling is O(diameter) rounds
+    (see connected_components), then one size aggregate over the label
+    table and two joins keyed on the id — the corpus itself shuffles
+    once for the anti-join."""
+    comp = connected_components(
+        pairs, src_col, dst_col, max_iterations=max_iterations, checkpoint_dir=checkpoint_dir
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    losers = comp.where(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    reps = sizes.select(F.col("component").alias(id_col), "cluster_size")
+    return (
+        corpus.join(losers, id_col, "left_anti")
+        .join(reps, id_col, "left")
+        .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)))
+    )

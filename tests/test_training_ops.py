@@ -1395,3 +1395,20 @@ def test_zorder_append_sidecar_is_incremental(spark, tmp_path):
     )
     # domain widened to cover both batches
     assert side2["domain_min"][0] == 0.0 and side2["domain_max"][0] == 79.0
+
+
+def test_prune_near_duplicates_keep_one(spark, tmp_path):
+    """Pairs → clusters → keep-min materialization: a transitive chain
+    (A~B, B~C, no direct A~C edge) collapses to A; disconnected docs
+    survive with cluster_size 1."""
+    from article_extraction_spark.operators.dedup import prune_near_duplicates
+
+    corpus = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 10, 20)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = prune_near_duplicates(
+        corpus, pairs, checkpoint_dir=str(tmp_path / "cc")
+    )
+    got = {r["doc_id"]: r["cluster_size"] for r in out.collect()}
+    assert got == {1: 3, 10: 1, 20: 1}  # 2 and 3 pruned; rep carries size 3
