@@ -1654,6 +1654,18 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "text", F.lit(ok).alias("invariants_ok"))
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card (round 5, card.py): the corpus-level stats table a
+    curation pipeline publishes — per-dimension counts, char-length
+    stats (floored-micro means/medians), shared-vocabulary token totals,
+    exact-dup groups via the normalized fingerprint, empty-doc count —
+    one long-format (section, key, value) DataFrame, every row
+    integer-exact and replayed in DuckDB."""
+    from article_extraction_spark.card import corpus_card
+
+    return corpus_card(_t(spark, sf_dir, "documents"))
+
+
 def q_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-one near-dup pruning (round 5): the dedup_components corpus
     (docs + tail-edited copies) runs MinHash pairs → transitive closure →
@@ -2128,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "winsorize": q_winsorize,
         "near_dup_prune": q_near_dup_prune,
+        "corpus_card": q_corpus_card,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2727,6 +2740,48 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "corpus_card": """
+            SELECT 'count_by_lang' AS section, coalesce(lang, '<null>') AS key,
+                   count(*) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 'count_by_source', coalesce(source, '<null>'), count(*)
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'chars', k, v FROM (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total,
+                     CAST(floor(avg(length(coalesce(text, ''))) * 1000000) AS BIGINT) AS avg_micro,
+                     CAST(floor(quantile_cont(length(coalesce(text, '')), 0.5) * 1000000) AS BIGINT) AS p50_micro,
+                     CAST(max(length(coalesce(text, ''))) AS BIGINT) AS max
+              FROM documents
+            ) UNPIVOT (v FOR k IN (n_docs, total, avg_micro, p50_micro, max))
+            UNION ALL
+            SELECT 'tokens', k, v FROM (
+              SELECT CAST(count(*) AS BIGINT) AS total,
+                     CAST(count(DISTINCT t) AS BIGINT) AS "distinct"
+              FROM (
+                SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                              w -> length(w) > 0)) AS t
+                FROM documents
+              )
+            ) UNPIVOT (v FOR k IN (total, "distinct"))
+            UNION ALL
+            SELECT 'dupes', k, v FROM (
+              SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+                     CAST(coalesce(sum(n), 0) AS BIGINT) AS docs_in_dup_groups
+              FROM (
+                SELECT md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                           '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS f,
+                       count(*) AS n
+                FROM documents GROUP BY 1 HAVING count(*) > 1
+              )
+            ) UNPIVOT (v FOR k IN (dup_groups, docs_in_dup_groups))
+            UNION ALL
+            SELECT 'empty', 'empty_docs',
+                   CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM documents
         """,
         "near_dup_prune": """
             WITH RECURSIVE docs500 AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),

@@ -115,7 +115,7 @@ def main() -> None:
         "ngram_jaccard", "incremental_dedup", "zorder_box", "bpe_roundtrip",
         "bpe_token_ops", "substring_dup_spans", "substring_strip",
         "rollup_refresh", "bm25", "domain_mixture", "mor_delete",
-        "table_diff", "winsorize", "near_dup_prune",
+        "table_diff", "winsorize", "near_dup_prune", "corpus_card",
     ]:
         if name in qs:
             runs = []

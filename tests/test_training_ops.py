@@ -1412,3 +1412,29 @@ def test_prune_near_duplicates_keep_one(spark, tmp_path):
     )
     got = {r["doc_id"]: r["cluster_size"] for r in out.collect()}
     assert got == {1: 3, 10: 1, 20: 1}  # 2 and 3 pruned; rep carries size 3
+
+
+def test_corpus_card_hand_computed(spark):
+    from article_extraction_spark.card import corpus_card
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "en", "s1"),
+            (1, "alpha beta", "en", "s2"),   # exact dup of 0
+            (2, "Alpha, BETA!", "fr", "s1"),  # normalized dup of 0/1
+            (3, "gamma", None, "s2"),
+            (4, "   ", "en", "s1"),           # whitespace-only
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    card = {(r["section"], r["key"]): r["value"] for r in corpus_card(docs).collect()}
+    assert card[("count_by_lang", "en")] == 3
+    assert card[("count_by_lang", "<null>")] == 1
+    assert card[("count_by_source", "s1")] == 3
+    assert card[("chars", "n_docs")] == 5
+    assert card[("chars", "total")] == 10 + 10 + 12 + 5 + 3
+    assert card[("tokens", "total")] == 7  # "alpha beta" ×3 = 6, "gamma" = 1
+    assert card[("tokens", "distinct")] == 3  # alpha, beta, gamma
+    assert card[("dupes", "dup_groups")] == 1
+    assert card[("dupes", "docs_in_dup_groups")] == 3
+    assert card[("empty", "empty_docs")] == 1
