@@ -120,7 +120,11 @@ class ManifestTable:
             if deletes:
                 manifest["deletes"] = deletes
             if extra_meta:
-                clash = set(extra_meta) & set(manifest)
+                # 'deletes' is structural even when absent from this
+                # manifest — a foreign extra_meta value under that key
+                # would be misread as MoR delete entries at read time
+                # (review r5)
+                clash = set(extra_meta) & (set(manifest) | {"deletes"})
                 if clash:
                     raise ValueError(
                         f"extra_meta may not override reserved manifest keys: {sorted(clash)}"
@@ -483,7 +487,7 @@ class ManifestTable:
         if deletes:
             out["deletes"] = deletes
         if extra_meta:
-            clash = set(extra_meta) & set(out)
+            clash = set(extra_meta) & (set(out) | {"deletes"})
             if clash:
                 raise ValueError(
                     f"extra_meta may not override reserved manifest keys: {sorted(clash)}"

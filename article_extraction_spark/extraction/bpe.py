@@ -314,10 +314,17 @@ def decode_ids(ids: list[int], merges: list[tuple[str, str]]) -> str:
 def bpe_encode_udf(merges: list[tuple[str, str]]):
     """Arrow-batched encoder: text → array<int> token ids. The merge
     table ships in the closure (KB-scale broadcast); ranks/vocab/memo are
-    rebuilt once per python worker and cached at module scope keyed by
-    the merge-table identity."""
+    rebuilt once per python worker and cached at module scope keyed by a
+    CONTENT hash of the merge table (review r5: keying on driver-side
+    ``id()`` could serve a stale vocabulary after CPython address reuse
+    on long-lived reused workers)."""
+    import hashlib
+
     merges = [tuple(m) for m in merges]
-    key = ("enc", id(merges), len(merges))
+    digest = hashlib.md5(
+        "\x00".join(a + "\x01" + b for a, b in merges).encode()
+    ).hexdigest()
+    key = ("enc", digest, len(merges))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _udf(texts: pd.Series) -> pd.Series:

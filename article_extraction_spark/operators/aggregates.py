@@ -209,8 +209,12 @@ def winsorize_by_group(
     clipped = F.when(
         F.col(value).isNull(), F.lit(None).cast("double")
     ).otherwise(F.least(F.greatest(F.col(value), F.col("__plo")), F.col("__phi")))
+    # NULL-safe join + drop the duplicate group column (review r5: the
+    # plain equi-join silently dropped every NULL-group row, breaking the
+    # row-preserving contract)
+    bounds = bounds.withColumnRenamed(group, "__grp")
     return (
-        df.join(F.broadcast(bounds), group)
+        df.join(F.broadcast(bounds), F.col(group).eqNullSafe(F.col("__grp")))
         .withColumn(out_col, clipped)
-        .drop("__plo", "__phi")
+        .drop("__grp", "__plo", "__phi")
     )

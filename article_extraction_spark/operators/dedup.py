@@ -845,8 +845,13 @@ def prune_near_duplicates(
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     losers = comp.where(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
     reps = sizes.select(F.col("component").alias(id_col), "cluster_size")
-    return (
+    out = (
         corpus.join(losers, id_col, "left_anti")
         .join(reps, id_col, "left")
         .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)))
     )
+    # the label table feeds the result lazily — hand its persisted handle
+    # back (the dedup-family convention; review r5: dropping it leaked one
+    # MEMORY_AND_DISK table per call in long-lived sessions)
+    out._retained_cache = comp
+    return out

@@ -28,6 +28,11 @@ def _ts_numeric(dt, ts_col: str):
         )
     if isinstance(dt, T.TimestampType):
         return F.unix_timestamp(ts_col).cast("double")  # instant-based
+    if isinstance(dt, (T.StringType, T.DateType)):
+        # review r5: a bare cast('double') NULLs every parsed-string /
+        # date timestamp, silently making each event its own session —
+        # parse like the pre-round-5 code did
+        return F.unix_timestamp(F.col(ts_col)).cast("double")
     return F.col(ts_col).cast("double")
 
 

@@ -123,7 +123,10 @@ def domain_mixture_sample(
         F.md5(F.concat_ws("|", F.col(key).cast("string"), F.lit(str(seed)))), 1, 4
     )
     out = (
-        df.join(F.broadcast(rates), df[domain_col] == F.col("__dom"))
+        # NULL-safe join (review r5): a NULL domain is a real group — the
+        # plain equi-join dropped those rows while their count still
+        # deflated every other domain's weight through __z
+        df.join(F.broadcast(rates), df[domain_col].eqNullSafe(F.col("__dom")))
         .withColumn("__copies", base + (h4 < F.lower(frac_hex)).cast("int"))
         .where(F.col("__copies") >= 1)
         .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)))

@@ -251,3 +251,33 @@ def test_winsorize_by_group(spark):
     assert out[("h", 5.0)] == 5.0  # single-value group maps to itself
     with _pytest.raises(ValueError, match="lo <= hi"):
         winsorize_by_group(df, "grp", "value", 0.9, 0.1)
+
+
+def test_domain_mixture_null_domain_rows_survive(spark):
+    """review r5: NULL domains are a real group — rows must not be
+    silently dropped while still deflating other domains' weights."""
+    from article_extraction_spark.operators.split import domain_mixture_sample
+
+    data = [(i, "a" if i % 2 == 0 else None) for i in range(200)]
+    df = spark.createDataFrame(data, "doc_id long, dom string")
+    out = domain_mixture_sample(df, "dom", "doc_id", target_rows=200, alpha=0.5)
+    by_dom = {r["dom"]: r["count"] for r in out.groupBy("dom").count().collect()}
+    assert None in by_dom and by_dom[None] > 50  # NULL group sampled like any other
+    assert abs(sum(by_dom.values()) - 200) < 40  # expectation ~target
+
+
+def test_winsorize_null_group_passes_through(spark):
+    """review r5: NULL group keys keep their rows (clipped within the
+    NULL group), not silently dropped."""
+    from article_extraction_spark.operators.aggregates import winsorize_by_group
+
+    df = spark.createDataFrame(
+        [(None, float(v)) for v in range(1, 11)] + [("g", 3.0)],
+        "grp string, value double",
+    )
+    out = winsorize_by_group(df, "grp", "value", 0.1, 0.9)
+    assert out.count() == 11
+    nulls = out.where(F.col("grp").isNull())
+    assert nulls.count() == 10
+    vals = {r["value"]: r["value_winsor"] for r in nulls.collect()}
+    assert vals[1.0] == 1.9 and vals[10.0] == 9.1  # clipped within the NULL group

@@ -97,3 +97,20 @@ def test_range_join_with_shared_column_names(spark):
     )
     got = range_join(left, right, "ts", "start", "stop").collect()
     assert len(got) == 1 and got[0]["ev"] == 1 and got[0]["win"] == 10
+
+
+def test_sessionize_string_timestamps_still_parse(spark):
+    """review r5: the auto-skew refactor's cast('double') fallback NULLed
+    parsed-string timestamps — every event became its own session."""
+    from article_extraction_spark.operators.sessions import sessionize
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),   # within 30-min gap → same session
+        (1, "2024-01-01 12:00:00"),   # new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string")
+    got = sessionize(df, "user_id", "ts", gap_minutes=30.0)
+    sessions = {r["ts"]: r["session_id"] for r in got.collect()}
+    assert sessions["2024-01-01 10:00:00"] == sessions["2024-01-01 10:10:00"]
+    assert sessions["2024-01-01 12:00:00"] != sessions["2024-01-01 10:00:00"]
