@@ -42,18 +42,27 @@ from pyspark.sql import functions as F
 
 
 def substring_positions(
-    docs: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_order_hash: bool = False,
 ) -> DataFrame:
-    """Every k-char window of every document: (doc_id, pos, fp, h).
+    """Every k-char window of every document: (doc_id, pos, fp[, h]).
 
     ``pos`` is 1-based (SQL ``substr`` convention, so the DuckDB oracle
     is literally the same arithmetic), ``fp`` the md5 join key, ``h`` an
-    xxhash64 used only for winnowing order. Documents shorter than k
-    emit nothing. The guard filter matters: Spark's ``sequence(1, n)``
-    DESCENDS when n < 1 instead of being empty."""
+    xxhash64 emitted only when ``with_order_hash`` (it exists solely for
+    winnowing order — exact-mode callers skip a per-position hash).
+    Documents shorter than k emit nothing. The guard filter matters:
+    Spark's ``sequence(1, n)`` DESCENDS when n < 1 instead of being
+    empty."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     gram = F.substring(F.col("__text"), F.col("pos"), F.lit(k))
+    cols = ["doc_id", "pos", F.md5(gram).alias("fp")]
+    if with_order_hash:
+        cols.append(F.xxhash64(gram).alias("h"))
     return (
         docs.where(F.length(text_col) >= k)
         .select(
@@ -61,9 +70,7 @@ def substring_positions(
             F.col(text_col).alias("__text"),
             F.explode(F.sequence(F.lit(1), F.length(text_col) - k + 1)).alias("pos"),
         )
-        .select(
-            "doc_id", "pos", F.md5(gram).alias("fp"), F.xxhash64(gram).alias("h")
-        )
+        .select(*cols)
     )
 
 
@@ -115,7 +122,9 @@ def duplicate_spans(
     (boilerplate short-circuit) BEFORE the join back."""
     if scope not in ("global", "cross_doc"):
         raise ValueError(f"scope must be 'global' or 'cross_doc', got {scope!r}")
-    pos = substring_positions(docs, k, text_col=text_col, id_col=id_col)
+    pos = substring_positions(
+        docs, k, text_col=text_col, id_col=id_col, with_order_hash=bool(winnow and winnow > 1)
+    )
     if winnow:
         pos = winnow_positions(pos, winnow)
     counted = pos.groupBy("fp").agg(
@@ -194,7 +203,9 @@ def strip_duplicate_spans(
     merged spans out (aggregate over collected spans — per-doc list is
     small, the heavy lifting stayed relational). Returns (doc_id, text,
     cleaned_text, removed_chars)."""
-    pos = substring_positions(docs, k, text_col=text_col, id_col=id_col)
+    pos = substring_positions(
+        docs, k, text_col=text_col, id_col=id_col, with_order_hash=bool(winnow and winnow > 1)
+    )
     if winnow:
         pos = winnow_positions(pos, winnow)
     counted = pos.groupBy("fp").agg(

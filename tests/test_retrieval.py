@@ -141,3 +141,54 @@ def test_plan_broadcasts_query_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoop") <= 1
+
+
+def test_bm25_index_maintained_incrementally(spark, tmp_path):
+    """Composition: the inverted index IS a pair of decomposable rollups
+    — postings tf by (term, doc_id) and dl by doc_id — so
+    IncrementalRollup keeps a PERSISTED index fresh under append-only
+    ingest, and BM25 over the maintained index equals BM25 over a
+    from-scratch index of the full corpus."""
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.rollup import IncrementalRollup
+
+    docs_all = _spark_docs(spark).where(F.col("text") != "")
+    batch1 = docs_all.where(F.col("doc_id") < 3)
+    batch2 = docs_all.where(F.col("doc_id") >= 3)
+
+    def terms_of(df):
+        from article_extraction_spark.operators.retrieval import _tokens
+
+        return df.select(
+            F.col("doc_id"), F.explode(_tokens(F.col("text"))).alias("term")
+        )
+
+    source = ManifestTable(str(tmp_path / "terms"))
+    postings_t = ManifestTable(str(tmp_path / "postings"))
+    dl_t = ManifestTable(str(tmp_path / "dl"))
+    ir_post = IncrementalRollup(source, postings_t, ["term", "doc_id"], {"tf": ("count", None)})
+    ir_dl = IncrementalRollup(source, dl_t, ["doc_id"], {"dl": ("count", None)})
+
+    for batch in (batch1, batch2):
+        source.append(terms_of(batch))
+        ir_post.refresh(spark)
+        ir_dl.refresh(spark)
+
+    doc_stats = dl_t.read(spark)
+    postings = postings_t.read(spark).join(doc_stats, "doc_id").select(
+        "term", "doc_id", "tf", "dl"
+    )
+    maintained = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(postings, doc_stats, _spark_queries(spark)).collect()
+    }
+    fresh_post, fresh_stats = build_text_index(docs_all)
+    fresh = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(fresh_post, fresh_stats, _spark_queries(spark)).collect()
+    }
+    assert maintained.keys() == fresh.keys()
+    for key in fresh:
+        assert maintained[key] == pytest.approx(fresh[key], rel=1e-12), key

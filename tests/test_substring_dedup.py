@@ -130,7 +130,7 @@ def test_winnow_positions_thin_and_cover(spark):
     rng = np.random.default_rng(3)
     text = "".join(rng.choice(list("abcdef "), size=400))
     docs = _docs(spark, [(0, text)])
-    pos = substring_positions(docs, k=10)
+    pos = substring_positions(docs, k=10, with_order_hash=True)
     w = 8
     kept = sorted(r["pos"] for r in winnow_positions(pos, w).collect())
     total = pos.count()
