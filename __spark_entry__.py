@@ -1654,6 +1654,21 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "text", F.lit(ok).alias("invariants_ok"))
 
 
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-aware inference batching (round 5): documents bucketed to
+    power-of-two length caps, each bucket cut into batches whose padded
+    cost (rows × cap) fits a 2048-token budget — deterministic
+    row_number assignment, DuckDB replays the same integer arithmetic
+    (log2 is exact on powers of two in BOTH engines — verified)."""
+    from article_extraction_spark.operators.packing import length_bucketed_batches
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    out = length_bucketed_batches(docs, "n_tokens", 2048, order_col="doc_id")
+    return out.select("doc_id", "n_tokens", "bucket_cap", "batch_id", "slot", "padded_len")
+
+
 def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card (round 5, card.py): the corpus-level stats table a
     curation pipeline publishes — per-dimension counts, char-length
@@ -2141,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "near_dup_prune": q_near_dup_prune,
         "corpus_card": q_corpus_card,
+        "length_batches": q_length_batches,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2740,6 +2756,24 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "length_batches": """
+            WITH base AS (
+              SELECT doc_id, length(text) AS n_tokens,
+                     (CAST(1 AS BIGINT) << CAST(ceil(log2(CAST(greatest(length(text), 1) AS DOUBLE))) AS INTEGER))
+                       AS bucket_cap
+              FROM documents
+            ),
+            rn AS (
+              SELECT *, row_number() OVER (PARTITION BY bucket_cap ORDER BY doc_id) - 1 AS r
+              FROM base
+            )
+            SELECT doc_id, n_tokens, bucket_cap,
+                   CAST(bucket_cap AS VARCHAR) || '_' ||
+                     CAST(r // (2048 // bucket_cap) AS VARCHAR) AS batch_id,
+                   r % (2048 // bucket_cap) AS slot,
+                   bucket_cap AS padded_len
+            FROM rn
         """,
         "corpus_card": """
             SELECT 'count_by_lang' AS section, coalesce(lang, '<null>') AS key,

@@ -108,3 +108,70 @@ def concat_chunk_plan(
     )
     out._retained_cache = part  # type: ignore[attr-defined]
     return out
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    len_col: str,
+    batch_token_budget: int,
+    order_col: str | None = None,
+    bucket: str = "pow2",
+) -> DataFrame:
+    """Padding-aware INFERENCE batching (round 5) — the serving-side
+    complement of concat_chunk_plan's training packing: sequences are
+    bucketed by length, and each bucket is cut into batches of
+    ``floor(budget / bucket_cap)`` rows, so a batch's padded cost
+    (rows × its bucket cap) never exceeds the token budget. Bucketing by
+    powers of two (``"pow2"``, the dynamic-batching default of serving
+    stacks) bounds per-row padding waste below 2× while keeping the
+    assignment DETERMINISTIC and fully relational: one row_number per
+    bucket, integer division — no global greedy scan, no driver loop.
+
+    Returns the input plus (bucket_cap, batch_id, slot, padded_len):
+    ``batch_id`` is globally unique (bucket_cap folded in), ``slot`` the
+    row's position inside its batch, ``padded_len`` = bucket_cap (what
+    the row will cost after padding). Rows longer than the budget raise
+    — a silent oversize row would OOM the serving batch. ``order_col``
+    fixes the within-bucket order (default: the length column then the
+    row's natural columns are NOT enough — pass a unique key for full
+    determinism)."""
+    if batch_token_budget < 1:
+        raise ValueError(f"batch_token_budget must be >= 1, got {batch_token_budget}")
+    if bucket != "pow2":
+        raise ValueError(f"only bucket='pow2' is implemented, got {bucket!r}")
+    # F.shiftleft only takes a literal bit count — express the next
+    # power of two in SQL (exact integer arithmetic, no double rounding
+    # beyond log2's, which ceil() absorbs for all realistic lengths)
+    cap = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(ceil(log2(CAST(greatest({len_col}, 1) AS DOUBLE))) AS INT))"
+    )
+    # the oversize guard lives INSIDE bucket_cap, which every derived
+    # column reads, so Catalyst cannot prune it away (the r4 ADVICE
+    # lesson: a projected-then-dropped assert column is a no-op) — a
+    # sequence longer than the budget fails the job instead of silently
+    # producing a batch that would OOM the server
+    cap = F.when(
+        cap <= batch_token_budget, cap
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sequence longer than batch_token_budget={batch_token_budget}: len="),
+                F.col(len_col).cast("string"),
+            )
+        ).cast("long")
+    )
+    out = df.withColumn("bucket_cap", cap)
+    rows_per_batch = (F.lit(int(batch_token_budget)) / F.col("bucket_cap")).cast("long")
+    order = [F.col(order_col)] if order_col else [F.col(len_col)]
+    w = Window.partitionBy("bucket_cap").orderBy(*order)
+    return (
+        out.withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn(
+            "batch_id",
+            F.concat_ws("_", F.col("bucket_cap"), (F.col("__rn") / rows_per_batch).cast("long")),
+        )
+        .withColumn("slot", F.col("__rn") % rows_per_batch)
+        .withColumn("padded_len", F.col("bucket_cap"))
+        .drop("__rn")
+    )

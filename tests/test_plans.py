@@ -330,3 +330,43 @@ def test_zorder_residual_predicate_is_pushed_down(spark, tmp_path):
     # on the x bounds (always within the visible prefix)
     assert "GreaterThanOrEqual(x,10.0)" in pushed, pushed
     assert "LessThanOrEqual(x,30.0)" in pushed, pushed
+
+
+def test_length_bucketed_batches(spark):
+    """Padding-aware inference batching: pow2 caps exact on boundaries,
+    per-batch padded cost within budget, deterministic slots, oversize
+    rows fail loudly (guard is load-bearing inside bucket_cap)."""
+    import pytest as _pytest
+
+    from article_extraction_spark.operators.packing import length_bucketed_batches
+
+    rows = [(i, l) for i, l in enumerate([3, 5, 9, 16, 17, 33, 120, 128, 129, 250, 1, 64])]
+    df = spark.createDataFrame(rows, "seq_id long, n_tokens long")
+    out = length_bucketed_batches(df, "n_tokens", 256, order_col="seq_id")
+    got = {r["seq_id"]: (r["bucket_cap"], r["batch_id"], r["slot"]) for r in out.collect()}
+    assert got[3][0] == 16 and got[4][0] == 32  # 16 → cap 16 (exact), 17 → 32
+    assert got[7][0] == 128 and got[8][0] == 256
+    # budget: a 256-cap batch holds exactly 1 row → ids 8 and 9 in
+    # different batches
+    assert got[8][1] != got[9][1]
+    # 128-cap batches hold 2 rows → 6 and 7 share one
+    assert got[6][1] == got[7][1] and {got[6][2], got[7][2]} == {0, 1}
+    from pyspark.sql import functions as F
+
+    cost = out.groupBy("batch_id").agg((F.count("*") * F.max("padded_len")).alias("c"))
+    assert cost.where("c > 256").count() == 0
+    assert out.where("n_tokens > padded_len").count() == 0
+    # determinism across partitionings
+    again = {
+        r["seq_id"]: (r["bucket_cap"], r["batch_id"], r["slot"])
+        for r in length_bucketed_batches(
+            df.repartition(7), "n_tokens", 256, order_col="seq_id"
+        ).collect()
+    }
+    assert again == got
+    # oversize fails the job
+    big = spark.createDataFrame([(1, 300)], "seq_id long, n_tokens long")
+    with _pytest.raises(Exception, match="batch_token_budget"):
+        length_bucketed_batches(big, "n_tokens", 256).collect()
+    with _pytest.raises(ValueError, match="budget"):
+        length_bucketed_batches(df, "n_tokens", 0)
