@@ -1669,6 +1669,28 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "bucket_cap", "batch_id", "slot", "padded_len")
 
 
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (round 5): documents suffixed with
+    decomposed sequences (e + combining acute, a + combining ring) are
+    normalized by python's unicodedata on the Spark side and by DuckDB's
+    utf8proc on the oracle side — two INDEPENDENT implementations of the
+    Unicode normalization algorithm must produce byte-identical strings
+    and lengths."""
+    from article_extraction_spark.functions.textnorm import unicode_normalize_udf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.withColumn(
+        "dirty", F.concat("text", F.lit(" é å ö final"))
+    )
+    nfc = unicode_normalize_udf("NFC")
+    return dirty.select(
+        "doc_id",
+        nfc(F.col("dirty")).alias("nfc_text"),
+        F.length("dirty").alias("len_before"),
+        F.length(nfc(F.col("dirty"))).alias("len_after"),
+    )
+
+
 def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card (round 5, card.py): the corpus-level stats table a
     curation pipeline publishes — per-dimension counts, char-length
@@ -2157,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_prune": q_near_dup_prune,
         "corpus_card": q_corpus_card,
         "length_batches": q_length_batches,
+        "unicode_nfc": q_unicode_nfc,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2756,6 +2779,16 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "unicode_nfc": """
+            SELECT doc_id,
+                   nfc_normalize(text || ' e' || chr(769) || ' a' || chr(778) ||
+                                 ' o' || chr(776) || ' final') AS nfc_text,
+                   length(text || ' e' || chr(769) || ' a' || chr(778) ||
+                          ' o' || chr(776) || ' final') AS len_before,
+                   length(nfc_normalize(text || ' e' || chr(769) || ' a' || chr(778) ||
+                          ' o' || chr(776) || ' final')) AS len_after
+            FROM documents
         """,
         "length_batches": """
             WITH base AS (

@@ -7,6 +7,7 @@ results/020925/scores.py:175-187.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -87,3 +88,34 @@ def alnum_tokens_col(c):
         F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"[^a-z0-9]+"),
         lambda w: F.length(w) > 0,
     )
+
+
+def unicode_normalize_udf(form: str = "NFC"):
+    """Arrow-batched Unicode normalization (round 5): text → the given
+    normal form via python's ``unicodedata`` (the stdlib binding of the
+    Unicode standard's normalization algorithm). Spark has no native
+    NFC/NFKC, so this is a pandas UDF — but it is pure per-row string
+    work over Arrow batches, the cheapest possible python boundary.
+
+    Why a curation engine needs it: visually-identical strings with
+    different codepoint sequences (e+combining-acute vs é) break exact
+    dedup fingerprints, BM25 term matching, and BPE merge statistics;
+    normalizing FIRST makes every downstream text operator see one
+    canonical form. NFKC additionally folds compatibility characters
+    (ﬁ → fi, fullwidth → ASCII) — the aggressive form most LM pipelines
+    run. The oracle for this op is unusually strong: DuckDB's
+    nfc_normalize is an INDEPENDENT implementation (utf8proc), so a
+    value match certifies both ends against the Unicode spec."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normal form {form!r}")
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    return _udf

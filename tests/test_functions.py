@@ -259,3 +259,30 @@ def test_canonical_url_idempotent(spark):
         F.col("c1").isNotNull() & (F.col("c1") != F.col("c2"))
     ).collect()
     assert not bad, bad[:5]
+
+
+def test_unicode_normalize_forms(spark):
+    """NFC recomposes combining sequences; NFKC additionally folds
+    compatibility characters — pinned against known Unicode pairs; NULLs
+    pass through; bad form rejected."""
+    import pytest as _pytest
+
+    from article_extraction_spark.functions.textnorm import unicode_normalize_udf
+
+    rows = [
+        (0, "café"),          # e + combining acute → é
+        (1, "ﬁle"),            # ﬁ ligature
+        (2, "ＡBC ㎡"),     # fullwidth A, ㎡
+        (3, None),
+        (4, "already plain"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    nfc = {r["i"]: r["o"] for r in df.select("i", unicode_normalize_udf("NFC")(F.col("t")).alias("o")).collect()}
+    assert nfc[0] == "café" and len(nfc[0]) == 4
+    assert nfc[1] == "ﬁle"  # NFC keeps compatibility chars
+    assert nfc[3] is None and nfc[4] == "already plain"
+    nfkc = {r["i"]: r["o"] for r in df.select("i", unicode_normalize_udf("NFKC")(F.col("t")).alias("o")).collect()}
+    assert nfkc[1] == "file"
+    assert nfkc[2] == "ABC m2"
+    with _pytest.raises(ValueError, match="normal form"):
+        unicode_normalize_udf("NFX")
