@@ -1683,12 +1683,14 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dirty", F.concat("text", F.lit(" é å ö final"))
     )
     nfc = unicode_normalize_udf("NFC")
+    # project the UDF ONCE, derive the length from the projected column
+    # (review r5: two nfc(...) expressions are distinct PythonUDF nodes
+    # Catalyst won't CSE — every row crossed the Arrow boundary twice)
     return dirty.select(
         "doc_id",
         nfc(F.col("dirty")).alias("nfc_text"),
         F.length("dirty").alias("len_before"),
-        F.length(nfc(F.col("dirty"))).alias("len_after"),
-    )
+    ).select("doc_id", "nfc_text", "len_before", F.length("nfc_text").alias("len_after"))
 
 
 def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1722,7 +1724,9 @@ def q_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_dedup(corpus, "doc_id", "text", threshold=0.6, num_hashes=32, bands=16)
     out = prune_near_duplicates(corpus, pairs, id_col="doc_id")
     pairs.unpersist()
-    return out.select("doc_id", "cluster_size")
+    res = out.select("doc_id", "cluster_size")
+    res._retained_cache = out._retained_cache  # forward the label-table handle
+    return res
 
 
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3072,7 +3076,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type,
                    CAST(floor(least(greatest(e.value, b.plo), b.phi) * 1000000) AS BIGINT)
                      AS winsor_micro
-            FROM events e JOIN bounds b USING (event_type)
+            FROM events e
+            JOIN bounds b ON e.event_type IS NOT DISTINCT FROM b.event_type
         """,
         "mor_delete": """
             SELECT doc_id, text, TRUE AS invariants_ok
@@ -3098,7 +3103,8 @@ def oracle_sql() -> dict[str, str]:
                      + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '|42'), 1, 4)
                                  < lpad(lower(to_hex(CAST(floor((r.w - floor(r.w)) * 65536) AS INTEGER))), 4, '0')
                             THEN 1 ELSE 0 END AS copies
-              FROM documents d JOIN rates r USING (lang)
+              FROM documents d
+              JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
             )
             SELECT doc_id, lang,
                    unnest(generate_series(0, copies - 1)) AS copy

@@ -46,11 +46,14 @@ def corpus_card(
     sections = []
     for d in dims:
         if d in docs.columns:
+            # group by the RAW column, coalesce only the display key
+            # (review r5: grouping by the coalesced sentinel would merge
+            # NULL with a literal '<null>' value — the oracle groups raw)
             sections.append(
                 _sec(
-                    docs.groupBy(F.coalesce(F.col(d), F.lit("<null>")).alias("key")).agg(
-                        F.count(F.lit(1)).alias("value")
-                    ),
+                    docs.groupBy(F.col(d))
+                    .agg(F.count(F.lit(1)).alias("value"))
+                    .select(F.coalesce(F.col(d), F.lit("<null>")).alias("key"), "value"),
                     f"count_by_{d}",
                 )
             )

@@ -699,6 +699,7 @@ class ManifestTable:
         from_snapshot: int,
         to_snapshot: int | None = None,
         keys: list[str] | None = None,
+        assume_unique_keys: bool = False,
     ) -> DataFrame:
         """Row-level diff between two snapshots: (change ∈ added/removed/
         changed, key columns, value columns) — added/changed rows carry
@@ -710,7 +711,11 @@ class ManifestTable:
         (merge, overwrite, MoR delete, compact) at the cost of reading
         both snapshots — a full-outer join on the keys, NULL-safe struct
         comparison for change detection. ``keys`` must identify rows
-        uniquely in both snapshots (duplicate keys raise)."""
+        uniquely in both snapshots (duplicate keys raise);
+        ``assume_unique_keys=True`` skips that guard's two extra
+        aggregation passes when the caller already knows (review r5:
+        each guard pass re-reads a full snapshot — meaningful on the
+        large tables this layer targets)."""
         if not keys:
             raise ValueError("diff needs key columns")
         from pyspark.sql import functions as F
@@ -721,10 +726,11 @@ class ManifestTable:
         missing = [k for k in keys if k not in a.columns or k not in b.columns]
         if missing:
             raise KeyError(f"diff key column(s) {missing} absent from a snapshot")
-        for side, df in (("from", a), ("to", b)):
-            dup = df.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
-            if dup:
-                raise ValueError(f"diff keys are not unique in the {side} snapshot")
+        if not assume_unique_keys:
+            for side, df in (("from", a), ("to", b)):
+                dup = df.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+                if dup:
+                    raise ValueError(f"diff keys are not unique in the {side} snapshot")
         # align the from-side struct to the to-side's value columns:
         # schema widening between the snapshots (append/merge widen-only)
         # reads as NULL on the old side, which the NULL-safe comparison

@@ -146,18 +146,24 @@ def length_bucketed_batches(
         f"shiftleft(CAST(1 AS BIGINT), "
         f"CAST(ceil(log2(CAST(greatest({len_col}, 1) AS DOUBLE))) AS INT))"
     )
-    # the oversize guard lives INSIDE bucket_cap, which every derived
-    # column reads, so Catalyst cannot prune it away (the r4 ADVICE
-    # lesson: a projected-then-dropped assert column is a no-op) — a
-    # sequence longer than the budget fails the job instead of silently
-    # producing a batch that would OOM the server
+    # the oversize/NULL guard lives INSIDE bucket_cap, which every
+    # derived column reads, so Catalyst cannot prune it away (the r4
+    # ADVICE lesson: a projected-then-dropped assert column is a no-op)
+    # — a sequence longer than the budget OR of unknown length fails the
+    # job instead of silently producing a batch that would OOM the
+    # server (review r5: greatest(NULL, 1) used to file NULL lengths
+    # into the cap-1 bucket, the exact under-allocation the guard
+    # exists to prevent)
     cap = F.when(
-        cap <= batch_token_budget, cap
+        F.col(len_col).isNotNull() & (cap <= batch_token_budget), cap
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(f"sequence longer than batch_token_budget={batch_token_budget}: len="),
-                F.col(len_col).cast("string"),
+                F.lit(
+                    f"sequence length NULL or longer than batch_token_budget="
+                    f"{batch_token_budget}: len="
+                ),
+                F.coalesce(F.col(len_col).cast("string"), F.lit("NULL")),
             )
         ).cast("long")
     )

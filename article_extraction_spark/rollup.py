@@ -77,8 +77,13 @@ def fold_partials(
     partials directly. Shared by the batch refresher and the streaming
     twin. Returns the number of keys written."""
     if rollup.current_snapshot_id() is None:
+        from pyspark import StorageLevel
+
+        partial = partial.persist(StorageLevel.MEMORY_AND_DISK)
+        n = partial.count()  # count the CACHED partial, then merge reuses it
         rollup.merge(spark, partial, keys, extra_meta=extra_meta)
-        return partial.count()
+        partial.unpersist(blocking=False)
+        return n
     existing = rollup.read(spark).join(
         F.broadcast(partial.select(*keys).distinct()), keys, "left_semi"
     )
@@ -115,8 +120,17 @@ def run_available_now_rollup(
     SKIPPED — the same replayed-batch guard the ``manifest_table``
     streaming sink uses (sources/manifest_source.py), keyed on writer
     identity so two pipelines rolling into one table can't eat each
-    other's batch 0. Use a stable ``writer_id`` (the checkpoint path is
-    a good one)."""
+    other's batch 0.
+
+    CONTRACT (review r5): ``writer_id`` must be 1:1 with the streaming
+    CHECKPOINT — use the checkpoint path. Batch ids are only meaningful
+    within one checkpoint; re-using a writer_id with a DIFFERENT
+    checkpoint makes the guard treat the new checkpoint's batch 0 as a
+    replay and silently skip it (never-folded data lost), while a fresh
+    checkpoint AND fresh writer_id re-folds all input the source
+    re-reads (double counts). Neither failure is detectable from batch
+    ids alone — this is inherent to per-checkpoint epoch numbering
+    (Delta/Iceberg idempotent sinks carry the same caveat)."""
     if not writer_id:
         raise ValueError("writer_id is required (stable per pipeline — e.g. the checkpoint path)")
 

@@ -368,5 +368,9 @@ def test_length_bucketed_batches(spark):
     big = spark.createDataFrame([(1, 300)], "seq_id long, n_tokens long")
     with _pytest.raises(Exception, match="batch_token_budget"):
         length_bucketed_batches(big, "n_tokens", 256).collect()
+    # NULL length fails too (review r5: used to land in the cap-1 bucket)
+    nul = spark.createDataFrame([(1, None)], "seq_id long, n_tokens long")
+    with _pytest.raises(Exception, match="NULL"):
+        length_bucketed_batches(nul, "n_tokens", 256).collect()
     with _pytest.raises(ValueError, match="budget"):
         length_bucketed_batches(df, "n_tokens", 0)
