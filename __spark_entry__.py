@@ -1669,6 +1669,29 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "bucket_cap", "batch_id", "slot", "padded_len")
 
 
+def q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs (round 5): nearest-of-4
+    pinned centroids (the first four base embeddings, collected
+    deterministically) partitions the corpus, pairwise cosine runs
+    within clusters only. Value-oracled like embedding_near_dups: at
+    threshold 0.999 the ONLY qualifying pairs are the planted exact
+    copies (no base pair reaches 0.999 — verified there), and an
+    identical vector always shares its original's nearest centroid, so
+    the output is exactly (vec_id, vec_id+1M, 1.0) for every base
+    vector — closed form."""
+    from article_extraction_spark.operators.dedup import semantic_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    copies = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    pairs = semantic_near_dup_pairs(corpus, "vec_id", "embedding", cents, threshold=0.999)
+    return pairs.select("id_a", "id_b", F.round("cosine", 5).alias("cosine_r"))
+
+
 def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (round 5): documents suffixed with
     decomposed sequences (e + combining acute, a + combining ring) are
@@ -2184,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": q_corpus_card,
         "length_batches": q_length_batches,
         "unicode_nfc": q_unicode_nfc,
+        "semantic_pairs": q_semantic_pairs,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2783,6 +2807,10 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "semantic_pairs": """
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine_r
+            FROM embeddings WHERE vec_id < 500
         """,
         "unicode_nfc": """
             SELECT doc_id,

@@ -855,3 +855,49 @@ def prune_near_duplicates(
     # MEMORY_AND_DISK table per call in long-lived sessions)
     out._retained_cache = comp
     return out
+
+
+def semantic_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup candidates (Abbas et al. 2023):
+    assign every vector to its nearest centroid (k-means clusters — fit
+    with similarity_search.kmeans_fit, or pass pinned centroids), then
+    compute pairwise cosine ONLY within each cluster and keep pairs at
+    or above ``threshold``. Returns (id_a, id_b, cosine) with
+    id_a < id_b.
+
+    Scale shape: the pair space is bounded by the LARGEST CLUSTER, never
+    the corpus — the self-join is an equi-join on the cluster id (AQE
+    splits a skewed mega-cluster), and raising k shrinks clusters. This
+    is the centroid-partitioned alternative to the hyperplane-LSH
+    generator (embedding_near_duplicates): LSH bounds the MISS rate via
+    multiprobe, SemDeDup bounds the COMPARISON count via clustering —
+    at 100 TB you pick per corpus. Feed the pairs to
+    prune_near_duplicates for the keep-one materialization."""
+    from .similarity_search import nearest_centroid_col
+    from ..functions.similarity import cosine_similarity_col
+
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        nearest_centroid_col(vec_col, centroids).alias("_c"),
+    )
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_c"
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_c"
+    )
+    pairs = (
+        a.join(b, "_c")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity_col(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return pairs

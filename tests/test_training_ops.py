@@ -1438,3 +1438,48 @@ def test_corpus_card_hand_computed(spark):
     assert card[("dupes", "dup_groups")] == 1
     assert card[("dupes", "docs_in_dup_groups")] == 3
     assert card[("empty", "empty_docs")] == 1
+
+
+def test_semantic_near_dup_pairs(spark):
+    """SemDeDup-shaped generator: within-cluster pairwise cosine only —
+    finds same-cluster near-dups, misses cross-cluster ones BY DESIGN
+    (that's the comparison-count bound), python-twin checked."""
+    from article_extraction_spark.operators.dedup import semantic_near_dup_pairs
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [0.9, 0.1]),    # cluster 0
+        (2, [0.91, 0.1]),   # cluster 0, near-dup of 1
+        (3, [0.708, 0.706]),  # cluster 0 by a hair; far from 1/2 in cosine
+        (4, [0.1, 0.9]),    # cluster 1
+        (5, [0.1, 0.91]),   # cluster 1, near-dup of 4
+        (6, [0.706, 0.708]),  # cluster 1 by a hair; near-dup of 3 across the boundary
+    ]
+    df = spark.createDataFrame(rows, "vid long, v array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_near_dup_pairs(df, "vid", "v", cents, threshold=0.999).collect()
+    }
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    import numpy as np
+
+    assert set(got) == {(1, 2), (4, 5)}
+    for (ia, ib), c in got.items():
+        va = [float(np.float32(x)) for x in dict(rows)[ia]]
+        vb = [float(np.float32(x)) for x in dict(rows)[ib]]
+        assert abs(c - cos(va, vb)) < 1e-9
+    # 3 and 6 are cosine-close but in different clusters → correctly absent
+    v3 = [float(np.float32(x)) for x in dict(rows)[3]]
+    v6 = [float(np.float32(x)) for x in dict(rows)[6]]
+    assert cos(v3, v6) > 0.999  # the pair SemDeDup trades away
+    # the self-join is an equi-join on the cluster id — never cartesian
+    plan = (
+        semantic_near_dup_pairs(df, "vid", "v", cents, threshold=0.999)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
