@@ -1669,6 +1669,21 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "bucket_cap", "batch_id", "slot", "padded_len")
 
 
+def q_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped median absolute deviation (round 5): the robust spread
+    statistic, two exact percentiles with a broadcast join between them,
+    floored to micros."""
+    from article_extraction_spark.operators.aggregates import mad_by_group
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    out = mad_by_group(ev, "event_type", "value")
+    return out.select(
+        "event_type",
+        F.floor(F.col("median") * 1e6).cast("long").alias("median_micro"),
+        F.floor(F.col("mad") * 1e6).cast("long").alias("mad_micro"),
+    )
+
+
 def q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic near-dup pairs (round 5): nearest-of-4
     pinned centroids (the first four base embeddings, collected
@@ -2208,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "unicode_nfc": q_unicode_nfc,
         "semantic_pairs": q_semantic_pairs,
+        "grouped_mad": q_grouped_mad,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2807,6 +2823,19 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "grouped_mad": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   CAST(floor(any_value(med.m) * 1000000) AS BIGINT) AS median_micro,
+                   CAST(floor(quantile_cont(abs(e.value - med.m), 0.5) * 1000000) AS BIGINT)
+                     AS mad_micro
+            FROM events e
+            JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type
+            GROUP BY e.event_type
         """,
         "semantic_pairs": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cosine_r

@@ -218,3 +218,21 @@ def winsorize_by_group(
         .withColumn(out_col, clipped)
         .drop("__grp", "__plo", "__phi")
     )
+
+
+def mad_by_group(df: DataFrame, group: str, value: str, scale: float = 1.0) -> DataFrame:
+    """Per-group median absolute deviation (round 5) — the robust spread
+    companion to winsorize_by_group: MAD = median(|x − median(x)|),
+    optionally scaled (1.4826 ≈ the normal-consistency constant). Two
+    exact-percentile aggregations with a broadcast join between them;
+    NULL values are ignored by the percentiles, like stddev. Returns
+    (group, median, mad)."""
+    med = df.groupBy(group).agg(F.percentile(value, F.lit(0.5)).alias("median"))
+    med = med.withColumnRenamed(group, "__grp")
+    dev = (
+        df.join(F.broadcast(med), F.col(group).eqNullSafe(F.col("__grp")))
+        .withColumn("__ad", F.abs(F.col(value) - F.col("median")))
+        .groupBy(group, "median")
+        .agg((F.percentile("__ad", F.lit(0.5)) * scale).alias("mad"))
+    )
+    return dev

@@ -116,7 +116,7 @@ def main() -> None:
         "bpe_token_ops", "substring_dup_spans", "substring_strip",
         "rollup_refresh", "bm25", "domain_mixture", "mor_delete",
         "table_diff", "winsorize", "near_dup_prune", "corpus_card",
-        "length_batches", "unicode_nfc", "semantic_pairs",
+        "length_batches", "unicode_nfc", "semantic_pairs", "grouped_mad",
     ]:
         if name in qs:
             runs = []

@@ -281,3 +281,16 @@ def test_winsorize_null_group_passes_through(spark):
     assert nulls.count() == 10
     vals = {r["value"]: r["value_winsor"] for r in nulls.collect()}
     assert vals[1.0] == 1.9 and vals[10.0] == 9.1  # clipped within the NULL group
+
+
+def test_mad_by_group(spark):
+    from article_extraction_spark.operators.aggregates import mad_by_group
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [1, 2, 3, 4, 100]] + [(None, 5.0), (None, 7.0)],
+        "grp string, value double",
+    )
+    got = {r["grp"]: (r["median"], r["mad"]) for r in mad_by_group(df, "grp", "value").collect()}
+    # median 3; deviations [2,1,0,1,97] → median 1 (robust to the outlier)
+    assert got["g"] == (3.0, 1.0)
+    assert got[None] == (6.0, 1.0)  # NULL group preserved
