@@ -44,6 +44,8 @@ def curate_corpus(
     boilerplate_max_doc_freq: int | None = None,
     lm_score_floor: float | None = None,
     dedup_index_root: str | None = None,
+    substring_dedup_k: int | None = None,
+    substring_max_dup_ratio: float = 0.5,
 ) -> dict:
     from article_extraction_spark.operators.dedup import (
         contamination_check,
@@ -152,6 +154,33 @@ def curate_corpus(
     stats["after_near_dedup"] = near.count()
     pairs.unpersist()
 
+    # 3b. (optional) substring-level dedup (round 5, Lee et al. 2021):
+    # among the near-dedup survivors, docs MOSTLY made of cross-corpus
+    # repeated passages (dup_ratio > substring_max_dup_ratio) drop
+    # wholesale; the rest have their duplicated spans stripped, keeping
+    # each repeat's first occurrence. Runs AFTER document-level dedup so
+    # whole-doc copies are already gone and the fingerprint volume is
+    # the deduplicated corpus's.
+    if substring_dedup_k is not None:
+        from article_extraction_spark.operators.substring_dedup import (
+            duplicate_spans,
+            strip_duplicate_spans,
+            substring_dup_stats,
+        )
+
+        spans = duplicate_spans(near, k=substring_dedup_k, id_col=id_col, text_col=text_col)
+        ratios = substring_dup_stats(near, spans, id_col=id_col, text_col=text_col)
+        keep_ids = ratios.where(F.col("dup_ratio") <= substring_max_dup_ratio).select(id_col)
+        kept = near.join(keep_ids, id_col, "left_semi")
+        stripped = strip_duplicate_spans(
+            kept, k=substring_dedup_k, id_col=id_col, text_col=text_col
+        ).select(id_col, F.col("cleaned_text").alias(text_col))
+        other = [c for c in near.columns if c not in (id_col, text_col)]
+        near = stripped.join(near.select(id_col, *other), id_col) if other else stripped
+        near = near.persist(StorageLevel.MEMORY_AND_DISK)
+        stats["after_substring_dedup"] = near.count()
+        spine_caches.append(near)
+
     # 4. decontamination vs the benchmark table
     contam = contamination_check(near, benchmark, id_col, text_col, ngram=contamination_ngram)
     clean_ids = contam.where(~F.col("contaminated")).select(id_col)
@@ -194,6 +223,10 @@ def main() -> None:
                     help="strip lines repeating across more than N docs (off by default)")
     ap.add_argument("--lm-score-floor", type=float, default=None,
                     help="drop docs with mean bigram log-prob below this (off by default)")
+    ap.add_argument("--substring-dedup-k", type=int, default=None,
+                    help="opt-in span-level dedup: strip >=k-char repeated passages "
+                         "(keep-first), drop docs mostly made of repeats")
+    ap.add_argument("--substring-max-dup-ratio", type=float, default=0.5)
     ap.add_argument("--dedup-index", default=None,
                     help="persistent fingerprint-index table root: drop docs "
                          "already curated by a previous run, commit this "
@@ -223,6 +256,8 @@ def main() -> None:
         contamination_ngram=args.contamination_ngram,
         boilerplate_max_doc_freq=args.boilerplate_max_doc_freq,
         lm_score_floor=args.lm_score_floor,
+        substring_dedup_k=args.substring_dedup_k,
+        substring_max_dup_ratio=args.substring_max_dup_ratio,
         dedup_index_root=args.dedup_index,
     )
     print(json.dumps(stats))

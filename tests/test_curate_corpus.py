@@ -142,3 +142,48 @@ def test_curate_corpus_cross_run_index_dedup(spark, tmp_path):
         spark, run2_docs, benchmark, str(tmp_path / "out3"), dedup_index_root=idx
     )
     assert s3["after_index_dedup"] == 0 and s3["output"] == 0
+
+
+def test_funnel_substring_dedup_stage(spark, tmp_path):
+    """Opt-in stage 3b: a doc that is MOSTLY a repeated passage drops
+    wholesale; partial repeats get their spans stripped keep-first; the
+    stage is absent (and stats key missing) by default."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from curate_corpus import curate_corpus
+
+    passage = (
+        "this exact licensing paragraph is repeated verbatim across many "
+        "documents of the corpus and should be stripped by span dedup"
+    )
+
+    def filler(doc, n):  # unique varied prose, no 40-char repeats anywhere
+        return " ".join(f"word{doc}x{i} topic{(doc * 7 + i) % 91}" for i in range(n))
+
+    stops = "the cat and the dog have to be of and that with the others"
+    rows = [
+        (0, filler(0, 40) + " " + passage + " " + filler(10, 40)),
+        (1, filler(1, 40) + " " + passage + " " + filler(11, 40)),
+        (2, passage + " " + passage + " " + passage),  # ≥50 words, mostly repeats → dropped at 3b
+        (3, filler(3, 25) + " " + stops),              # no repeats; passes quality via stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(900, "benchmark question nothing shares")], "doc_id long, text string")
+
+    out = curate_corpus(
+        spark, docs, bench, str(tmp_path / "o1"),
+        jaccard_threshold=0.95, substring_dedup_k=40, substring_max_dup_ratio=0.6,
+    )
+    assert "after_substring_dedup" in out
+    curated = {r["doc_id"]: r["curated_text"] for r in
+               spark.read.parquet(str(tmp_path / "o1") + "/curated").collect()}
+    assert 2 not in curated                      # mostly-duplicate doc dropped
+    assert passage in curated.get(0, "")         # first occurrence kept
+    assert 1 in curated and passage not in curated[1]  # later occurrence stripped
+    assert "word1x0" in curated[1] and "word11x39" in curated[1]  # real content survives
+    assert 3 in curated and curated[3] == rows[3][1]  # untouched doc unchanged
+
+    # default path: no stage, no stats key
+    out2 = curate_corpus(spark, docs, bench, str(tmp_path / "o2"), jaccard_threshold=0.95)
+    assert "after_substring_dedup" not in out2
