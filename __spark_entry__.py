@@ -1669,6 +1669,35 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "bucket_cap", "batch_id", "slot", "padded_len")
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (round 5, Jégou et al. 2011): m=4 subspaces,
+    4 pinned codebook entries per subspace (the first four embeddings'
+    slices — data-derived, so DuckDB can re-derive them), codes by
+    per-subspace nearest centroid, ADC against vec 0 as the query with a
+    fixed j-ordered fold. The oracle replays assignment (rank by
+    (dist, c), matching array_position's first-min tie rule) and the
+    same addition order, floored to micros — full cross-engine replay,
+    no literals shipped."""
+    from article_extraction_spark.operators.similarity_search import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    cb_rows = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    books = [
+        [[float(x) for x in r["embedding"][j * 16 : (j + 1) * 16]] for r in cb_rows]
+        for j in range(4)
+    ]
+    query = [float(x) for x in cb_rows[0]["embedding"]]
+    out = pq_adc_topk(emb, "vec_id", "embedding", query, books, k=1_000_000)
+    return out.select(
+        "vec_id",
+        F.element_at("codes", 1).alias("c0"),
+        F.element_at("codes", 2).alias("c1"),
+        F.element_at("codes", 3).alias("c2"),
+        F.element_at("codes", 4).alias("c3"),
+        F.floor(F.col("adc") * 1e6).cast("long").alias("adc_micro"),
+    )
+
+
 def q_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped median absolute deviation (round 5): the robust spread
     statistic, two exact percentiles with a broadcast join between them,
@@ -2224,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": q_unicode_nfc,
         "semantic_pairs": q_semantic_pairs,
         "grouped_mad": q_grouped_mad,
+        "pq_codes": q_pq_codes,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2823,6 +2853,42 @@ def oracle_sql() -> dict[str, str]:
                          CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "pq_codes": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 500
+            ),
+            cb AS (SELECT vec_id AS c, e AS ce FROM v WHERE vec_id < 4),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+            pairs AS (
+              SELECT v.vec_id, s.j, cb.c,
+                     list_sum(list_transform(range(1, 17),
+                       i -> (v.e[s.j*16 + i] - cb.ce[s.j*16 + i])
+                            * (v.e[s.j*16 + i] - cb.ce[s.j*16 + i]))) AS dist,
+                     list_sum(list_transform(range(1, 17),
+                       i -> (q.qe[s.j*16 + i] - cb.ce[s.j*16 + i])
+                            * (q.qe[s.j*16 + i] - cb.ce[s.j*16 + i]))) AS qdist
+              FROM v, generate_series(0, 3) s(j), cb, q
+            ),
+            best AS (
+              SELECT vec_id, j, c, qdist,
+                     row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+              FROM pairs
+            ),
+            codes AS (SELECT vec_id, j, c, qdist FROM best WHERE rn = 1)
+            SELECT vec_id,
+                   CAST(MAX(CASE WHEN j = 0 THEN c END) AS INTEGER) AS c0,
+                   CAST(MAX(CASE WHEN j = 1 THEN c END) AS INTEGER) AS c1,
+                   CAST(MAX(CASE WHEN j = 2 THEN c END) AS INTEGER) AS c2,
+                   CAST(MAX(CASE WHEN j = 3 THEN c END) AS INTEGER) AS c3,
+                   CAST(floor(
+                     (((MAX(CASE WHEN j = 0 THEN qdist END)
+                        + MAX(CASE WHEN j = 1 THEN qdist END))
+                        + MAX(CASE WHEN j = 2 THEN qdist END))
+                        + MAX(CASE WHEN j = 3 THEN qdist END)) * 1000000
+                   ) AS BIGINT) AS adc_micro
+            FROM codes GROUP BY vec_id
         """,
         "grouped_mad": """
             WITH med AS (

@@ -163,17 +163,19 @@ def lsh_topk_bucketed(
 # ---------------------------------------------------------------------------
 
 
-def nearest_centroid_col(vec_col: str, centroids: list[list[float]]):
+def nearest_centroid_col(vec_col, centroids: list[list[float]]):
     """0-based nearest-centroid id as ONE native expression per row — no
     shuffle, no UDF, ties to the lowest centroid id (array_position finds
-    the first occurrence of the min)."""
+    the first occurrence of the min). ``vec_col`` may be a column name or
+    a Column expression (round 5: PQ assigns per SLICED subvector)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     cl = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
     dists = F.transform(
         cl,
         lambda c: F.aggregate(
-            F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b)),
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
@@ -316,3 +318,90 @@ def ivf_topk(
     reader = spark.read.schema(schema) if schema is not None else spark.read
     t = reader.parquet(path).where(F.col("cluster").isin(probe))
     return brute_force_topk(t, vec_col, q, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — round 5. The COMPRESSION member of the ANN
+# family: LSH buckets (recall control), IVF (partition pruning), PQ
+# (memory): a d-dim vector becomes m small codes (one byte each at
+# k≤256), and search scores candidates with Asymmetric Distance
+# Computation — per-subspace lookup tables of query-to-centroid
+# distances, summed by code. At 100 TB the PQ-coded corpus is ~d·4/m
+# times smaller than raw float32 vectors, and ADC scoring is m array
+# lookups + adds per candidate, fully codegen'd (no python).
+# Compose with IVF: coarse cluster pruning first, ADC within probed
+# clusters (the standard IVFADC layout).
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: the vector splits into ``m`` equal
+    slices and each slice gets its own k-means codebook (kmeans_fit — the
+    DataFrame-native Lloyd's). Returns m codebooks of k centroids."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(F.slice(F.col(vec_col), j * sub + 1, sub).alias("_v"))
+        books.append(kmeans_fit(sliced, "_v", k=k, max_iter=max_iter, seed=seed + j))
+    return books
+
+
+def pq_code_col(vec_col: str, codebooks: list[list[list[float]]]):
+    """array<int> of length m: per-subspace nearest-centroid codes, one
+    native expression (m × nearest_centroid_col over slices)."""
+    sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            nearest_centroid_col(F.slice(F.col(vec_col), j * sub + 1, sub), book)
+            for j, book in enumerate(codebooks)
+        ]
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by Asymmetric Distance: precompute (driver-side, m×k floats)
+    the query's squared distance to every centroid, ship the tables as
+    literals, and score each row as the j-ordered sum of its codes'
+    lookups — a fixed-fold expression, so the float result is
+    reproducible bit-for-bit at any partitioning. Ranked by
+    (adc, id): a total order."""
+    sub = len(codebooks[0][0])
+    luts = []
+    for j, book in enumerate(codebooks):
+        qj = query[j * sub : (j + 1) * sub]
+        luts.append(
+            [sum((a - b) * (a - b) for a, b in zip(qj, c)) for c in book]
+        )
+    codes = pq_code_col(vec_col, codebooks).alias("_codes")
+    scored = df.select(F.col(id_col), codes)
+    adc = F.lit(0.0)
+    for j, lut in enumerate(luts):
+        adc = adc + F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut]),
+            F.element_at(F.col("_codes"), j + 1) + 1,
+        )
+    return (
+        scored.withColumn("adc", adc)
+        .orderBy(F.col("adc"), F.col(id_col))
+        .limit(k)
+        .select(id_col, "_codes", "adc")
+        .withColumnRenamed("_codes", "codes")
+    )

@@ -117,6 +117,7 @@ def main() -> None:
         "rollup_refresh", "bm25", "domain_mixture", "mor_delete",
         "table_diff", "winsorize", "near_dup_prune", "corpus_card",
         "length_batches", "unicode_nfc", "semantic_pairs", "grouped_mad",
+        "pq_codes",
     ]:
         if name in qs:
             runs = []
