@@ -64,3 +64,93 @@ def _pytest_approx(x):
     import pytest
 
     return pytest.approx(x, rel=1e-9)
+
+
+def test_ivfadc_composition(spark, tmp_path):
+    """IVFADC (the standard Jégou layout): write the IVF partitioned
+    layout with PQ codes STORED per row, probe nprobe coarse clusters
+    via partition pruning, ADC-score only the scanned rows — results
+    equal brute-force ADC restricted to the probed clusters, and the
+    probe plan carries PartitionFilters."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.operators.similarity_search import (
+        kmeans_fit,
+        nearest_centroid_col,
+        pq_code_col,
+        pq_train,
+        write_ivf,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 8)).astype(np.float32)
+    query = base[0].tolist()
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(120)], "vid long, v array<float>"
+    )
+    coarse = kmeans_fit(df, "v", k=3, max_iter=4, seed=3)
+    books = pq_train(df, "v", m=4, k=4, max_iter=3, seed=9)
+
+    # store codes IN the layout: ADC needs no vectors at query time
+    path = str(tmp_path / "ivfadc")
+    with_codes = df.withColumn("codes", pq_code_col("v", books)).drop("v")
+    write_ivf(
+        df.select("vid", "v").join(with_codes, "vid"), path, "v", coarse
+    )
+
+    # probe: nearest coarse cluster of the query, scan only it
+    qcluster = (
+        spark.createDataFrame([(query,)], "q array<float>")
+        .select(nearest_centroid_col("q", coarse).alias("c"))
+        .first()["c"]
+    )
+    probed = (
+        spark.read.schema("vid long, v array<float>, codes array<int>, cluster int")
+        .parquet(path)
+        .where(F.col("cluster") == int(qcluster))
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    # ADC over the probed rows from STORED codes
+    sub = 2
+    luts = [
+        [sum((a - b) * (a - b) for a, b in zip(query[j * sub : (j + 1) * sub], c)) for c in book]
+        for j, book in enumerate(books)
+    ]
+    adc = F.lit(0.0)
+    for j, lut in enumerate(luts):
+        adc = adc + F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut]),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+    got = [
+        (r["vid"], r["a"])
+        for r in probed.withColumn("a", adc).orderBy("a", "vid").limit(5).collect()
+    ]
+
+    # twin: brute-force ADC restricted to the same coarse cluster
+    def py_code(vec):
+        return [
+            min(range(4), key=lambda c: sum((a - b) ** 2 for a, b in zip(vec[j * 2 : (j + 1) * 2], books[j][c])))
+            for j in range(4)
+        ]
+
+    def py_coarse(vec):
+        return min(range(3), key=lambda c: sum((a - b) ** 2 for a, b in zip(vec, coarse[c])))
+
+    expect = sorted(
+        (
+            sum(luts[j][cj] for j, cj in enumerate(py_code([float(x) for x in base[i]]))),
+            i,
+        )
+        for i in range(120)
+        if py_coarse([float(x) for x in base[i]]) == qcluster
+    )[:5]
+    import pytest
+
+    assert [i for _, i in expect] == [i for i, _ in got]
+    for (ea, _), (_, ga) in zip(expect, got):
+        assert ga == pytest.approx(ea, rel=1e-9)
