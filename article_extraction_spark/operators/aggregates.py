@@ -227,12 +227,15 @@ def mad_by_group(df: DataFrame, group: str, value: str, scale: float = 1.0) -> D
     exact-percentile aggregations with a broadcast join between them;
     NULL values are ignored by the percentiles, like stddev. Returns
     (group, median, mad)."""
-    med = df.groupBy(group).agg(F.percentile(value, F.lit(0.5)).alias("median"))
+    # prefixed temporaries throughout (review r5: an unprefixed 'median'
+    # collides with an input column of the same name — winsorize's rule)
+    med = df.groupBy(group).agg(F.percentile(value, F.lit(0.5)).alias("__med"))
     med = med.withColumnRenamed(group, "__grp")
     dev = (
         df.join(F.broadcast(med), F.col(group).eqNullSafe(F.col("__grp")))
-        .withColumn("__ad", F.abs(F.col(value) - F.col("median")))
-        .groupBy(group, "median")
+        .withColumn("__ad", F.abs(F.col(value) - F.col("__med")))
+        .groupBy(group, "__med")
         .agg((F.percentile("__ad", F.lit(0.5)) * scale).alias("mad"))
+        .withColumnRenamed("__med", "median")
     )
     return dev

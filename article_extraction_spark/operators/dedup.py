@@ -882,10 +882,20 @@ def semantic_near_dup_pairs(
     from .similarity_search import nearest_centroid_col
     from ..functions.similarity import cosine_similarity_col
 
-    assigned = df.select(
+    # NULL vectors are unsearchable and excluded; a length-mismatched
+    # vector fails LOUDLY via a guard folded into the cluster column —
+    # a NULL cluster key would silently drop the row from every
+    # comparison (the write_ivf lesson, review r5)
+    raw = nearest_centroid_col(vec_col, centroids)
+    guarded = F.when(raw.isNotNull(), raw).otherwise(
+        F.raise_error(
+            F.lit(f"vector length != centroid dim ({len(centroids[0])})")
+        ).cast("int")
+    )
+    assigned = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        nearest_centroid_col(vec_col, centroids).alias("_c"),
+        guarded.alias("_c"),
     )
     a = assigned.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_c"

@@ -346,7 +346,10 @@ def pq_train(
     """Train per-subspace codebooks: the vector splits into ``m`` equal
     slices and each slice gets its own k-means codebook (kmeans_fit — the
     DataFrame-native Lloyd's). Returns m codebooks of k centroids."""
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if probe is None:
+        raise ValueError("pq_train needs at least one non-NULL vector")
+    dim = len(probe[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -369,6 +372,24 @@ def pq_code_col(vec_col: str, codebooks: list[list[list[float]]]):
     )
 
 
+def pq_adc_col(codes_col, query: list[float], codebooks: list[list[list[float]]]):
+    """ADC score from a STORED codes column (the IVFADC read path — no
+    vectors touched): the query's per-centroid squared distances are
+    precomputed driver-side (m×k floats) and shipped as literals; the
+    score is the j-ordered sum of lookups — a FIXED fold, so the float
+    result is reproducible bit-for-bit at any partitioning."""
+    c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    sub = len(codebooks[0][0])
+    adc = F.lit(0.0)
+    for j, book in enumerate(codebooks):
+        qj = query[j * sub : (j + 1) * sub]
+        lut = [sum((a - b) * (a - b) for a, b in zip(qj, cent)) for cent in book]
+        adc = adc + F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut]), F.element_at(c, j + 1) + 1
+        )
+    return adc
+
+
 def pq_adc_topk(
     df: DataFrame,
     id_col: str,
@@ -377,29 +398,28 @@ def pq_adc_topk(
     codebooks: list[list[list[float]]],
     k: int = 10,
 ) -> DataFrame:
-    """Top-k by Asymmetric Distance: precompute (driver-side, m×k floats)
-    the query's squared distance to every centroid, ship the tables as
-    literals, and score each row as the j-ordered sum of its codes'
-    lookups — a fixed-fold expression, so the float result is
-    reproducible bit-for-bit at any partitioning. Ranked by
-    (adc, id): a total order."""
-    sub = len(codebooks[0][0])
-    luts = []
-    for j, book in enumerate(codebooks):
-        qj = query[j * sub : (j + 1) * sub]
-        luts.append(
-            [sum((a - b) * (a - b) for a, b in zip(qj, c)) for c in book]
-        )
-    codes = pq_code_col(vec_col, codebooks).alias("_codes")
-    scored = df.select(F.col(id_col), codes)
-    adc = F.lit(0.0)
-    for j, lut in enumerate(luts):
-        adc = adc + F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut]),
-            F.element_at(F.col("_codes"), j + 1) + 1,
-        )
+    """Top-k by Asymmetric Distance over raw vectors: encode + pq_adc_col
+    + (adc, id)-ordered limit (a total order). NULL vectors are EXCLUDED
+    (unsearchable, same rule as write_ivf/brute_force_topk — review r5:
+    they used to rank FIRST, ascending sort is NULLS FIRST); a vector
+    whose length mismatches the codebooks fails loudly via a guard
+    folded INTO the codes column (the project-then-drop lesson)."""
+    raw_codes = pq_code_col(vec_col, codebooks)
+    guarded = F.when(
+        ~F.exists(raw_codes, lambda x: x.isNull()), raw_codes
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"vector length incompatible with PQ codebooks "
+                f"({len(codebooks)}×{len(codebooks[0][0])} dims)"
+            )
+        ).cast("array<int>")
+    )
+    scored = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), guarded.alias("_codes")
+    )
     return (
-        scored.withColumn("adc", adc)
+        scored.withColumn("adc", pq_adc_col("_codes", query, codebooks))
         .orderBy(F.col("adc"), F.col(id_col))
         .limit(k)
         .select(id_col, "_codes", "adc")

@@ -152,6 +152,7 @@ def duplicate_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("span_len"),
         )
+        .withColumnRenamed("doc_id", id_col)  # honor the caller's id name
     )
 
 
@@ -165,6 +166,7 @@ def substring_dup_stats(
     dup_chars, doc_len, dup_ratio) — every document present, zero-filled.
     ``dup_ratio`` is the Lee-et-al-style fraction of the document covered
     by ≥k-char repeats; a curation funnel thresholds on it."""
+    spans = spans.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else spans
     agg = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"), F.sum("span_len").alias("dup_chars")
     )
@@ -180,6 +182,7 @@ def substring_dup_stats(
                 F.coalesce("dup_chars", F.lit(0)) / F.greatest("doc_len", F.lit(1)), 6
             ).alias("dup_ratio"),
         )
+        .withColumnRenamed("doc_id", id_col)
     )
 
 
@@ -262,5 +265,6 @@ def strip_duplicate_spans(
             "cleaned_text",
             (F.length(text_col) - F.length("cleaned_text")).alias("removed_chars"),
         )
+        .withColumnRenamed("doc_id", id_col)  # honor the caller's id name
     )
     return out

@@ -168,6 +168,11 @@ def curate_corpus(
             substring_dup_stats,
         )
 
+        # NOTE (review r5): this stage fingerprints twice by DESIGN, not
+        # oversight — the ratio pass runs over the pre-drop corpus while
+        # the strip pass runs over the post-drop survivors, and sharing
+        # one positions table would let already-dropped documents keep
+        # counting as duplicate occurrences for the survivors' strip.
         spans = duplicate_spans(near, k=substring_dedup_k, id_col=id_col, text_col=text_col)
         ratios = substring_dup_stats(near, spans, id_col=id_col, text_col=text_col)
         keep_ids = ratios.where(F.col("dup_ratio") <= substring_max_dup_ratio).select(id_col)

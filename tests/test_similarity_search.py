@@ -114,21 +114,21 @@ def test_ivfadc_composition(spark, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan
 
-    # ADC over the probed rows from STORED codes
+    # ADC over the probed rows from STORED codes — the library's read-path
+    # helper, no vectors touched
+    from article_extraction_spark.operators.similarity_search import pq_adc_col
+
     sub = 2
     luts = [
         [sum((a - b) * (a - b) for a, b in zip(query[j * sub : (j + 1) * sub], c)) for c in book]
         for j, book in enumerate(books)
     ]
-    adc = F.lit(0.0)
-    for j, lut in enumerate(luts):
-        adc = adc + F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut]),
-            F.element_at(F.col("codes"), j + 1) + 1,
-        )
     got = [
         (r["vid"], r["a"])
-        for r in probed.withColumn("a", adc).orderBy("a", "vid").limit(5).collect()
+        for r in probed.withColumn("a", pq_adc_col("codes", query, books))
+        .orderBy("a", "vid")
+        .limit(5)
+        .collect()
     ]
 
     # twin: brute-force ADC restricted to the same coarse cluster
@@ -154,3 +154,56 @@ def test_ivfadc_composition(spark, tmp_path):
     assert [i for _, i in expect] == [i for i, _ in got]
     for (ea, _), (_, ga) in zip(expect, got):
         assert ga == pytest.approx(ea, rel=1e-9)
+
+
+def test_pq_null_and_mismatch_guards(spark):
+    """review r5: NULL vectors are excluded (they used to rank FIRST —
+    ascending sort is NULLS FIRST); a length-mismatched vector fails
+    loudly via the guard folded into the codes column."""
+    import pytest
+
+    from article_extraction_spark.operators.similarity_search import (
+        pq_adc_topk,
+        pq_train,
+    )
+
+    rows = [(i, [float(i), 0.0, float(i % 3), 2.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vid long, v array<float>")
+    books = pq_train(df, "v", m=2, k=2, max_iter=2, seed=1)
+
+    with_null = df.unionByName(
+        spark.createDataFrame([(99, None)], "vid long, v array<float>")
+    )
+    top = pq_adc_topk(with_null, "vid", "v", [0.0, 0.0, 0.0, 2.0], books, k=3).collect()
+    assert 99 not in {r["vid"] for r in top} and len(top) == 3
+
+    bad = df.unionByName(
+        spark.createDataFrame([(98, [1.0, 2.0, 3.0])], "vid long, v array<float>")
+    )
+    with pytest.raises(Exception, match="PQ codebooks"):
+        pq_adc_topk(bad, "vid", "v", [0.0, 0.0, 0.0, 2.0], books, k=3).collect()
+
+    # pq_train probes past leading NULLs and errors clearly when empty
+    with pytest.raises(ValueError, match="non-NULL"):
+        pq_train(spark.createDataFrame([], "vid long, v array<float>"), "v")
+
+
+def test_semantic_pairs_null_and_mismatch_guards(spark):
+    """review r5: NULL vectors excluded, mismatched dims fail loudly
+    instead of silently vanishing from every comparison."""
+    import pytest
+
+    from article_extraction_spark.operators.dedup import semantic_near_dup_pairs
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.9, 0.1]), (3, None)], "vid long, v array<float>"
+    )
+    pairs = semantic_near_dup_pairs(df, "vid", "v", cents, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}  # NULL row just absent
+
+    bad = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (4, [1.0, 2.0, 3.0])], "vid long, v array<float>"
+    )
+    with pytest.raises(Exception, match="centroid dim"):
+        semantic_near_dup_pairs(bad, "vid", "v", cents, threshold=0.99).collect()
