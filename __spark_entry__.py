@@ -3223,7 +3223,8 @@ def oracle_sql() -> dict[str, str]:
             picked AS (
               SELECT d.doc_id, d.lang,
                      CAST(least(floor(r.w), 10) AS INTEGER)
-                     + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '|42'), 1, 4)
+                     + CASE WHEN floor(r.w) < 10
+                             AND substr(md5(CAST(d.doc_id AS VARCHAR) || '|42'), 1, 4)
                                  < lpad(lower(to_hex(CAST(floor((r.w - floor(r.w)) * 65536) AS INTEGER))), 4, '0')
                             THEN 1 ELSE 0 END AS copies
               FROM documents d

@@ -141,10 +141,13 @@ def length_bucketed_batches(
         raise ValueError(f"only bucket='pow2' is implemented, got {bucket!r}")
     # F.shiftleft only takes a literal bit count — express the next
     # power of two in SQL (exact integer arithmetic, no double rounding
-    # beyond log2's, which ceil() absorbs for all realistic lengths)
+    # beyond log2's, which ceil() absorbs for all realistic lengths).
+    # ADVICE r5: backtick-quote the identifier so column names with
+    # spaces/hyphens/dots parse (backticks inside the name double-escape).
+    quoted = "`" + len_col.replace("`", "``") + "`"
     cap = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), "
-        f"CAST(ceil(log2(CAST(greatest({len_col}, 1) AS DOUBLE))) AS INT))"
+        f"CAST(ceil(log2(CAST(greatest({quoted}, 1) AS DOUBLE))) AS INT))"
     )
     # the oversize/NULL guard lives INSIDE bucket_cap, which every
     # derived column reads, so Catalyst cannot prune it away (the r4
@@ -154,8 +157,12 @@ def length_bucketed_batches(
     # server (review r5: greatest(NULL, 1) used to file NULL lengths
     # into the cap-1 bucket, the exact under-allocation the guard
     # exists to prevent)
+    # backtick-quoted references resolve the EXACT name; bare F.col (and
+    # even df[...] in Spark 4.1) parse dots as struct field access on
+    # these user-supplied identifiers (same ADVICE item)
+    len_c = F.col(quoted)
     cap = F.when(
-        F.col(len_col).isNotNull() & (cap <= batch_token_budget), cap
+        len_c.isNotNull() & (cap <= batch_token_budget), cap
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -163,13 +170,15 @@ def length_bucketed_batches(
                     f"sequence length NULL or longer than batch_token_budget="
                     f"{batch_token_budget}: len="
                 ),
-                F.coalesce(F.col(len_col).cast("string"), F.lit("NULL")),
+                F.coalesce(len_c.cast("string"), F.lit("NULL")),
             )
         ).cast("long")
     )
     out = df.withColumn("bucket_cap", cap)
     rows_per_batch = (F.lit(int(batch_token_budget)) / F.col("bucket_cap")).cast("long")
-    order = [F.col(order_col)] if order_col else [F.col(len_col)]
+    order = (
+        [F.col("`" + order_col.replace("`", "``") + "`")] if order_col else [len_c]
+    )
     w = Window.partitionBy("bucket_cap").orderBy(*order)
     return (
         out.withColumn("__rn", F.row_number().over(w) - 1)

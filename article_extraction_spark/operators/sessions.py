@@ -20,11 +20,16 @@ def _ts_numeric(dt, ts_col: str):
     from pyspark.sql import types as T
 
     if isinstance(dt, T.TimestampNTZType):
+        # ADVICE r5: F.second() truncates fractional seconds, quantizing
+        # sub-second NTZ gaps to whole seconds (a 30.9 s gap read as 30 s
+        # can miss a 30 s boundary) — extract(SECOND ...) returns
+        # DECIMAL(8,6) and keeps the fraction
+        quoted = "`" + ts_col.replace("`", "``") + "`"
         return (
             F.unix_date(F.to_date(ts_col)).cast("double") * 86400
             + F.hour(ts_col) * 3600
             + F.minute(ts_col) * 60
-            + F.second(ts_col)
+            + F.expr(f"extract(SECOND FROM {quoted})").cast("double")
         )
     if isinstance(dt, T.TimestampType):
         return F.unix_timestamp(ts_col).cast("double")  # instant-based

@@ -97,7 +97,8 @@ def domain_mixture_sample(
 
     Output = input columns + ``copy_col`` (0..copies-1) so repeated rows
     are real rows downstream (packing/shuffling treats them
-    independently). ⌊w_d⌋ is capped at ``max_repeat`` — a pathologically
+    independently). Copies are capped at ``max_repeat`` (the fractional
+    extra is suppressed once ⌊w_d⌋ hits the cap) — a pathologically
     tiny domain should be flagged, not silently replicated thousands of
     times. One groupBy over domains (tiny) broadcast back; no other
     shuffle."""
@@ -127,7 +128,14 @@ def domain_mixture_sample(
         # plain equi-join dropped those rows while their count still
         # deflated every other domain's weight through __z
         df.join(F.broadcast(rates), df[domain_col].eqNullSafe(F.col("__dom")))
-        .withColumn("__copies", base + (h4 < F.lower(frac_hex)).cast("int"))
+        # ADVICE r5: the stochastic fractional copy must respect the
+        # replication cap too — without the floor(__w) < max_repeat gate a
+        # capped row could get max_repeat+1 copies, contradicting the cap
+        .withColumn(
+            "__copies",
+            base
+            + ((h4 < F.lower(frac_hex)) & (F.floor("__w") < F.lit(max_repeat))).cast("int"),
+        )
         .where(F.col("__copies") >= 1)
         .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__copies") - 1)))
         .drop("__dom", "__n", "__w", "__copies")

@@ -84,8 +84,14 @@ def fold_partials(
         rollup.merge(spark, partial, keys, extra_meta=extra_meta)
         partial.unpersist(blocking=False)
         return n
+    from pyspark import StorageLevel
+
+    # ADVICE r5: no forced broadcast of the affected-key set — a large CDC
+    # delta's keys can exceed broadcast limits on the 100-TB tables this
+    # targets. AQE converts the semi join to broadcast at runtime when the
+    # distinct key set IS small, so the hint bought nothing.
     existing = rollup.read(spark).join(
-        F.broadcast(partial.select(*keys).distinct()), keys, "left_semi"
+        partial.select(*keys).distinct(), keys, "left_semi"
     )
     renamed = partial
     for out in aggs:
@@ -94,10 +100,22 @@ def fold_partials(
         *keys,
         *[_combine(out, f"__new_{out}", fn).alias(out) for out, (fn, _c) in aggs.items()],
     )
-    n = folded.count()
-    if n == 0:
-        folded = spark.createDataFrame([], rollup.read(spark).schema)
-    rollup.merge(spark, folded, keys, extra_meta=extra_meta)
+    # ADVICE r5: persist across the count + merge pair — without it the
+    # full read+full_outer fold pipeline re-executed inside merge's write
+    folded = folded.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = folded.count()
+        if n == 0:
+            rollup.merge(
+                spark,
+                spark.createDataFrame([], rollup.read(spark).schema),
+                keys,
+                extra_meta=extra_meta,
+            )
+        else:
+            rollup.merge(spark, folded, keys, extra_meta=extra_meta)
+    finally:
+        folded.unpersist(blocking=False)
     return n
 
 

@@ -197,23 +197,46 @@ def main() -> None:
         extras["extract_turns_per_sec_warm"] = round(n_turns / warm_min5["extract_transcripts"], 1)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "extras": extras,
-                "extras_warm": extras_warm,
-                "warm_min5": warm_min5,
-                "warm_min5_total": round(sum(warm_min5.values()), 3),
-                "warm_spread": warm_spread,
-                "cpus": cpus,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "extras": extras,
+        "extras_warm": extras_warm,
+        "warm_min5": warm_min5,
+        "warm_min5_total": round(sum(warm_min5.values()), 3),
+        "warm_spread": warm_spread,
+        "cpus": cpus,
+    }
+    # Full blob: an EARLY stdout line + a sidecar file. The driver captures
+    # only the last ~2,000 chars of stdout (BENCH_r05 landed parsed:null when
+    # the single line outgrew that window — VERDICT r5 #1), so the extras
+    # live here and the FINAL printed line below stays compact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    # Compact headline line LAST — the driver's parse target. Headline
+    # queries + warm_min5 + throughput only; must stay well under 2,000
+    # chars (guarded by tests/test_bench_contract.py).
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+        "warm_min5": warm_min5,
+        "warm_min5_total": full["warm_min5_total"],
+        "extract_turns_per_sec": extras.get("extract_turns_per_sec"),
+        "extract_turns_per_sec_warm": extras.get("extract_turns_per_sec_warm"),
+        "full": "BENCH_full.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1800, f"compact bench line {len(line)} chars >= 1800"
+    print(line)
 
 
 if __name__ == "__main__":

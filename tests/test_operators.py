@@ -196,7 +196,14 @@ def test_domain_mixture_sample(spark):
             base = min(int(math.floor(w[dom])), max_repeat)
             frac = w[dom] - math.floor(w[dom])
             h4 = hashlib.md5(f"{doc_id}|42".encode()).hexdigest()[:4]
-            out[(doc_id, dom)] = base + (1 if h4 < format(int(math.floor(frac * 65536)), "04x") else 0)
+            # ADVICE r5: fractional extra is suppressed once base hits the cap
+            extra = (
+                1
+                if math.floor(w[dom]) < max_repeat
+                and h4 < format(int(math.floor(frac * 65536)), "04x")
+                else 0
+            )
+            out[(doc_id, dom)] = base + extra
         return {k: v for k, v in out.items() if v > 0}
 
     for alpha in (0.0, 0.5, 1.0):
@@ -218,9 +225,17 @@ def test_domain_mixture_sample(spark):
     assert a == b
 
     # alpha=0 upweights the tiny domain hard; the cap bounds replication
+    # HARD (ADVICE r5: the fractional extra no longer overshoots the cap)
     capped = domain_mixture_sample(df, "dom", "doc_id", 10000, alpha=0.0, max_repeat=3)
     per_doc = capped.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
-    assert per_doc <= 4  # cap + at most one fractional copy
+    assert per_doc <= 3
+    got3 = collections.Counter(
+        (r["doc_id"], r["dom"])
+        for r in domain_mixture_sample(
+            df, "dom", "doc_id", 10000, alpha=0.0, max_repeat=3
+        ).collect()
+    )
+    assert dict(got3) == twin(10000, 0.0, max_repeat=3)
 
     import pytest as _pytest
 

@@ -374,3 +374,13 @@ def test_length_bucketed_batches(spark):
         length_bucketed_batches(nul, "n_tokens", 256).collect()
     with _pytest.raises(ValueError, match="budget"):
         length_bucketed_batches(df, "n_tokens", 0)
+    # ADVICE r5: identifiers needing backticks (spaces/hyphens/dots) must
+    # parse and resolve — the raw f-string interpolation used to fail
+    weird = df.withColumnRenamed("n_tokens", "seq len.x-1")
+    wgot = {
+        r["seq_id"]: (r["bucket_cap"], r["batch_id"], r["slot"])
+        for r in length_bucketed_batches(
+            weird, "seq len.x-1", 256, order_col="seq_id"
+        ).collect()
+    }
+    assert wgot == got

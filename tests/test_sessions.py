@@ -114,3 +114,24 @@ def test_sessionize_string_timestamps_still_parse(spark):
     sessions = {r["ts"]: r["session_id"] for r in got.collect()}
     assert sessions["2024-01-01 10:00:00"] == sessions["2024-01-01 10:10:00"]
     assert sessions["2024-01-01 12:00:00"] != sessions["2024-01-01 10:00:00"]
+
+
+def test_sessionize_ntz_subsecond_gaps(spark):
+    """ADVICE r5: the NTZ numeric image used F.second(), which truncates
+    fractions — a true 30.9 s gap computed as 30 s and missed a 30 s
+    boundary. extract(SECOND ...) keeps the fraction."""
+    import datetime as dt
+
+    from article_extraction_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(seconds=30, microseconds=900_000)),  # 30.9s > 30s gap
+        (1, base + dt.timedelta(seconds=60, microseconds=800_000)),  # +29.9s, same
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    got = sorted(sessionize(df, "user_id", "ts", gap_minutes=0.5).collect(),
+                 key=lambda r: r["ts"])
+    assert got[0]["session_id"] != got[1]["session_id"]  # 30.9 s gap splits
+    assert got[1]["session_id"] == got[2]["session_id"]  # 29.9 s gap doesn't
