@@ -1698,6 +1698,62 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC (round 6, Jégou et al. 2011 §III): the codes
+    quantize ``x − coarse_centroid(x)`` instead of the raw vector, so
+    codebook entropy is spent on fine structure (VERDICT r5 #4). Two
+    pinned coarse centroids (embeddings 0–1), four pinned residual
+    codebook entries per subspace (the RESIDUALS of embeddings 2–5 —
+    data-derived, so DuckDB re-derives both the assignment and the
+    subtraction), ADC against embedding 7 with per-cluster residual
+    query LUTs in the fixed j-ordered fold. Full cross-engine replay:
+    the oracle replays coarse argmin (rank by (dist, c) = the
+    array_position first-min tie rule), the centroid subtraction, code
+    assignment on residuals, and the same addition order, floored to
+    micros."""
+    from article_extraction_spark.operators.similarity_search import (
+        ivfadc_score_col,
+        nearest_centroid_col,
+        pq_code_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    head = emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    coarse = [[float(x) for x in head[i]["embedding"]] for i in range(2)]
+
+    def _resid(vec: list[float]) -> list[float]:
+        d = [(sum((a - b) ** 2 for a, b in zip(vec, c)), i) for i, c in enumerate(coarse)]
+        c = coarse[min(d)[1]]
+        return [a - b for a, b in zip(vec, c)]
+
+    books = [
+        [_resid([float(x) for x in head[r]["embedding"]])[j * 16 : (j + 1) * 16] for r in range(2, 6)]
+        for j in range(4)
+    ]
+    query = [float(x) for x in head[7]["embedding"]]
+    staged = emb.select(
+        "vec_id", "embedding", nearest_centroid_col("embedding", coarse).alias("cluster")
+    )
+    coded = staged.select(
+        "vec_id",
+        "cluster",
+        pq_code_col(
+            "embedding", books, coarse_centroids=coarse, cluster_col="cluster"
+        ).alias("codes"),
+    )
+    return coded.select(
+        "vec_id",
+        "cluster",
+        F.element_at("codes", 1).alias("c0"),
+        F.element_at("codes", 2).alias("c1"),
+        F.element_at("codes", 3).alias("c2"),
+        F.element_at("codes", 4).alias("c3"),
+        F.floor(
+            ivfadc_score_col("codes", "cluster", query, coarse, books) * 1e6
+        ).cast("long").alias("adc_micro"),
+    )
+
+
 def q_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped median absolute deviation (round 5): the robust spread
     statistic, two exact percentiles with a broadcast join between them,
@@ -2254,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_pairs": q_semantic_pairs,
         "grouped_mad": q_grouped_mad,
         "pq_codes": q_pq_codes,
+        "pq_residual_codes": q_pq_residual_codes,
         "grouped_quantiles": q_grouped_quantiles,
         "canonical_urls": q_canonical_urls,
         "range_join": q_range_join,
@@ -2878,6 +2935,63 @@ def oracle_sql() -> dict[str, str]:
             ),
             codes AS (SELECT vec_id, j, c, qdist FROM best WHERE rn = 1)
             SELECT vec_id,
+                   CAST(MAX(CASE WHEN j = 0 THEN c END) AS INTEGER) AS c0,
+                   CAST(MAX(CASE WHEN j = 1 THEN c END) AS INTEGER) AS c1,
+                   CAST(MAX(CASE WHEN j = 2 THEN c END) AS INTEGER) AS c2,
+                   CAST(MAX(CASE WHEN j = 3 THEN c END) AS INTEGER) AS c3,
+                   CAST(floor(
+                     (((MAX(CASE WHEN j = 0 THEN qdist END)
+                        + MAX(CASE WHEN j = 1 THEN qdist END))
+                        + MAX(CASE WHEN j = 2 THEN qdist END))
+                        + MAX(CASE WHEN j = 3 THEN qdist END)) * 1000000
+                   ) AS BIGINT) AS adc_micro
+            FROM codes GROUP BY vec_id
+        """,
+        "pq_residual_codes": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 500
+            ),
+            co AS (SELECT vec_id AS cc, e AS ce FROM v WHERE vec_id < 2),
+            ad AS (
+              SELECT v.vec_id, co.cc,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (v.e[i] - co.ce[i]) * (v.e[i] - co.ce[i]))) AS d
+              FROM v, co
+            ),
+            asg AS (
+              SELECT vec_id, cc AS cl FROM (
+                SELECT vec_id, cc,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cc) AS rn
+                FROM ad
+              ) WHERE rn = 1
+            ),
+            res AS (
+              SELECT v.vec_id, asg.cl,
+                     list_transform(range(1, 65), i -> v.e[i] - co.ce[i]) AS r
+              FROM v JOIN asg USING (vec_id) JOIN co ON co.cc = asg.cl
+            ),
+            cb AS (SELECT vec_id - 2 AS c, r AS cr FROM res WHERE vec_id BETWEEN 2 AND 5),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = 7),
+            pairs AS (
+              SELECT res.vec_id, res.cl, s.j, cb.c,
+                     list_sum(list_transform(range(1, 17),
+                       i -> (res.r[s.j*16 + i] - cb.cr[s.j*16 + i])
+                            * (res.r[s.j*16 + i] - cb.cr[s.j*16 + i]))) AS dist,
+                     list_sum(list_transform(range(1, 17),
+                       i -> ((q.qe[s.j*16 + i] - co.ce[s.j*16 + i]) - cb.cr[s.j*16 + i])
+                            * ((q.qe[s.j*16 + i] - co.ce[s.j*16 + i]) - cb.cr[s.j*16 + i]))) AS qdist
+              FROM res, generate_series(0, 3) s(j), cb, q, co
+              WHERE co.cc = res.cl
+            ),
+            best AS (
+              SELECT vec_id, cl, j, c, qdist,
+                     row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+              FROM pairs
+            ),
+            codes AS (SELECT vec_id, cl, j, c, qdist FROM best WHERE rn = 1)
+            SELECT vec_id,
+                   CAST(any_value(cl) AS INTEGER) AS cluster,
                    CAST(MAX(CASE WHEN j = 0 THEN c END) AS INTEGER) AS c0,
                    CAST(MAX(CASE WHEN j = 1 THEN c END) AS INTEGER) AS c1,
                    CAST(MAX(CASE WHEN j = 2 THEN c END) AS INTEGER) AS c2,

@@ -335,6 +335,26 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def pq_residual_col(vec_col, coarse_centroids: list[list[float]], cluster_col=None):
+    """``x − coarse_centroid(x)`` as one native expression — the quantity
+    residual PQ encodes (Jégou et al. 2011 §III: coding residuals instead
+    of raw vectors is what makes m·log2(k) bits/vector usable, because the
+    codebook's entropy is spent on the fine structure instead of
+    re-describing the coarse cell). Pass ``cluster_col`` when the coarse
+    assignment is already a stored column (the IVF write path) so it is
+    not recomputed."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cl = (
+        nearest_centroid_col(v, coarse_centroids)
+        if cluster_col is None
+        else (F.col(cluster_col) if isinstance(cluster_col, str) else cluster_col)
+    )
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse_centroids]
+    )
+    return F.zip_with(v, F.element_at(cents, cl + 1), lambda a, b: a - b)
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str,
@@ -342,10 +362,15 @@ def pq_train(
     k: int = 16,
     max_iter: int = 5,
     seed: int = 42,
+    coarse_centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: the vector splits into ``m`` equal
     slices and each slice gets its own k-means codebook (kmeans_fit — the
-    DataFrame-native Lloyd's). Returns m codebooks of k centroids."""
+    DataFrame-native Lloyd's). Returns m codebooks of k centroids.
+
+    With ``coarse_centroids`` the codebooks are trained on RESIDUALS
+    ``x − coarse_centroid(x)`` (one codebook set shared across coarse
+    cells — the memory-practical IVFADC variant of Jégou et al. §V.A)."""
     probe = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     if probe is None:
         raise ValueError("pq_train needs at least one non-NULL vector")
@@ -353,20 +378,40 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    src, col = df, F.col(vec_col)
+    if coarse_centroids is not None:
+        src = df.where(F.col(vec_col).isNotNull()).select(
+            pq_residual_col(vec_col, coarse_centroids).alias("_r")
+        )
+        col = F.col("_r")
     books = []
     for j in range(m):
-        sliced = df.select(F.slice(F.col(vec_col), j * sub + 1, sub).alias("_v"))
+        sliced = src.select(F.slice(col, j * sub + 1, sub).alias("_v"))
         books.append(kmeans_fit(sliced, "_v", k=k, max_iter=max_iter, seed=seed + j))
     return books
 
 
-def pq_code_col(vec_col: str, codebooks: list[list[list[float]]]):
+def pq_code_col(
+    vec_col,
+    codebooks: list[list[list[float]]],
+    coarse_centroids: list[list[float]] | None = None,
+    cluster_col=None,
+):
     """array<int> of length m: per-subspace nearest-centroid codes, one
-    native expression (m × nearest_centroid_col over slices)."""
+    native expression (m × nearest_centroid_col over slices). With
+    ``coarse_centroids`` the codes quantize the RESIDUAL
+    ``x − coarse_centroid(x)`` (residual IVFADC). On the write path pass
+    ``cluster_col`` (the stored partition column) so the coarse
+    assignment isn't re-derived; without it the assignment expression is
+    inlined per subspace (interpreted HOFs have no CSE — fine for
+    oracle-scale scoring, use the stored column at scale)."""
     sub = len(codebooks[0][0])
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if coarse_centroids is not None:
+        v = pq_residual_col(v, coarse_centroids, cluster_col=cluster_col)
     return F.array(
         *[
-            nearest_centroid_col(F.slice(F.col(vec_col), j * sub + 1, sub), book)
+            nearest_centroid_col(F.slice(v, j * sub + 1, sub), book)
             for j, book in enumerate(codebooks)
         ]
     )
@@ -388,6 +433,72 @@ def pq_adc_col(codes_col, query: list[float], codebooks: list[list[list[float]]]
             F.array(*[F.lit(float(x)) for x in lut]), F.element_at(c, j + 1) + 1
         )
     return adc
+
+
+def ivfadc_score_col(
+    codes_col,
+    cluster_col,
+    query: list[float],
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    clusters: list[int] | None = None,
+):
+    """Residual-ADC score from STORED (cluster, codes) columns: for rows
+    in coarse cell c the codes encode ``x − centroid_c``, so the query's
+    lookup tables are built from its RESIDUAL ``q − centroid_c`` — one
+    m×k table per probed cell, precomputed driver-side and folded into a
+    CASE over the cluster column (nprobe branches, all literal lookups,
+    no vectors read). ``clusters`` limits the branches to the probed
+    cells (default: every cell). Rows outside ``clusters`` score NULL."""
+    cl = F.col(cluster_col) if isinstance(cluster_col, str) else cluster_col
+    if clusters is None:
+        clusters = list(range(len(coarse_centroids)))
+    expr = None
+    for c in clusters:
+        rq = [a - b for a, b in zip(query, coarse_centroids[c])]
+        branch = pq_adc_col(codes_col, rq, codebooks)
+        expr = F.when(cl == int(c), branch) if expr is None else expr.when(cl == int(c), branch)
+    return expr
+
+
+def ivfadc_topk(
+    spark,
+    path: str,
+    query: list[float],
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    schema=None,
+) -> DataFrame:
+    """The full residual-IVFADC read path over a write_ivf table whose
+    rows carry STORED residual-PQ codes: rank coarse cells by L2 to the
+    query driver-side, prune the scan to the ``nprobe`` nearest cells'
+    ``cluster=`` directories (planning-time PartitionFilters), score the
+    survivors with per-cell residual lookup tables (ivfadc_score_col) —
+    no vector column is ever read. Returns (id, cluster, adc) ordered by
+    (adc, id).
+
+    Pass ``schema`` (data columns only) on large tables to skip
+    footer-sampling inference at planning."""
+    q = [float(x) for x in query]
+    ranked = sorted(
+        range(len(coarse_centroids)),
+        key=lambda i: (sum((a - b) ** 2 for a, b in zip(coarse_centroids[i], q)), i),
+    )
+    probe = ranked[: max(1, nprobe)]
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    t = reader.parquet(path).where(F.col("cluster").isin(probe))
+    scored = t.select(
+        F.col(id_col),
+        F.col("cluster"),
+        ivfadc_score_col(codes_col, "cluster", q, coarse_centroids, codebooks, probe).alias(
+            "adc"
+        ),
+    )
+    return scored.orderBy(F.col("adc"), F.col(id_col)).limit(k)
 
 
 def pq_adc_topk(

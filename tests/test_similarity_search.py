@@ -207,3 +207,147 @@ def test_semantic_pairs_null_and_mismatch_guards(spark):
     )
     with pytest.raises(Exception, match="centroid dim"):
         semantic_near_dup_pairs(bad, "vid", "v", cents, threshold=0.99).collect()
+
+
+def test_residual_pq_twin_and_recall_beats_raw(spark, tmp_path):
+    """VERDICT r5 #4 (residual IVFADC): (a) residual codes equal the
+    python twin ``code(x − centroid(x))``; (b) on clustered data the
+    residual coding achieves STRICTLY better recall@k than raw-vector
+    codes with identical bit budget — the raw codebooks waste entropy
+    re-describing the coarse cell; (c) the stored-codes ivfadc_topk read
+    path prunes partitions and reproduces the twin's ranking exactly."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.operators.similarity_search import (
+        ivfadc_topk,
+        kmeans_fit,
+        nearest_centroid_col,
+        pq_code_col,
+        pq_residual_col,
+        pq_train,
+        write_ivf,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(4, 8)) * 8.0
+    pts = np.vstack(
+        [centers[i % 4] + rng.normal(size=8) for i in range(240)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(240)], "vid long, v array<float>"
+    )
+    coarse = kmeans_fit(df, "v", k=4, max_iter=6, seed=3)
+    res_books = pq_train(df, "v", m=4, k=8, max_iter=6, seed=9, coarse_centroids=coarse)
+    raw_books = pq_train(df, "v", m=4, k=8, max_iter=6, seed=9)
+
+    def py_assign(vec, cents):
+        return min(
+            range(len(cents)),
+            key=lambda c: (sum((a - b) ** 2 for a, b in zip(vec, cents[c])), c),
+        )
+
+    def py_code(vec, books):
+        sub = len(books[0][0])
+        return [
+            min(
+                range(len(books[j])),
+                key=lambda c: (
+                    sum((a - b) ** 2 for a, b in zip(vec[j * sub : (j + 1) * sub], books[j][c])),
+                    c,
+                ),
+            )
+            for j in range(len(books))
+        ]
+
+    # (a) residual codes == twin on every row
+    got = {
+        r["vid"]: (r["cl"], list(r["c"]))
+        for r in df.select(
+            "vid",
+            nearest_centroid_col("v", coarse).alias("cl"),
+            pq_code_col("v", res_books, coarse_centroids=coarse).alias("c"),
+        ).collect()
+    }
+    for i in range(240):
+        vec = [float(x) for x in pts[i]]
+        cl = py_assign(vec, coarse)
+        resid = [a - b for a, b in zip(vec, coarse[cl])]
+        assert got[i] == (cl, py_code(resid, res_books)), i
+
+    # (b) recall@10 of ADC rankings vs exact L2, averaged over 5 queries
+    def recall(books, residual):
+        hits = 0
+        for qi in (0, 7, 50, 101, 133, 202):
+            q = [float(x) for x in pts[qi]]
+            exact = sorted(
+                range(240), key=lambda i: (float(((pts[i] - pts[qi]) ** 2).sum()), i)
+            )[:10]
+            scores = []
+            for i in range(240):
+                vec = [float(x) for x in pts[i]]
+                if residual:
+                    cl = py_assign(vec, coarse)
+                    code = py_code([a - b for a, b in zip(vec, coarse[cl])], books)
+                    rq = [a - b for a, b in zip(q, coarse[cl])]
+                else:
+                    code = py_code(vec, books)
+                    rq = q
+                sub = 2
+                adc = sum(
+                    sum(
+                        (a - b) ** 2
+                        for a, b in zip(rq[j * sub : (j + 1) * sub], books[j][code[j]])
+                    )
+                    for j in range(4)
+                )
+                scores.append((adc, i))
+            approx = [i for _, i in sorted(scores)[:10]]
+            hits += len(set(exact) & set(approx))
+        return hits / 60.0
+
+    r_res, r_raw = recall(res_books, True), recall(raw_books, False)
+    assert r_res > r_raw, (r_res, r_raw)
+
+    # (c) stored-codes read path: write residual codes into the IVF
+    # layout (cluster_col avoids re-deriving the assignment), probe 1
+    # cell, ranking == twin restricted to that cell
+    path = str(tmp_path / "residual_ivfadc")
+    staged = df.withColumn("cluster", nearest_centroid_col("v", coarse)).withColumn(
+        "codes", pq_code_col("v", res_books, coarse_centroids=coarse, cluster_col="cluster")
+    )
+    staged.drop("v").write.partitionBy("cluster").parquet(path)
+    q = [float(x) for x in pts[5]]
+    top = ivfadc_topk(
+        spark, path, q, coarse, res_books, k=5, nprobe=1, id_col="vid",
+        schema="vid long, codes array<int>",
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got_rows = [(r["vid"], r["adc"]) for r in top.collect()]
+    qcl = py_assign(q, coarse)
+    rq = [a - b for a, b in zip(q, coarse[qcl])]
+    sub = 2
+    expect = sorted(
+        (
+            sum(
+                sum((a - b) ** 2 for a, b in zip(rq[j * sub : (j + 1) * sub], res_books[j][c]))
+                for j, c in enumerate(
+                    py_code(
+                        [
+                            a - b
+                            for a, b in zip([float(x) for x in pts[i]], coarse[qcl])
+                        ],
+                        res_books,
+                    )
+                )
+            ),
+            i,
+        )
+        for i in range(240)
+        if py_assign([float(x) for x in pts[i]], coarse) == qcl
+    )[:5]
+    assert [i for _, i in expect] == [i for i, _ in got_rows]
+    for (ea, _), (_, ga) in zip(expect, got_rows):
+        assert ga == pytest.approx(ea, rel=1e-9)
