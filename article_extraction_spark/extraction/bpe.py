@@ -147,6 +147,8 @@ def bpe_train(
     min_freq: int = 2,
     checkpoint_every: int = 10,
     loop_partitions: int | None = None,
+    batch_merges: int = 1,
+    round_stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Train ``n_merges`` BPE merges on the corpus; returns the ordered
     merge list [(left_sym, right_sym), ...] (rank = position).
@@ -156,6 +158,20 @@ def bpe_train(
     best pair (count desc, pair lexicographic asc — deterministic ties)
     comes to the driver as one row, and the merge applies as a native
     fold. Stops early when no pair reaches ``min_freq``.
+
+    ``batch_merges`` (VERDICT r5 #2 — the round-count fix): per round,
+    take the top-M candidate pairs and greedily keep a SYMBOL-DISJOINT
+    subset — two merges conflict iff {a,b,a+b} sets intersect; disjoint
+    merges cannot overlap any occurrence, so every kept pair's count is
+    still exact after applying the ones ranked above it. All kept merges
+    apply in one chained fold, cutting driver round-trips ~M×: a 50k-
+    merge production vocab becomes ~50k/M Spark jobs instead of 50k.
+    The one honest deviation from sequential BPE: a pair CREATED by the
+    round's top merge (x, a+b) could out-count a later kept candidate,
+    so merge ORDER can differ from M=1 for near-tied counts (the
+    standard batched-BPE trade; M=1 is bit-exact sequential training and
+    remains the default + the parity-suite path). ``round_stats`` (dict,
+    optional) receives {"rounds": <driver round-trips taken>}.
 
     Loop cost is JOB OVERHEAD, not data: merge folds chain LAZILY and
     re-execute inside the next round's pair-count job (≤checkpoint_every
@@ -194,11 +210,17 @@ def bpe_train(
     anchor.count()
     counts.unpersist(blocking=False)
 
+    if batch_merges < 1:
+        raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
     merges: list[tuple[str, str]] = []
     prev_ckpt_dirs: set[str] = set()
+    rounds = 0
+    folds_pending = 0
     ws = anchor
     try:
-        for rank in range(n_merges):
+        while len(merges) < n_merges:
+            m = min(batch_merges, n_merges - len(merges))
+            rounds += 1
             pairs = (
                 ws.where(F.size("syms") >= 2)
                 .select(
@@ -212,18 +234,36 @@ def bpe_train(
                 )
                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                 .agg(F.sum("freq").alias("cnt"))
+                .where(F.col("cnt") >= min_freq)
                 .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-                .limit(1)
+                .limit(max(1, 4 * m))
                 .collect()
             )
-            if not pairs or pairs[0]["cnt"] < min_freq:
+            if not pairs:
                 break
-            a, b = pairs[0]["a"], pairs[0]["b"]
-            merges.append((a, b))
-            # chain the fold LAZILY — it re-executes inside the next pair
+            # greedy symbol-disjoint subset in candidate order: conflict
+            # iff {a, b, a+b} sets intersect (a+b included both ways — a
+            # kept merge CREATES that symbol, and an earlier-round symbol
+            # equal to a later candidate's concatenation would gain new
+            # occurrences, breaking the exact-count argument)
+            used: set[str] = set()
+            kept: list[tuple[str, str]] = []
+            for r in pairs:
+                if len(kept) >= m:
+                    break
+                a, b = r["a"], r["b"]
+                if a in used or b in used or (a + b) in used:
+                    continue
+                kept.append((a, b))
+                used.update((a, b, a + b))
+            merges.extend(kept)
+            # chain the folds LAZILY — they re-execute inside the next pair
             # count (tiny table), saving a materialization job per round
-            ws = ws.withColumn("syms", _merge_fold(a, b))
-            if (rank + 1) % checkpoint_every == 0:
+            for a, b in kept:
+                ws = ws.withColumn("syms", _merge_fold(a, b))
+            folds_pending += len(kept)
+            if folds_pending >= checkpoint_every:
+                folds_pending = 0
                 # reliable-checkpoint to truncate lineage (plan depth grows
                 # one fold per round otherwise → O(rounds²) analysis);
                 # persist around the count+write pair so nothing computes
@@ -244,7 +284,9 @@ def bpe_train(
         # round's checkpoint files too
         for d in prev_ckpt_dirs:
             shutil.rmtree(d, ignore_errors=True)
-    return merges
+    if round_stats is not None:
+        round_stats["rounds"] = rounds
+    return merges[:n_merges]
 
 
 # ---------------------------------------------------------------------------
