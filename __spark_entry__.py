@@ -1934,6 +1934,45 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a MAINTAINED index (round 6, VERDICT r5 #5): documents
+    ingested in two batches into MaintainedBM25Index — ManifestTable
+    rollups kept fresh by IncrementalRollup (bootstrap full, second
+    batch CDC-incremental), serving layout partitioned by md5-derived
+    term bucket, query scan pruned to the probed buckets at planning
+    time. Scores must equal a from-scratch index of the full corpus
+    (DuckDB replays that directly); the observed refresh modes and the
+    probe-bucket count are folded into the hashed result, so the oracle
+    also pins that the incremental path ran and that the probe touches
+    a strict subset of buckets (DuckDB re-derives the count from the
+    same md5 arithmetic)."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.operators.retrieval import MaintainedBM25Index
+
+    root = f"{tempfile.gettempdir()}/aes_bm25idx_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = MaintainedBM25Index(root, n_buckets=16)
+    s1 = idx.ingest(spark, docs.where(F.col("doc_id") < 40))
+    s2 = idx.ingest(spark, docs.where(F.col("doc_id") >= 40))
+    queries = spark.createDataFrame(
+        [(1, "merge sort join"), (2, "spark filter customer"), (3, "window hash scan")],
+        "query_id long, qtext string",
+    )
+    scored = idx.scores(spark, queries)
+    nprobe = len(idx.probe_buckets(spark, queries))
+    return scored.select(
+        "query_id",
+        "doc_id",
+        F.floor(F.col("score") * 1e6).cast("long").alias("score_micro"),
+        F.lit(f"{s1['postings_mode']},{s2['postings_mode']}").alias("post_modes"),
+        F.lit(nprobe).cast("int").alias("n_probe_buckets"),
+        F.lit(16).cast("int").alias("n_total_buckets"),
+    )
+
+
 def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained rollup (round 5, rollup.py): ingest
     events into a snapshot table in three appends, refreshing a
@@ -2299,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_strip": q_substring_strip,
         "rollup_refresh": q_rollup_refresh,
         "bm25": q_bm25,
+        "bm25_incremental": q_bm25_incremental,
         "domain_mixture": q_domain_mixture,
         "mor_delete": q_mor_delete,
         "table_diff": q_table_diff,
@@ -3380,6 +3420,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN df USING (term)
             JOIN dl ON dl.doc_id = tf.doc_id
             CROSS JOIN stats s
+            GROUP BY qt.query_id, tf.doc_id
+        """,
+        "bm25_incremental": """
+            WITH q(query_id, qtext) AS (
+              VALUES (1, 'merge sort join'), (2, 'spark filter customer'),
+                     (3, 'window hash scan')
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                            w -> length(w) > 0)) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            qt AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT query_id,
+                       unnest(list_filter(regexp_split_to_array(lower(trim(qtext)), '[^a-z0-9]+'),
+                              w -> length(w) > 0)) AS term
+                FROM q)
+            ),
+            probe AS (
+              SELECT count(DISTINCT CAST('0x' || substr(md5(term), 1, 4) AS INT) % 16) AS npb
+              FROM (SELECT DISTINCT term FROM qt)
+            )
+            SELECT qt.query_id, tf.doc_id,
+                   CAST(floor(sum(
+                     ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                   ) * 1000000) AS BIGINT) AS score_micro,
+                   'full,incremental' AS post_modes,
+                   CAST(any_value(probe.npb) AS INTEGER) AS n_probe_buckets,
+                   16 AS n_total_buckets
+            FROM qt
+            JOIN tf USING (term)
+            JOIN df USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+            CROSS JOIN probe
             GROUP BY qt.query_id, tf.doc_id
         """,
         "rollup_refresh": """

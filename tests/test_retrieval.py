@@ -192,3 +192,118 @@ def test_bm25_index_maintained_incrementally(spark, tmp_path):
     assert maintained.keys() == fresh.keys()
     for key in fresh:
         assert maintained[key] == pytest.approx(fresh[key], rel=1e-12), key
+
+
+def test_maintained_index_operator(spark, tmp_path):
+    """VERDICT r5 #5 promoted to an operator: MaintainedBM25Index keeps a
+    persisted, term-bucket-partitioned index fresh under append-only
+    ingest (bootstrap full, then CDC-incremental), query scans prune to
+    the probed buckets at planning time, and maintained scores equal a
+    from-scratch index of the full corpus."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.operators.retrieval import MaintainedBM25Index
+
+    docs_all = _spark_docs(spark).where(F.col("text") != "")
+    idx = MaintainedBM25Index(str(tmp_path / "bm25"), n_buckets=8)
+    s1 = idx.ingest(spark, docs_all.where(F.col("doc_id") < 3))
+    s2 = idx.ingest(spark, docs_all.where(F.col("doc_id") >= 3))
+    assert s1["postings_mode"] == "full"  # bootstrap
+    assert s2["postings_mode"] == "incremental" and s2["doclens_mode"] == "incremental"
+    assert 0 < s2["buckets_exported"] <= 8
+
+    queries = _spark_queries(spark)
+    scored = idx.scores(spark, queries)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    maintained = {(r["query_id"], r["doc_id"]): r["score"] for r in scored.collect()}
+    fresh_post, fresh_stats = build_text_index(docs_all)
+    fresh = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(fresh_post, fresh_stats, queries).collect()
+    }
+    assert maintained.keys() == fresh.keys() and len(maintained) > 0
+    for key in fresh:
+        assert maintained[key] == pytest.approx(fresh[key], rel=1e-12), key
+
+    # the prune is real: corrupt every NON-probed bucket dir — queries
+    # still run (pruned scans never open those files)
+    probed = set(idx.probe_buckets(spark, queries))
+    for d in glob.glob(str(tmp_path / "bm25" / "serving" / "bucket=*")):
+        if int(d.rsplit("=", 1)[1]) not in probed:
+            for f in glob.glob(f"{d}/*.parquet"):
+                with open(f, "wb") as fh:
+                    fh.write(b"corrupt")
+    again = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in idx.scores(spark, queries).collect()
+    }
+    assert again == maintained
+
+    # topk over the maintained index == bm25_topk over fresh
+    shutil.rmtree(str(tmp_path / "bm25"))
+    idx2 = MaintainedBM25Index(str(tmp_path / "bm25"), n_buckets=8)
+    idx2.ingest(spark, docs_all)
+    got_top = [
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in idx2.topk(spark, queries, k=3).orderBy("query_id", "rank").collect()
+    ]
+    want_top = [
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in bm25_topk(fresh_post, fresh_stats, queries, k=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got_top == want_top
+
+
+def test_maintained_index_piecewise_doc_and_guards(spark, tmp_path):
+    """A document arriving in PIECES changes its dl, which is
+    denormalized into buckets its earlier terms live in — those stale
+    buckets must be re-exported, keeping scores equal to a from-scratch
+    index of the merged corpus. Plus: n_buckets mismatch fails loudly,
+    and a tokenless query returns empty."""
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.operators.retrieval import MaintainedBM25Index
+
+    idx = MaintainedBM25Index(str(tmp_path / "idx"), n_buckets=4)
+    part1 = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon")], "doc_id long, text string"
+    )
+    part2 = spark.createDataFrame(
+        [(0, "zeta eta theta iota"), (2, "kappa alpha")], "doc_id long, text string"
+    )
+    idx.ingest(spark, part1)
+    s2 = idx.ingest(spark, part2)  # doc 0 re-arrives: dl 3 -> 7
+    assert s2["postings_mode"] == "incremental"
+
+    merged = spark.createDataFrame(
+        [(0, "alpha beta gamma zeta eta theta iota"), (1, "delta epsilon"), (2, "kappa alpha")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta kappa"), (3, "")], "query_id long, qtext string"
+    )
+    maintained = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in idx.scores(spark, queries).collect()
+    }
+    fresh_post, fresh_stats = build_text_index(merged)
+    fresh = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(fresh_post, fresh_stats, queries).collect()
+    }
+    assert maintained.keys() == fresh.keys() and len(maintained) > 0
+    for key in fresh:
+        assert maintained[key] == pytest.approx(fresh[key], rel=1e-12), key
+    assert not any(q == 3 for q, _ in maintained)  # tokenless query
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        MaintainedBM25Index(str(tmp_path / "idx"), n_buckets=8)
+    with pytest.raises(ValueError):
+        bm25_scores(fresh_post, None, queries)
