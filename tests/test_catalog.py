@@ -585,3 +585,77 @@ def test_table_diff_lifecycle(spark, tmp_path):
         t3.diff(spark, t3.current_snapshot_id(), keys=["id"])
     with _pytest.raises(ValueError, match="key columns"):
         t.diff(spark, v1, keys=[])
+
+
+def test_mor_read_amplification_metric(spark, tmp_path):
+    """VERDICT r5 #6: delete entries per data file is visible as a metric
+    and drops to zero once something materializes the deletes."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(8)], "id long").coalesce(1))
+    amp0 = t.read_amplification()
+    assert amp0["n_delete_entries"] == 0
+    assert amp0["delete_entries_per_data_file"] == 0.0
+    t.delete(spark, spark.createDataFrame([(1,)], "id long"), ["id"])
+    t.delete(spark, spark.createDataFrame([(2,)], "id long"), ["id"])
+    amp = t.read_amplification()
+    # both entries cover the single original data file
+    assert amp["n_delete_entries"] == 2
+    assert amp["covered_data_files"] == amp["n_data_files"]
+    assert amp["delete_entries_per_data_file"] == 2.0
+    assert amp["max_delete_entries_per_file"] == 2
+    # a file appended AFTER the deletes is uncovered -> mean drops
+    t.append(spark.createDataFrame([(100,)], "id long").coalesce(1))
+    amp2 = t.read_amplification()
+    assert amp2["covered_data_files"] < amp2["n_data_files"]
+    assert amp2["delete_entries_per_data_file"] < 2.0
+    assert amp2["max_delete_entries_per_file"] == 2
+    t.compact(spark, target_bytes=1 << 30)
+    assert t.read_amplification()["delete_entries_per_data_file"] == 0.0
+
+
+def test_rewrite_deletes_touches_only_covered_files(spark, tmp_path):
+    """rewrite_deletes materializes outstanding deletes but — unlike
+    compact — carries uncovered data files over BY NAME."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i, "a") for i in range(6)], "id long, s string").coalesce(1))
+    vdel = t.delete(spark, spark.createDataFrame([(2,), (4,)], "id long"), ["id"])
+    t.append(spark.createDataFrame([(10, "b")], "id long, s string").coalesce(1))
+    uncovered = [
+        f for f in t._load(t.current_snapshot_id())["files"]
+        if not any(f in e["applies_to"] for e in t._load(t.current_snapshot_id())["deletes"])
+    ]
+    vr = t.rewrite_deletes(spark)
+    m = t._load(vr)
+    assert m["operation"] == "rewrite_deletes"
+    assert "deletes" not in m
+    # uncovered files carried verbatim, covered ones replaced
+    assert set(uncovered) <= set(m["files"])
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 1, 3, 5, 10]
+    # time travel: pre-rewrite snapshot still applies its delete entries
+    assert sorted(r["id"] for r in t.read(spark, snapshot_id=vdel).collect()) == [0, 1, 3, 5]
+    assert t.read_amplification()["delete_entries_per_data_file"] == 0.0
+    # idempotent: nothing left to rewrite -> same snapshot id back
+    assert t.rewrite_deletes(spark) == vr
+
+
+def test_delete_auto_rewrite_threshold(spark, tmp_path):
+    """delete(auto_rewrite_after=K) leaves MoR entries in place below the
+    threshold and materializes them when the mean coverage reaches it."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "id long").coalesce(1))
+    v1 = t.delete(spark, spark.createDataFrame([(0,)], "id long"), ["id"], auto_rewrite_after=2.0)
+    assert t._load(v1)["operation"] == "delete"  # amp 1.0 < 2.0: MoR entry kept
+    v2 = t.delete(spark, spark.createDataFrame([(1,)], "id long"), ["id"], auto_rewrite_after=2.0)
+    m2 = t._load(v2)
+    assert m2["operation"] == "rewrite_deletes"  # amp hit 2.0 -> materialized
+    assert "deletes" not in m2
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(2, 10))
+    # the delete snapshot itself still exists under the rewrite (parent chain)
+    assert m2["parent"] == v2 - 1
+    assert t._load(v2 - 1)["operation"] == "delete"
