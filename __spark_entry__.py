@@ -1654,6 +1654,43 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "text", F.lit(ok).alias("invariants_ok"))
 
 
+def q_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest file-stats data skipping (round 6, the Iceberg scan-
+    planning path): orders lands in a ManifestTable as four contiguous
+    o_orderkey quartile commits (one file each), then a key-range box
+    read plans driver-side from the per-commit ``_stats.json`` min/max
+    — only intersecting files are opened. The scanned/total file counts
+    ride IN the hashed result (r4 trick), and DuckDB replays them from
+    the same quartile slice stats relationally; the row set must equal
+    the plain filtered read."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    root = f"{tempfile.gettempdir()}/aes_statspr_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sliced = orders.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("o_orderkey"))
+    )
+    t = ManifestTable(root)
+    for s in (1, 2, 3, 4):
+        t.append(sliced.where(F.col("slice") == s).drop("slice").coalesce(1))
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    lo, hi = int(0.30 * mx), int(0.45 * mx)
+    keep, total = t.prune_files({"o_orderkey": (lo, hi)})
+    out = t.read_pruned(spark, {"o_orderkey": (lo, hi)})
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(len(keep)).cast("long").alias("n_files_scanned"),
+        F.lit(total).cast("long").alias("n_files_total"),
+    )
+
+
 def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding-aware inference batching (round 5): documents bucketed to
     power-of-two length caps, each bucket cut into batches whose padded
@@ -2341,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental": q_bm25_incremental,
         "domain_mixture": q_domain_mixture,
         "mor_delete": q_mor_delete,
+        "stats_pruned_read": q_stats_pruned_read,
         "table_diff": q_table_diff,
         "winsorize": q_winsorize,
         "near_dup_prune": q_near_dup_prune,
@@ -3365,6 +3403,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id >= 100 AND doc_id < 150
             UNION ALL
             SELECT 15, 'REINSERTED-15', TRUE
+        """,
+        "stats_pruned_read": """
+            WITH sliced AS (
+              SELECT o_orderkey, o_totalprice,
+                     ntile(4) OVER (ORDER BY o_orderkey) AS slice
+              FROM orders
+            ),
+            lims AS (
+              SELECT CAST(floor(0.30 * max(o_orderkey)) AS BIGINT) AS lo,
+                     CAST(floor(0.45 * max(o_orderkey)) AS BIGINT) AS hi
+              FROM orders
+            ),
+            slice_stats AS (
+              SELECT slice, min(o_orderkey) AS mn, max(o_orderkey) AS mx
+              FROM sliced GROUP BY slice
+            ),
+            scanned AS (
+              SELECT count(*) AS n FROM slice_stats, lims
+              WHERE mx >= lo AND mn <= hi
+            )
+            SELECT s.o_orderkey, s.o_totalprice,
+                   (SELECT n FROM scanned) AS n_files_scanned,
+                   CAST(4 AS BIGINT) AS n_files_total
+            FROM sliced s, lims l
+            WHERE s.o_orderkey BETWEEN l.lo AND l.hi
         """,
         "domain_mixture": """
             WITH total AS (SELECT count(*) AS n_total FROM documents),

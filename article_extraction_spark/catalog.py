@@ -35,6 +35,76 @@ class CommitConflict(Exception):
     """Another writer committed this version first — refresh and retry."""
 
 
+_STATS_NAME = "_stats.json"
+
+
+def _stat_bound(v):
+    """Normalize a parquet footer statistic (or a user box bound) to a
+    comparable float, or None for kinds pruning must not trust.
+
+    Strings/bytes are deliberately excluded: parquet writers may truncate
+    binary min/max (a truncated max can sort BELOW real rows, so pruning
+    on it would silently drop matches). Numerics, bools, dates and
+    timestamps are exact. Naive datetimes are treated as UTC — Spark
+    writes parquet TIMESTAMP as UTC-adjusted micros."""
+    import datetime
+
+    if isinstance(v, bool):
+        return float(v)
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            return v.timestamp() * 1e6
+        import calendar
+
+        return calendar.timegm(v.utctimetuple()) * 1e6 + v.microsecond
+    if isinstance(v, datetime.date):
+        return float(v.toordinal())
+    return None
+
+
+def _write_commit_stats(commit_dir: str, names: list[str]) -> None:
+    """Record per-file, per-column min/max (Iceberg manifest column stats)
+    as ``_stats.json`` INSIDE the commit dir. One stats file per commit —
+    written by the single writer that owns the dir, so concurrent commits
+    never race on shared state (the reason stats don't live in one
+    table-level sidecar)."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict] = {}
+    for name in names:
+        md = pq.ParquetFile(os.path.join(commit_dir, name)).metadata
+        fmin: dict[str, float] = {}
+        fmax: dict[str, float] = {}
+        dead: set[str] = set()
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                cname = col.path_in_schema
+                if "." in cname or cname in dead:
+                    continue  # nested columns: no flat box semantics
+                st = col.statistics
+                lo = hi = None
+                if st is not None and st.has_min_max:
+                    lo, hi = _stat_bound(st.min), _stat_bound(st.max)
+                if lo is None or hi is None:
+                    # one group without trustworthy bounds poisons the
+                    # whole file for this column (scan is always safe)
+                    dead.add(cname)
+                    fmin.pop(cname, None)
+                    fmax.pop(cname, None)
+                    continue
+                fmin[cname] = min(fmin.get(cname, lo), lo)
+                fmax[cname] = max(fmax.get(cname, hi), hi)
+        stats[name] = {"rows": md.num_rows, "min": fmin, "max": fmax}
+    tmp = os.path.join(commit_dir, _STATS_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, os.path.join(commit_dir, _STATS_NAME))
+
+
 class ManifestTable:
     def __init__(self, root: str):
         self.root = root
@@ -67,11 +137,14 @@ class ManifestTable:
         commit_dir = f"data/commit-{uuid.uuid4().hex[:12]}"
         full = os.path.join(self.root, commit_dir)
         df.write.parquet(full)
-        return [
-            f"{commit_dir}/{name}"
-            for name in sorted(os.listdir(full))
-            if name.endswith(".parquet")
-        ]
+        names = sorted(n for n in os.listdir(full) if n.endswith(".parquet"))
+        try:
+            _write_commit_stats(full, names)
+        except Exception:
+            # stats are a pruning optimization, never a commit precondition:
+            # a file with no stats entry is always scanned (read_pruned)
+            pass
+        return [f"{commit_dir}/{name}" for name in names]
 
     def _commit(
         self,
@@ -579,6 +652,89 @@ class ManifestTable:
         if not manifest["files"]:
             return spark.createDataFrame([], schema)
         return self._read_with_deletes(spark, manifest, schema)
+
+    def prune_files(
+        self, box: dict[str, tuple], snapshot_id: int | None = None
+    ) -> tuple[list[str], int]:
+        """Scan planning (round 6): intersect a box predicate
+        ``{col: (lo, hi)}`` with the per-commit ``_stats.json`` column
+        stats and return ``(files_to_scan, total_files)`` — driver-side
+        JSON reads, zero data files opened. A file is dropped only when a
+        recorded column range provably misses the box; files without a
+        stats entry (foreign writers, stats failure, pre-stats commits)
+        or without bounds for a box column are always kept. Bounds may be
+        numbers, dates or datetimes (see ``_stat_bound``)."""
+        version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        bounds = {}
+        for col, (lo, hi) in box.items():
+            blo, bhi = _stat_bound(lo), _stat_bound(hi)
+            if blo is None or bhi is None:
+                raise TypeError(
+                    f"box bound for {col!r} is not a prunable kind "
+                    "(number / bool / date / datetime)"
+                )
+            bounds[col] = (blo, bhi)
+        files = self._load(version)["files"]
+        dir_stats: dict[str, dict] = {}
+        keep = []
+        for f in files:
+            d, name = os.path.split(f)
+            if d not in dir_stats:
+                try:
+                    with open(os.path.join(self.root, d, _STATS_NAME)) as fh:
+                        dir_stats[d] = json.load(fh)
+                except (OSError, ValueError):
+                    dir_stats[d] = {}
+            ent = dir_stats[d].get(name)
+            drop = False
+            if ent is not None:
+                if ent.get("rows") == 0:
+                    continue  # zero-row part files never match anything
+                for col, (blo, bhi) in bounds.items():
+                    if col in ent["min"] and (
+                        ent["max"][col] < blo or ent["min"][col] > bhi
+                    ):
+                        drop = True
+                        break
+            if not drop:
+                keep.append(f)
+        return keep, len(files)
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        box: dict[str, tuple],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Predicate read with file-level data skipping (the Iceberg scan
+        path: manifest column stats prune the file list BEFORE any data
+        file is opened, then the residual predicate applies within kept
+        files — parquet row-group pushdown still applies under it).
+        Outstanding MoR delete entries are applied exactly as in
+        ``read``; restricting the file list never changes which entries
+        cover a kept file. Equivalent to
+        ``read(...).where(<box predicate>)`` by construction — pruning
+        only drops files whose recorded ranges provably miss the box."""
+        from pyspark.sql import functions as F
+
+        version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        manifest = self._load(version)
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        keep, _total = self.prune_files(box, snapshot_id=version)
+        pred = None
+        for col, (lo, hi) in box.items():
+            clause = F.col(col).between(F.lit(lo), F.lit(hi))
+            pred = clause if pred is None else (pred & clause)
+        if not keep:
+            return spark.createDataFrame([], schema)
+        sub = dict(manifest)
+        sub["files"] = keep
+        out = self._read_with_deletes(spark, sub, schema)
+        return out if pred is None else out.where(pred)
 
     def _read_with_deletes(
         self,

@@ -659,3 +659,102 @@ def test_delete_auto_rewrite_threshold(spark, tmp_path):
     # the delete snapshot itself still exists under the rewrite (parent chain)
     assert m2["parent"] == v2 - 1
     assert t._load(v2 - 1)["operation"] == "delete"
+
+
+def test_stats_pruned_read_skips_files_provably(spark, tmp_path):
+    """Round 6 scan planning: per-commit footer stats prune the file list
+    driver-side. Proof by corruption — files outside the box are
+    OVERWRITTEN WITH GARBAGE and the pruned read still answers."""
+    import os
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200, 300):  # four disjoint id-range commits
+        t.append(
+            spark.createDataFrame([(i, f"s{i}") for i in range(lo, lo + 100)], "id long, s string").coalesce(1)
+        )
+    keep, total = t.prune_files({"id": (120, 180)})
+    assert total == 4 and len(keep) == 1
+    # corrupt every file OUTSIDE the box
+    for f in t._load(t.current_snapshot_id())["files"]:
+        if f not in keep:
+            with open(os.path.join(t.root, f), "wb") as fh:
+                fh.write(b"not parquet at all")
+    got = sorted(r["id"] for r in t.read_pruned(spark, {"id": (120, 180)}).collect())
+    assert got == list(range(120, 181))
+
+
+def test_stats_pruned_read_equals_filtered_read(spark, tmp_path):
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    for lo in (0, 50, 100):
+        t.append(spark.createDataFrame([(i, i * 1.5) for i in range(lo, lo + 50)], "id long, v double").coalesce(1))
+    box = {"id": (30, 70), "v": (0.0, 100.0)}
+    pruned = {r["id"] for r in t.read_pruned(spark, box).collect()}
+    full = {
+        r["id"]
+        for r in t.read(spark).where("id between 30 and 70 and v between 0.0 and 100.0").collect()
+    }
+    assert pruned == full and len(pruned) == 37
+
+
+def test_stats_pruned_read_missing_stats_and_deletes(spark, tmp_path):
+    """Files with no stats entry are scanned (never wrongly skipped), and
+    MoR delete entries still apply on the pruned subset."""
+    import os
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(100)], "id long").coalesce(1))
+    t.append(spark.createDataFrame([(i,) for i in range(100, 200)], "id long").coalesce(1))
+    # blow away one commit's stats: that file must be kept regardless of box
+    f0 = t._load(t.current_snapshot_id())["files"][0]
+    os.remove(os.path.join(t.root, os.path.dirname(f0), "_stats.json"))
+    keep, total = t.prune_files({"id": (150, 160)})
+    assert total == 2 and len(keep) == 2  # stats-less file survives pruning
+    t.delete(spark, spark.createDataFrame([(155,)], "id long"), ["id"])
+    got = sorted(r["id"] for r in t.read_pruned(spark, {"id": (150, 160)}).collect())
+    assert got == [i for i in range(150, 161) if i != 155]
+
+
+def test_stats_prune_rejects_string_bounds(spark, tmp_path):
+    import pytest as _pytest
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, s string").coalesce(1))
+    with _pytest.raises(TypeError, match="prunable"):
+        t.prune_files({"s": ("a", "z")})
+    # string column stats are never recorded (truncation-unsafe)
+    import json as _json
+    import os as _os
+
+    f = t._load(t.current_snapshot_id())["files"][0]
+    with open(_os.path.join(t.root, _os.path.dirname(f), "_stats.json")) as fh:
+        st = _json.load(fh)
+    ent = st[_os.path.basename(f)]
+    assert "id" in ent["min"] and "s" not in ent["min"]
+
+
+def test_stats_prune_timestamp_box(spark, tmp_path):
+    """Datetime bounds prune when the writer produced timestamp stats;
+    if the parquet writer emitted no trustworthy bounds (e.g. INT96),
+    nothing is pruned — both outcomes must read correctly."""
+    import datetime
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    base = datetime.datetime(2026, 1, 1)
+    for day in (0, 10):
+        rows = [(i, base + datetime.timedelta(days=day, minutes=i)) for i in range(10)]
+        t.append(spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1))
+    box = {"ts": (base + datetime.timedelta(days=9), base + datetime.timedelta(days=11))}
+    keep, total = t.prune_files(box)
+    assert total == 2 and len(keep) in (1, 2)
+    got = sorted(r["id"] for r in t.read_pruned(spark, box).collect())
+    assert got == list(range(10))
