@@ -1654,6 +1654,27 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "text", F.lit(ok).alias("invariants_ok"))
 
 
+def q_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter anti-join (round 6): orders not placed by the build
+    set of customers (c_custkey ≡ 0 mod 7). k xxhash64 bit positions per
+    key, bit_or-aggregated bitmap, bloom-negative rows pass join-free and
+    bloom-positives get exact left_anti confirmation — so the result is
+    EXACTLY the anti-join, which is what DuckDB replays (the bloom
+    internals provably cannot change the row set; no-false-negative and
+    fp-rate behavior are pinned in tests/test_bloom.py)."""
+    from article_extraction_spark.operators.bloom import bloom_anti_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    build = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 7 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return bloom_anti_join(orders, build, ["o_custkey"]).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
 def q_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest file-stats data skipping (round 6, the Iceberg scan-
     planning path): orders lands in a ManifestTable as four contiguous
@@ -2379,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": q_domain_mixture,
         "mor_delete": q_mor_delete,
         "stats_pruned_read": q_stats_pruned_read,
+        "bloom_anti": q_bloom_anti,
         "table_diff": q_table_diff,
         "winsorize": q_winsorize,
         "near_dup_prune": q_near_dup_prune,
@@ -3403,6 +3425,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id >= 100 AND doc_id < 150
             UNION ALL
             SELECT 15, 'REINSERTED-15', TRUE
+        """,
+        "bloom_anti": """
+            SELECT o.o_orderkey, o.o_custkey
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 7 = 0
+            )
         """,
         "stats_pruned_read": """
             WITH sliced AS (
