@@ -1654,6 +1654,38 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "text", F.lit(ok).alias("invariants_ok"))
 
 
+def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (round 6; Cormode & Muthukrishnan
+    2005): d=4 × w=512 cells over orders.o_custkey, then the estimate
+    for every distinct customer. w is deliberately smaller than the key
+    domain so buckets COLLIDE — the oracle replays the sketch arithmetic
+    (same md5 buckets, same min-over-rows), not the exact counts, which
+    is what proves the implementation."""
+    from article_extraction_spark.operators.sketches import cm_build, cm_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    cells = cm_build(orders, "o_custkey", d=4, w=512)
+    return cm_estimate(cells, orders, "o_custkey", d=4, w=512).select(
+        F.col("o_custkey").cast("long").alias("o_custkey"), "est"
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct customers per order priority (round 6;
+    Flajolet et al. 2007): b=8 (256 registers), rho from 60 md5 bits via
+    pure string arithmetic, denominator summed as 2^(48-rho) BIGINTs so
+    aggregation order cannot move the estimate, α·m²·2^48 shipped as ONE
+    shared double literal. DuckDB replays registers, quantized sum,
+    linear-counting branch and the floored-micros estimate exactly."""
+    from article_extraction_spark.operators.sketches import hll_estimate, hll_registers
+
+    orders = _t(spark, sf_dir, "orders")
+    regs = hll_registers(orders, "o_custkey", b=8, group_cols=["o_orderpriority"])
+    return hll_estimate(regs, b=8).select(
+        "o_orderpriority", "est_micro", "used_linear_counting"
+    )
+
+
 def q_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter anti-join (round 6): orders not placed by the build
     set of customers (c_custkey ≡ 0 mod 7). k xxhash64 bit positions per
@@ -2401,6 +2433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_delete": q_mor_delete,
         "stats_pruned_read": q_stats_pruned_read,
         "bloom_anti": q_bloom_anti,
+        "cm_sketch": q_cm_sketch,
+        "hll_distinct": q_hll_distinct,
         "table_diff": q_table_diff,
         "winsorize": q_winsorize,
         "near_dup_prune": q_near_dup_prune,
@@ -2422,6 +2456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from article_extraction_spark.operators.sketches import hll_raw_numerator
+
+    _hll_num = repr(hll_raw_numerator(8))  # α·m²·2^48 — MUST match the Spark literal
     return {
         "convert_html": """
             SELECT doc_id, trim(text) || chr(10) || 'lang: ' || lang AS extracted_text
@@ -3425,6 +3462,74 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id >= 100 AND doc_id < 150
             UNION ALL
             SELECT 15, 'REINSERTED-15', TRUE
+        """,
+        "cm_sketch": """
+            WITH ii AS (SELECT unnest(generate_series(0, 3)) AS i),
+            cells AS (
+              SELECT ii.i,
+                     ('0x' || substr(md5(CAST(ii.i AS VARCHAR) || '|' ||
+                          CAST(o.o_custkey AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket,
+                     count(*) AS cnt
+              FROM orders o, ii
+              WHERE o.o_custkey IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            cand AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL),
+            probes AS (
+              SELECT c.o_custkey, ii.i,
+                     ('0x' || substr(md5(CAST(ii.i AS VARCHAR) || '|' ||
+                          CAST(c.o_custkey AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket
+              FROM cand c, ii
+            )
+            SELECT p.o_custkey, CAST(min(coalesce(cl.cnt, 0)) AS BIGINT) AS est
+            FROM probes p LEFT JOIN cells cl ON p.i = cl.i AND p.bucket = cl.bucket
+            GROUP BY p.o_custkey
+        """,
+        "hll_distinct": f"""
+            WITH h AS (
+              SELECT o_orderpriority, md5(CAST(o_custkey AS VARCHAR)) AS hx
+              FROM orders WHERE o_custkey IS NOT NULL
+            ),
+            r AS (
+              SELECT o_orderpriority,
+                     ('0x' || substr(hx, 1, 4))::BIGINT % 256 AS register,
+                     substr(hx, 5, 15) AS sub
+              FROM h
+            ),
+            rho AS (
+              SELECT o_orderpriority, register,
+                     CAST(4 * length(regexp_extract(sub, '^0*'))
+                      + CASE upper(substr(sub, length(regexp_extract(sub, '^0*')) + 1, 1))
+                          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                          WHEN '7' THEN 1 ELSE 0 END
+                      + 1 AS INTEGER) AS rho
+              FROM r
+            ),
+            regs AS (
+              SELECT o_orderpriority, register, max(rho) AS max_rho
+              FROM rho GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT o_orderpriority,
+                     sum(CASE WHEN max_rho <= 48
+                              THEN 281474976710656 >> max_rho ELSE 0 END) AS seen_sum,
+                     count(*) AS n_seen
+              FROM regs GROUP BY 1
+            ),
+            est AS (
+              SELECT o_orderpriority,
+                     {_hll_num} / CAST(seen_sum + (256 - n_seen) * 281474976710656
+                                       AS DOUBLE) AS raw,
+                     256 - n_seen AS zeros
+              FROM agg
+            )
+            SELECT o_orderpriority,
+                   CAST(floor(CASE WHEN raw <= 640.0 AND zeros > 0
+                                   THEN 256.0 * ln(256.0 / zeros)
+                                   ELSE raw END * 1e6) AS BIGINT) AS est_micro,
+                   (raw <= 640.0 AND zeros > 0) AS used_linear_counting
+            FROM est
         """,
         "bloom_anti": """
             SELECT o.o_orderkey, o.o_custkey

@@ -1,0 +1,237 @@
+"""Mergeable frequency / cardinality sketches with exact cross-engine replay.
+
+At 100 TB, "how often does each key occur" and "how many distinct keys"
+are usually wanted at bounded memory, not exactly: a full
+``groupBy(key).count()`` shuffles the whole key domain (billions of URLs /
+users / shingles), while a sketch shuffles a FIXED number of cells and
+merges associatively across partitions, executors and datasets. Two
+classics (public: Cormode & Muthukrishnan 2005 count-min; Flajolet et al.
+2007 HyperLogLog), built relationally:
+
+  * count-min: d hash rows × w buckets; insert adds 1 to one cell per
+    row, estimate(key) = min over rows of its cells — an overestimate
+    bounded by εN with probability 1-δ (w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+    Build is a map-side-combined groupBy over ≤ d·w cells.
+  * HyperLogLog: register = first b bits of the key hash, rho = leading-
+    zero count of the next 60 bits + 1; per register keep max(rho);
+    estimate = α_m·m²/Σ2^-M[j] with the standard linear-counting branch.
+
+Determinism contract (what makes these VALUE-oracle-able, not just
+rows-only): every hash is md5 hex arithmetic both engines evaluate
+identically, and the HLL denominator Σ2^-M[j] — which is order-dependent
+in floating point — is quantized per term to integers at scale 2^48
+(terms with rho > 48 truncate to 0, deterministically) and summed as
+BIGINT, so partial aggregation order cannot perturb the estimate. The
+α_m correction and the final division are single IEEE-754 expressions,
+identical across engines.
+
+Estimates deliberately differ from exact counts when buckets collide —
+the cross-engine oracle replays the SKETCH, not the truth, which is
+exactly what proves the implementation.
+
+Spark-shape notes: sketches are DataFrames ((i, bucket, cnt) /
+(register, max_rho)); ``*_merge`` is a groupBy sum/max, so per-day or
+per-source sketches roll up without touching raw data. Estimate lookups
+broadcast the (tiny, ≤ d·w rows) sketch to the candidate keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cm_build",
+    "cm_merge",
+    "cm_estimate",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+    "hll_raw_numerator",
+]
+
+# -- shared md5 arithmetic ----------------------------------------------------
+
+
+def _hex_to_long(col) -> F.Column:
+    """Hex string -> BIGINT; Spark's conv mirrors DuckDB ('0x'||s)::BIGINT
+    for inputs below 2^63 (callers pass <=15 hex chars)."""
+    return F.conv(col, 16, 10).cast("long")
+
+
+def _cm_bucket(key_col, i: int, w: int) -> F.Column:
+    """Row-i bucket: first 32 hash bits of md5('<i>|<key>') mod w."""
+    h = F.md5(F.concat_ws("|", F.lit(str(i)), key_col.cast("string")))
+    return F.pmod(_hex_to_long(F.substring(h, 1, 8)), F.lit(w))
+
+
+# -- count-min ----------------------------------------------------------------
+
+
+def cm_build(df: DataFrame, key_col: str, d: int = 4, w: int = 2048) -> DataFrame:
+    """Count-min cells ``(i, bucket, cnt)`` for the values of ``key_col``
+    (NULLs are not inserted — a NULL key is no observation, matching the
+    estimate side which can't look one up). One explode(d) + groupBy over
+    at most d·w cells; partial aggregation does the map-side combine."""
+    rows = df.where(F.col(key_col).isNotNull()).select(F.col(key_col).alias("__k"))
+    pairs = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cm_bucket(F.col("__k"), i, w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c")
+    )
+    return pairs.groupBy("c.i", "c.bucket").agg(F.count("*").alias("cnt"))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the SAME (d, w): cell-wise sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    cells: DataFrame, candidates: DataFrame, key_col: str, d: int = 4, w: int = 2048
+) -> DataFrame:
+    """Estimated count per candidate key: min over the d rows of the
+    key's cell, 0 for a never-touched cell (left join + coalesce). The
+    sketch (≤ d·w rows) broadcasts to the candidates, never the other
+    way."""
+    cand = candidates.select(F.col(key_col).alias("__k")).where(
+        F.col("__k").isNotNull()
+    ).distinct()
+    probes = cand.select(
+        "__k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cm_bucket(F.col("__k"), i, w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("__k", "c.i", "c.bucket")
+    joined = probes.join(F.broadcast(cells), ["i", "bucket"], "left").select(
+        "__k", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("__k").agg(F.min("cnt").alias("est")).select(
+        F.col("__k").alias(key_col), F.col("est").cast("long").alias("est")
+    )
+
+
+# -- HyperLogLog --------------------------------------------------------------
+
+_HLL_RHO_HEX = 15  # 60 bits of rho material
+_HLL_SCALE_BITS = 48  # per-term quantization scale for the denominator sum
+
+
+def hll_raw_numerator(b: int) -> float:
+    """α_m · m² · 2^48 as one python double — the single literal both the
+    Spark estimate and any replaying engine must share verbatim."""
+    m = 1 << b
+    alpha = (
+        0.673
+        if m == 16
+        else 0.697
+        if m == 32
+        else 0.709
+        if m == 64
+        else 0.7213 / (1.0 + 1.079 / m)
+    )
+    return alpha * m * m * float(1 << _HLL_SCALE_BITS)
+
+
+def _rho_expr(hex_col_name: str) -> F.Column:
+    """rho = leading zero BITS of the 60-bit value + 1, via pure string
+    arithmetic (no float, no bit_length): 4 bits per leading '0' hex
+    char, plus a CASE table for the first non-zero char. The all-zero
+    string has no non-zero char (extra = 0) and lz = 60 bits → rho 61."""
+    c = hex_col_name
+    lz_chars = F.length(F.regexp_extract(F.col(c), "^0*", 0))
+    first_nz = F.upper(
+        F.expr(f"substr({c}, length(regexp_extract({c}, '^0*', 0)) + 1, 1)")
+    )
+    extra = (
+        F.when(first_nz.isin("8", "9", "A", "B", "C", "D", "E", "F"), 0)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .when(first_nz.isin("2", "3"), 2)
+        .when(first_nz == "1", 3)
+        .otherwise(0)
+    )
+    return (lz_chars * 4 + extra + 1).cast("int")
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, b: int = 8, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-(group,) register maxima ``(… , register, max_rho)``. b register
+    bits (m = 2^b registers, b ≤ 16 so pmod over the first 4 hash hex
+    chars is exactly uniform); rho from the next 60 bits. NULL keys are
+    not observations."""
+    m = 1 << b
+    gcols = list(group_cols or [])
+    base = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*gcols, F.md5(F.col(key_col).cast("string")).alias("__h"))
+        .select(
+            *gcols,
+            F.pmod(_hex_to_long(F.substring("__h", 1, 4)), F.lit(m)).alias("register"),
+            F.substring("__h", 5, _HLL_RHO_HEX).alias("__hll_hex"),
+        )
+    )
+    base = base.withColumn("__rho", _rho_expr("__hll_hex"))
+    return base.groupBy(*gcols, "register").agg(F.max("__rho").alias("max_rho"))
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Merge register sets with the same b: register-wise max."""
+    out = register_sets[0]
+    gcols = [c for c in out.columns if c not in ("register", "max_rho")]
+    for s in register_sets[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*gcols, "register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
+    """Distinct-count estimate per group (one row per group; one row
+    total when ungrouped). The denominator is summed as quantized
+    BIGINTs (2^(48-rho) per register, rho > 48 truncates to 0; the
+    m - n_seen empty registers contribute 2^48 each), so the result is
+    bit-stable under any aggregation order — see module docstring."""
+    m = 1 << b
+    gcols = [c for c in registers.columns if c not in ("register", "max_rho")]
+    scale = 1 << _HLL_SCALE_BITS
+    # pyspark's F.shiftright wrapper takes only a literal bit count — the
+    # SQL function accepts a column, so go through expr
+    term = F.when(
+        F.col("max_rho") <= _HLL_SCALE_BITS,
+        F.expr(f"shiftright(cast({scale} as bigint), max_rho)"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = registers.groupBy(*gcols).agg(
+        F.sum(term).alias("__seen_sum"), F.count("*").alias("__n_seen")
+    )
+    zeros = F.lit(m).cast("long") - F.col("__n_seen")
+    denom_q = F.col("__seen_sum") + zeros * F.lit(scale).cast("long")
+    # ONE precomputed double literal for α·m²·2^48 — splitting it into
+    # several runtime multiplies would let another engine replaying the
+    # formula land one ulp away (cross-engine value-oracle contract)
+    raw = F.lit(hll_raw_numerator(b)) / denom_q.cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    use_linear = (raw <= F.lit(2.5 * m)) & (zeros > 0)
+    est = F.when(use_linear, linear).otherwise(raw)
+    return agg.select(
+        *gcols,
+        F.floor(est * 1e6).cast("long").alias("est_micro"),
+        use_linear.alias("used_linear_counting"),
+    )

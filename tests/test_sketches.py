@@ -1,0 +1,154 @@
+"""Count-min / HLL sketches: python-twin replay, classic guarantees, merge."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from article_extraction_spark.operators.sketches import (
+    cm_build,
+    cm_estimate,
+    cm_merge,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+# -- python twins (independent reimplementation of the hash spec) -------------
+
+
+def _cm_bucket_py(key, i: int, w: int) -> int:
+    h = hashlib.md5(f"{i}|{key}".encode()).hexdigest()
+    return int(h[:8], 16) % w
+
+
+def _cm_py(keys, d, w):
+    cells: dict[tuple, int] = {}
+    for k in keys:
+        for i in range(d):
+            b = _cm_bucket_py(k, i, w)
+            cells[(i, b)] = cells.get((i, b), 0) + 1
+    return cells
+
+
+def _hll_py(keys, b):
+    m = 1 << b
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        reg = int(h[:4], 16) % m
+        v = int(h[4 : 4 + 15], 16)
+        rho = 61 - v.bit_length() if v else 61
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def _hll_est_py(regs, b):
+    from article_extraction_spark.operators.sketches import hll_raw_numerator
+
+    m = 1 << b
+    scale = 1 << 48
+    seen_sum = sum(scale >> r if r <= 48 else 0 for r in regs.values())
+    zeros = m - len(regs)
+    denom_q = seen_sum + zeros * scale
+    raw = hll_raw_numerator(b) / float(denom_q)
+    import math
+
+    if raw <= 2.5 * m and zeros > 0:
+        return float(m) * math.log(float(m) / zeros), True
+    return raw, False
+
+
+# -- count-min ----------------------------------------------------------------
+
+
+def test_cm_cells_and_estimates_match_python_twin(spark):
+    keys = [f"k{i % 37}" for i in range(1000)] + ["hot"] * 200
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    d, w = 4, 256
+    cells = cm_build(df, "key", d=d, w=w)
+    got = {(r["i"], r["bucket"]): r["cnt"] for r in cells.collect()}
+    assert got == _cm_py(keys, d, w)
+
+    cand = spark.createDataFrame([(k,) for k in set(keys)], "key string")
+    est = {r["key"]: r["est"] for r in cm_estimate(cells, cand, "key", d=d, w=w).collect()}
+    twin_cells = _cm_py(keys, d, w)
+    for k in set(keys):
+        want = min(twin_cells.get((i, _cm_bucket_py(k, i, w)), 0) for i in range(d))
+        assert est[k] == want, k
+
+
+def test_cm_never_underestimates(spark):
+    keys = [f"u{i % 101}" for i in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    cells = cm_build(df, "key", d=3, w=64)  # tiny w forces collisions
+    exact = {k: keys.count(k) for k in set(keys)}
+    cand = spark.createDataFrame([(k,) for k in exact], "key string")
+    for r in cm_estimate(cells, cand, "key", d=3, w=64).collect():
+        assert r["est"] >= exact[r["key"]]
+
+
+def test_cm_merge_equals_single_build(spark):
+    a = spark.createDataFrame([(f"k{i}",) for i in range(300)], "key string")
+    bdf = spark.createDataFrame([(f"k{i}",) for i in range(200, 500)], "key string")
+    merged = cm_merge(cm_build(a, "key", 4, 128), cm_build(bdf, "key", 4, 128))
+    whole = cm_build(a.unionByName(bdf), "key", 4, 128)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cm_null_keys_not_inserted(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "key string")
+    cells = cm_build(df, "key", d=2, w=16)
+    assert cells.agg(F.sum("cnt")).collect()[0][0] == 4  # 2 rows x d=2
+
+
+# -- HLL ----------------------------------------------------------------------
+
+
+def test_hll_registers_and_estimate_match_python_twin(spark):
+    keys = [f"user-{i}" for i in range(5000)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    regs = hll_registers(df, "key", b=8)
+    got = {r["register"]: r["max_rho"] for r in regs.collect()}
+    assert got == _hll_py(keys, 8)
+
+    est_row = hll_estimate(regs, b=8).collect()[0]
+    twin_est, twin_linear = _hll_est_py(_hll_py(keys, 8), 8)
+    import math
+
+    assert est_row["est_micro"] == math.floor(twin_est * 1e6)
+    assert est_row["used_linear_counting"] == twin_linear
+
+
+def test_hll_accuracy_within_3_sigma(spark):
+    n = 5000
+    df = spark.createDataFrame([(f"user-{i}",) for i in range(n)], "key string")
+    est = hll_estimate(hll_registers(df, "key", b=8), b=8).collect()[0]["est_micro"] / 1e6
+    assert abs(est - n) / n < 0.20  # 3 sigma at m=256 is ~19.5%
+
+
+def test_hll_small_count_uses_linear_counting_exactly(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(10)], "key string")
+    row = hll_estimate(hll_registers(df, "key", b=8), b=8).collect()[0]
+    assert row["used_linear_counting"]
+    assert abs(row["est_micro"] / 1e6 - 10) < 2  # linear counting is near-exact here
+
+
+def test_hll_merge_equals_single_pass_and_is_grouped(spark):
+    a = spark.createDataFrame([(f"x{i}", "g1") for i in range(1000)], "key string, g string")
+    b = spark.createDataFrame([(f"x{i}", "g1") for i in range(500, 1500)], "key string, g string")
+    merged = hll_merge(
+        hll_registers(a, "key", b=8, group_cols=["g"]),
+        hll_registers(b, "key", b=8, group_cols=["g"]),
+    )
+    whole = hll_registers(a.unionByName(b), "key", b=8, group_cols=["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    est = hll_estimate(merged, b=8).collect()
+    assert len(est) == 1 and est[0]["g"] == "g1"
+
+
+def test_hll_null_keys_ignored(spark):
+    df = spark.createDataFrame([("a",), (None,)], "key string")
+    regs = hll_registers(df, "key", b=8)
+    assert regs.count() == 1
