@@ -117,7 +117,9 @@ def main() -> None:
         "rollup_refresh", "bm25", "domain_mixture", "mor_delete",
         "table_diff", "winsorize", "near_dup_prune", "corpus_card",
         "length_batches", "unicode_nfc", "semantic_pairs", "grouped_mad",
-        "pq_codes",
+        "pq_codes", "pq_residual_codes", "bm25_incremental",
+        "stats_pruned_read", "bloom_anti",
+        "cm_sketch", "hll_distinct",
     ]:
         if name in qs:
             runs = []
