@@ -1654,6 +1654,21 @@ def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).select("doc_id", "text", F.lit(ok).alias("invariants_ok"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (round 6;
+    Efraimidis & Spirakis 2006): per-lang top-50 documents under weight
+    1+len(text), ranked by ln(u)/w with u from 60 md5 bits — one ln and
+    one exact division, so DuckDB replays the exact selection AND ranks
+    (the monotone-transform trick keeps pow out of the rank key)."""
+    from article_extraction_spark.operators.split import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.lit(1.0) + F.length("text")).alias("__w")
+    )
+    out = weighted_sample(docs, "doc_id", "__w", k=50, group_cols=["lang"])
+    return out.select("doc_id", "lang", "sample_rank")
+
+
 def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency sketch (round 6; Cormode & Muthukrishnan
     2005): d=4 × w=512 cells over orders.o_custkey, then the estimate
@@ -2434,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pruned_read": q_stats_pruned_read,
         "bloom_anti": q_bloom_anti,
         "cm_sketch": q_cm_sketch,
+        "weighted_sample": q_weighted_sample,
         "hll_distinct": q_hll_distinct,
         "table_diff": q_table_diff,
         "winsorize": q_winsorize,
@@ -3462,6 +3478,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id >= 100 AND doc_id < 150
             UNION ALL
             SELECT 15, 'REINSERTED-15', TRUE
+        """,
+        "weighted_sample": """
+            WITH keyed AS (
+              SELECT doc_id, lang,
+                     ln( (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15))::BIGINT + 1)
+                         / 1152921504606846976.0 )
+                       / (1.0 + length(text)) AS k
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, lang,
+                     CAST(row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id)
+                          AS INTEGER) AS sample_rank
+              FROM keyed
+            )
+            SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 50
         """,
         "cm_sketch": """
             WITH ii AS (SELECT unnest(generate_series(0, 3)) AS i),

@@ -183,3 +183,71 @@ def reference_exact_split(
     w = Window.orderBy(order_col)
     ranked = df.withColumn("_rank", F.row_number().over(w) - 1)
     return ranked.join(F.broadcast(map_df), "_rank").drop("_rank")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-ES, public): each row draws u ~ U(0,1] from
+    md5(id|seed) and ranks by u^(1/w); the top k are an exact weighted
+    sample. The complement of ``domain_mixture_sample`` (which
+    up-samples WITH replacement): here importance/quality weights pick a
+    fixed-size subset — the "sample 10M best-scored documents" curation
+    step.
+
+    Engine shape: one window top-k per group — no collect, no iteration;
+    ranks are computed as ln(u)/w, the same ORDER as u^(1/w) (x↦x^c is
+    monotone for w>0) but with a single ``ln`` (JVM and DuckDB agree on
+    ln in practice — bigram_lm_score precedent) and one exact IEEE
+    division, so another engine replays the selection bit-for-bit. u is
+    built from 60 md5 bits: u = (v+1)/2^60 ∈ (0, 1], zero excluded so ln
+    is total. Rows with NULL, zero or negative weight are EXCLUDED
+    loudly via ``raise_error`` (a silent drop would bias the sample; cap
+    or floor weights upstream).
+
+    Determinism: ties in the rank key are broken by id — the selection
+    is a pure function of (ids, weights, seed), independent of
+    partitioning.
+    """
+    gcols = list(group_cols or [])
+    v = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (v + F.lit(1).cast("long")).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    checked_w = F.when(w > 0, w).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit("weighted_sample: non-positive or NULL weight for id"),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    key = F.log(u) / checked_w
+    keyed = df.withColumn("__es_key", key)
+    if gcols:
+        win = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+            F.desc("__es_key"), F.col(id_col)
+        )
+        return (
+            keyed.withColumn("sample_rank", F.row_number().over(win))
+            .where(F.col("sample_rank") <= k)
+            .drop("__es_key")
+        )
+    # ungrouped: a global row_number window would drag EVERY row through one
+    # partition — sort+limit instead (TakeOrderedAndProject: per-partition
+    # top-k then a k-row merge on the driver side), then rank the k rows
+    top = keyed.orderBy(F.desc("__es_key"), F.col(id_col)).limit(k)
+    win = Window.orderBy(F.desc("__es_key"), F.col(id_col))  # k rows only
+    return (
+        top.withColumn("sample_rank", F.row_number().over(win)).drop("__es_key")
+    )

@@ -309,3 +309,84 @@ def test_mad_by_group(spark):
     # median 3; deviations [2,1,0,1,97] → median 1 (robust to the outlier)
     assert got["g"] == (3.0, 1.0)
     assert got[None] == (6.0, 1.0)  # NULL group preserved
+
+
+# -- weighted sampling (round 6) ----------------------------------------------
+
+
+def _es_twin(rows, k, seed=42):
+    """Python twin of weighted_sample's A-ES selection."""
+    import hashlib
+    import math
+
+    keyed = []
+    for rid, w in rows:
+        v = int(hashlib.md5(f"{rid}|{seed}".encode()).hexdigest()[:15], 16)
+        u = (v + 1) / float(1 << 60)
+        keyed.append((math.log(u) / w, rid))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return [rid for _, rid in keyed[:k]]
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    from article_extraction_spark.operators.split import weighted_sample
+
+    rows = [(i, 1.0 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {
+        r["doc_id"]: r["sample_rank"]
+        for r in weighted_sample(df, "doc_id", "w", k=50).collect()
+    }
+    want = _es_twin(rows, 50)
+    assert sorted(got) == sorted(want)
+    assert [i for i, _ in sorted(got.items(), key=lambda t: t[1])] == want  # ranks too
+
+
+def test_weighted_sample_grouped_and_repartition_stable(spark):
+    from article_extraction_spark.operators.split import weighted_sample
+
+    rows = [(i, f"g{i % 3}", 1.0 + (i % 5)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    a = weighted_sample(df, "doc_id", "w", k=20, group_cols=["g"])
+    b = weighted_sample(df.repartition(13), "doc_id", "w", k=20, group_cols=["g"])
+    asel = sorted((r["g"], r["doc_id"], r["sample_rank"]) for r in a.collect())
+    bsel = sorted((r["g"], r["doc_id"], r["sample_rank"]) for r in b.collect())
+    assert asel == bsel
+    counts = {}
+    for g, _, _ in asel:
+        counts[g] = counts.get(g, 0) + 1
+    assert counts == {"g0": 20, "g1": 20, "g2": 20}
+    # grouped selection equals the twin restricted to the group
+    want_g1 = _es_twin([(i, 1.0 + (i % 5)) for i in range(300) if f"g{i % 3}" == "g1"], 20)
+    assert sorted(d for g, d, _ in asel if g == "g1") == sorted(want_g1)
+
+
+def test_weighted_sample_weights_bias_selection(spark):
+    from article_extraction_spark.operators.split import weighted_sample
+
+    rows = [(i, 20.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=100).collect()]
+    heavy = sum(1 for d in picked if d < 100)
+    assert heavy > 50  # 100 heavy rows at 20x weight dominate 900 light ones
+
+
+def test_weighted_sample_bad_weight_raises(spark):
+    import pytest as _pytest
+
+    from article_extraction_spark.operators.split import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0), (2, 0.0)], "doc_id long, w double")
+    with _pytest.raises(Exception, match="non-positive"):
+        weighted_sample(df, "doc_id", "w", k=1).collect()
+    df2 = spark.createDataFrame([(1, 1.0), (2, None)], "doc_id long, w double")
+    with _pytest.raises(Exception, match="non-positive"):
+        weighted_sample(df2, "doc_id", "w", k=1).collect()
+
+
+def test_weighted_sample_ungrouped_plan_is_take_ordered(spark):
+    from article_extraction_spark.operators.split import weighted_sample
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(100)], "doc_id long, w double")
+    plan = weighted_sample(df, "doc_id", "w", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
