@@ -1701,6 +1701,39 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained HLL (round 6): per-lang distinct doc_id
+    registers kept fresh under append-only ingest by an IncrementalRollup
+    whose prepare hook computes (register, rho) per row — refresh 1 is a
+    full build, refresh 2 folds ONLY the second append's rows (CDC
+    delta). The observed refresh-mode sequence rides in the hashed
+    result; DuckDB replays the final register table and estimate over
+    the union of both appends."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.operators.sketches import hll_estimate, maintained_hll
+
+    root = f"{tempfile.gettempdir()}/aes_hllinc_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    src = ManifestTable(f"{root}/src")
+    regs = ManifestTable(f"{root}/regs")
+    mh = maintained_hll(src, regs, "doc_id", b=8, group_cols=["lang"])
+    src.append(docs.where(F.col("doc_id") < 250))
+    m1 = mh.refresh(spark)["mode"]
+    src.append(docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 500)))
+    m2 = mh.refresh(spark)["mode"]
+    out = hll_estimate(regs.read(spark).select("lang", "register", "max_rho"), b=8)
+    return out.select(
+        "lang",
+        "est_micro",
+        "used_linear_counting",
+        F.lit(f"{m1},{m2}").alias("refresh_modes"),
+    )
+
+
 def q_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter anti-join (round 6): orders not placed by the build
     set of customers (c_custkey ≡ 0 mod 7). k xxhash64 bit positions per
@@ -2450,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_anti": q_bloom_anti,
         "cm_sketch": q_cm_sketch,
         "weighted_sample": q_weighted_sample,
+        "hll_incremental": q_hll_incremental,
         "hll_distinct": q_hll_distinct,
         "table_diff": q_table_diff,
         "winsorize": q_winsorize,
@@ -3563,6 +3597,52 @@ def oracle_sql() -> dict[str, str]:
                    (raw <= 640.0 AND zeros > 0) AS used_linear_counting
             FROM est
         """,
+        "hll_incremental": """
+            WITH h AS (
+              SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents WHERE doc_id < 500 AND doc_id IS NOT NULL
+            ),
+            r AS (
+              SELECT lang,
+                     ('0x' || substr(hx, 1, 4))::BIGINT % 256 AS register,
+                     substr(hx, 5, 15) AS sub
+              FROM h
+            ),
+            rho AS (
+              SELECT lang, register,
+                     CAST(4 * length(regexp_extract(sub, '^0*'))
+                      + CASE upper(substr(sub, length(regexp_extract(sub, '^0*')) + 1, 1))
+                          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                          WHEN '7' THEN 1 ELSE 0 END
+                      + 1 AS INTEGER) AS rho
+              FROM r
+            ),
+            regs AS (
+              SELECT lang, register, max(rho) AS max_rho FROM rho GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT lang,
+                     sum(CASE WHEN max_rho <= 48
+                              THEN 281474976710656 >> max_rho ELSE 0 END) AS seen_sum,
+                     count(*) AS n_seen
+              FROM regs GROUP BY 1
+            ),
+            est AS (
+              SELECT lang,
+                     {{_hll_num}} / CAST(seen_sum + (256 - n_seen) * 281474976710656
+                                       AS DOUBLE) AS raw,
+                     256 - n_seen AS zeros
+              FROM agg
+            )
+            SELECT lang,
+                   CAST(floor(CASE WHEN raw <= 640.0 AND zeros > 0
+                                   THEN 256.0 * ln(256.0 / zeros)
+                                   ELSE raw END * 1e6) AS BIGINT) AS est_micro,
+                   (raw <= 640.0 AND zeros > 0) AS used_linear_counting,
+                   'full,incremental' AS refresh_modes
+            FROM est
+        """.replace("{{_hll_num}}", _hll_num),
         "bloom_anti": """
             SELECT o.o_orderkey, o.o_custkey
             FROM orders o

@@ -48,6 +48,8 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "hll_raw_numerator",
+    "hll_row_projection",
+    "maintained_hll",
 ]
 
 # -- shared md5 arithmetic ----------------------------------------------------
@@ -172,13 +174,12 @@ def _rho_expr(hex_col_name: str) -> F.Column:
     return (lz_chars * 4 + extra + 1).cast("int")
 
 
-def hll_registers(
+def hll_row_projection(
     df: DataFrame, key_col: str, b: int = 8, group_cols: list[str] | None = None
 ) -> DataFrame:
-    """Per-(group,) register maxima ``(… , register, max_rho)``. b register
-    bits (m = 2^b registers, b ≤ 16 so pmod over the first 4 hash hex
-    chars is exactly uniform); rho from the next 60 bits. NULL keys are
-    not observations."""
+    """Per-ROW (…, register, __rho) projection — the deterministic per-row
+    piece of the sketch, shared by the one-shot build and the
+    incrementally-maintained rollup (its ``prepare`` hook)."""
     m = 1 << b
     gcols = list(group_cols or [])
     base = (
@@ -190,8 +191,44 @@ def hll_registers(
             F.substring("__h", 5, _HLL_RHO_HEX).alias("__hll_hex"),
         )
     )
-    base = base.withColumn("__rho", _rho_expr("__hll_hex"))
+    return base.withColumn("__rho", _rho_expr("__hll_hex")).drop("__hll_hex")
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, b: int = 8, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-(group,) register maxima ``(… , register, max_rho)``. b register
+    bits (m = 2^b registers, b ≤ 16 so pmod over the first 4 hash hex
+    chars is exactly uniform); rho from the next 60 bits. NULL keys are
+    not observations."""
+    gcols = list(group_cols or [])
+    base = hll_row_projection(df, key_col, b, gcols)
     return base.groupBy(*gcols, "register").agg(F.max("__rho").alias("max_rho"))
+
+
+def maintained_hll(source, registers, key_col: str, b: int = 8, group_cols=None):
+    """Distinct-count sketch maintained under append-only ingest: an
+    ``IncrementalRollup`` whose group keys are (…, register) and whose
+    single aggregate is max(rho) — max is decomposable, so each refresh
+    folds ONLY the new rows' register partials into the stored register
+    table (CDC delta via ``read_incremental``; source rewrites fall back
+    to a full recompute automatically). Estimate any time with
+    ``hll_estimate(registers.read(spark))``. The per-row hashing rides in
+    the rollup's ``prepare`` hook, so the source table never stores
+    register/rho columns.
+
+    ``source``/``registers``: ManifestTables. Returns the wired
+    IncrementalRollup (call ``.refresh(spark)`` after each ingest)."""
+    from ..rollup import IncrementalRollup
+
+    gcols = list(group_cols or [])
+    return IncrementalRollup(
+        source,
+        registers,
+        keys=[*gcols, "register"],
+        aggs={"max_rho": ("max", "__rho")},
+        prepare=lambda df: hll_row_projection(df, key_col, b, gcols),
+    )
 
 
 def hll_merge(*register_sets: DataFrame) -> DataFrame:

@@ -196,7 +196,14 @@ class IncrementalRollup:
         rollup: ManifestTable,
         keys: list[str],
         aggs: dict[str, tuple[str, str | None]],
+        prepare=None,
     ):
+        """``prepare``: optional DataFrame→DataFrame projection applied to
+        source rows BEFORE grouping, on both the full-recompute and the
+        CDC-delta path — derived group keys / agg inputs (e.g. sketch
+        registers) without materializing them in the source table. Must
+        be a deterministic per-row projection: anything that mixes rows
+        would break partial-aggregation correctness (round 6)."""
         if not keys:
             raise ValueError("rollup needs at least one group key")
         for out, (fn, col) in aggs.items():
@@ -210,6 +217,7 @@ class IncrementalRollup:
         self.rollup = rollup
         self.keys = list(keys)
         self.aggs = dict(aggs)
+        self.prepare = prepare
 
     # -- cursor ---------------------------------------------------------------
 
@@ -233,11 +241,10 @@ class IncrementalRollup:
     # -- aggregation pieces ---------------------------------------------------
 
     def _full_rows(self, spark: SparkSession, snapshot: int) -> DataFrame:
-        return (
-            self.source.read(spark, snapshot_id=snapshot)
-            .groupBy(*self.keys)
-            .agg(*_agg_exprs(self.aggs))
-        )
+        rows = self.source.read(spark, snapshot_id=snapshot)
+        if self.prepare is not None:
+            rows = self.prepare(rows)
+        return rows.groupBy(*self.keys).agg(*_agg_exprs(self.aggs))
 
     # -- refresh --------------------------------------------------------------
 
@@ -265,6 +272,8 @@ class IncrementalRollup:
             self.rollup.overwrite(rows, extra_meta={_CURSOR_KEY: head})
             return {"mode": "full", "from": cur, "to": head, "keys_updated": n}
 
+        if self.prepare is not None:
+            delta = self.prepare(delta)
         partial = delta.groupBy(*self.keys).agg(*_agg_exprs(self.aggs))
         # fold: existing rows for AFFECTED keys only, outer-joined with the
         # partials, per-aggregate combine; an empty delta still advances

@@ -152,3 +152,39 @@ def test_hll_null_keys_ignored(spark):
     df = spark.createDataFrame([("a",), (None,)], "key string")
     regs = hll_registers(df, "key", b=8)
     assert regs.count() == 1
+
+
+def test_maintained_hll_incremental_equals_single_pass(spark, tmp_path):
+    """The rollup-maintained register table tracks appends via CDC deltas
+    and always equals the single-pass sketch at the source head; a source
+    overwrite falls back to full recompute; estimates agree."""
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        maintained_hll,
+    )
+
+    src = ManifestTable(str(tmp_path / "src"))
+    regs = ManifestTable(str(tmp_path / "regs"))
+    mh = maintained_hll(src, regs, "key", b=8)
+
+    def assert_synced():
+        got = sorted(map(tuple, regs.read(spark).select("register", "max_rho").collect()))
+        want = sorted(map(tuple, hll_registers(src.read(spark), "key", b=8).collect()))
+        assert got == want
+        e_got = hll_estimate(regs.read(spark).select("register", "max_rho"), b=8).collect()[0]
+        e_want = hll_estimate(hll_registers(src.read(spark), "key", b=8), b=8).collect()[0]
+        assert e_got["est_micro"] == e_want["est_micro"]
+
+    src.append(spark.createDataFrame([(f"u{i}",) for i in range(500)], "key string"))
+    assert mh.refresh(spark)["mode"] == "full"
+    assert_synced()
+    src.append(spark.createDataFrame([(f"u{i}",) for i in range(400, 900)], "key string"))
+    assert mh.refresh(spark)["mode"] == "incremental"
+    assert_synced()
+    assert mh.refresh(spark)["mode"] == "noop"
+    # overwrite rewrites history -> full recompute, registers can SHRINK
+    src.overwrite(spark.createDataFrame([(f"v{i}",) for i in range(50)], "key string"))
+    assert mh.refresh(spark)["mode"] == "full"
+    assert_synced()
