@@ -1701,6 +1701,21 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (round 6; Page et al. 1999) over the bipartite
+    customer→clerk order graph, 3 rounds at damping 0.85. The recurrence
+    is defined entirely in integer units (scale 1e9) — floor-per-edge
+    contributions, floor dangling share — so sums are associative-exact
+    and DuckDB replays all three iterations to bit-identical ranks."""
+    from article_extraction_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return pagerank(li, n_iter=3)
+
+
 def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained HLL (round 6): per-lang distinct doc_id
     registers kept fresh under append-only ingest by an IncrementalRollup
@@ -2484,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_sketch": q_cm_sketch,
         "weighted_sample": q_weighted_sample,
         "hll_incremental": q_hll_incremental,
+        "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
         "table_diff": q_table_diff,
         "winsorize": q_winsorize,
@@ -2509,7 +2525,42 @@ def oracle_sql() -> dict[str, str]:
     from article_extraction_spark.operators.sketches import hll_raw_numerator
 
     _hll_num = repr(hll_raw_numerator(8))  # α·m²·2^48 — MUST match the Spark literal
+
+    def _pr_iter(prev: str, name: str) -> str:
+        """One unrolled integer-PageRank round (scale 1e9, dp 850)."""
+        return f"""
+            {name} AS (
+              SELECT n.id,
+                     (SELECT ((1000000000::BIGINT * 150) // (1000::BIGINT * n)) FROM meta)
+                     + (SELECT ((coalesce(sum(r.r), 0) * 850::BIGINT)
+                                // (1000::BIGINT * (SELECT n FROM meta)))
+                        FROM {prev} r LEFT JOIN deg d ON r.id = d.u
+                        WHERE d.u IS NULL)
+                     + coalesce(c.s, 0) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.v AS id, sum((r.r * 850::BIGINT) // (1000::BIGINT * d.deg)) AS s
+                FROM e JOIN {prev} r ON e.u = r.id JOIN deg d ON e.u = d.u
+                GROUP BY e.v
+              ) c ON n.id = c.id
+            )"""
+
+    _pagerank_sql = f"""
+        WITH e AS (
+          SELECT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+                 'p' || CAST(l_partkey AS VARCHAR) AS v
+          FROM lineitem
+        ),
+        nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+        deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+        meta AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT id, (SELECT 1000000000::BIGINT // n FROM meta) AS r FROM nodes),
+        {_pr_iter("r0", "it1")},
+        {_pr_iter("it1", "it2")},
+        {_pr_iter("it2", "it3")}
+        SELECT id AS node, CAST(r AS BIGINT) AS rank_scaled FROM it3
+    """
     return {
+        "pagerank": _pagerank_sql,
         "convert_html": """
             SELECT doc_id, trim(text) || chr(10) || 'lang: ' || lang AS extracted_text
             FROM documents
