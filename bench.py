@@ -119,7 +119,8 @@ def main() -> None:
         "length_batches", "unicode_nfc", "semantic_pairs", "grouped_mad",
         "pq_codes", "pq_residual_codes", "bm25_incremental",
         "stats_pruned_read", "bloom_anti",
-        "cm_sketch", "hll_distinct",
+        "cm_sketch", "hll_distinct", "weighted_sample", "hll_incremental",
+        "pagerank",
     ]:
         if name in qs:
             runs = []
