@@ -1703,7 +1703,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank (round 6; Page et al. 1999) over the bipartite
-    customer→clerk order graph, 3 rounds at damping 0.85. The recurrence
+    supplier→part lineitem graph, 3 rounds at damping 0.85. The recurrence
     is defined entirely in integer units (scale 1e9) — floor-per-edge
     contributions, floor dangling share — so sums are associative-exact
     and DuckDB replays all three iterations to bit-identical ranks."""

@@ -38,15 +38,25 @@ class CommitConflict(Exception):
 _STATS_NAME = "_stats.json"
 
 
-def _stat_bound(v):
+def _stat_bound(v, tz: str | None = None):
     """Normalize a parquet footer statistic (or a user box bound) to a
     comparable float, or None for kinds pruning must not trust.
 
     Strings/bytes are deliberately excluded: parquet writers may truncate
     binary min/max (a truncated max can sort BELOW real rows, so pruning
-    on it would silently drop matches). Numerics, bools, dates and
-    timestamps are exact. Naive datetimes are treated as UTC — Spark
-    writes parquet TIMESTAMP as UTC-adjusted micros."""
+    on it would silently drop matches). Numerics and bools are exact.
+    ALL temporal kinds normalize to one scale — epoch MICROSECONDS
+    (dates at midnight) — so a date box bound prunes a timestamp column
+    and vice versa (review r6: day-ordinals vs micros compared on
+    incomparable scales and dropped every matching file).
+
+    ``tz``: IANA zone for interpreting NAIVE datetimes. Footer stats are
+    UTC instants (Spark writes TIMESTAMP as UTC-adjusted micros), so the
+    stats path always uses the default None = UTC; the read path passes
+    the Spark session timezone for USER box bounds, because the residual
+    ``between`` filter will interpret the same naive literals
+    session-locally and pruning must agree with it (review r6)."""
+    import calendar
     import datetime
 
     if isinstance(v, bool):
@@ -56,11 +66,14 @@ def _stat_bound(v):
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             return v.timestamp() * 1e6
-        import calendar
+        if tz is not None:
+            from zoneinfo import ZoneInfo
 
+            return v.replace(tzinfo=ZoneInfo(tz)).timestamp() * 1e6
         return calendar.timegm(v.utctimetuple()) * 1e6 + v.microsecond
     if isinstance(v, datetime.date):
-        return float(v.toordinal())
+        # midnight, same zone rules as datetimes — one temporal scale
+        return _stat_bound(datetime.datetime(v.year, v.month, v.day), tz)
     return None
 
 
@@ -654,7 +667,10 @@ class ManifestTable:
         return self._read_with_deletes(spark, manifest, schema)
 
     def prune_files(
-        self, box: dict[str, tuple], snapshot_id: int | None = None
+        self,
+        box: dict[str, tuple],
+        snapshot_id: int | None = None,
+        tz: str | None = None,
     ) -> tuple[list[str], int]:
         """Scan planning (round 6): intersect a box predicate
         ``{col: (lo, hi)}`` with the per-commit ``_stats.json`` column
@@ -663,13 +679,16 @@ class ManifestTable:
         recorded column range provably misses the box; files without a
         stats entry (foreign writers, stats failure, pre-stats commits)
         or without bounds for a box column are always kept. Bounds may be
-        numbers, dates or datetimes (see ``_stat_bound``)."""
+        numbers, dates or datetimes (see ``_stat_bound``). ``tz``: zone
+        for naive datetime/date bounds — pass the Spark session timezone
+        when the same bounds also feed a Spark filter (``read_pruned``
+        does this automatically); None = UTC."""
         version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if version is None:
             raise FileNotFoundError(f"no snapshots in {self.root}")
         bounds = {}
         for col, (lo, hi) in box.items():
-            blo, bhi = _stat_bound(lo), _stat_bound(hi)
+            blo, bhi = _stat_bound(lo, tz), _stat_bound(hi, tz)
             if blo is None or bhi is None:
                 raise TypeError(
                     f"box bound for {col!r} is not a prunable kind "
@@ -724,7 +743,10 @@ class ManifestTable:
             raise FileNotFoundError(f"no snapshots in {self.root}")
         manifest = self._load(version)
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-        keep, _total = self.prune_files(box, snapshot_id=version)
+        # naive temporal bounds: the residual filter below interprets them
+        # in the SESSION timezone, so pruning must too (review r6)
+        session_tz = spark.conf.get("spark.sql.session.timeZone", None)
+        keep, _total = self.prune_files(box, snapshot_id=version, tz=session_tz)
         pred = None
         for col, (lo, hi) in box.items():
             clause = F.col(col).between(F.lit(lo), F.lit(hi))

@@ -105,10 +105,22 @@ def bloom_anti_join(
     result-identical to ``probe.join(build.select(keys).distinct(), keys,
     "left_anti")`` (NULL in any probe key never equals anything, so such
     rows always survive — through the confirm join, same as plain
-    left_anti). See module docstring for the why and the scale shape."""
-    n = build.select(*keys).count()
+    left_anti). See module docstring for the why and the scale shape.
+
+    The returned DataFrame carries ``_retained_cache`` (the distinct
+    build-key frame, plus the flagged probe when ``persist=True`` —
+    packing.py convention): ``.unpersist()`` each entry after consuming
+    the result, or repeated calls accumulate cached blocks (review r6)."""
+    from pyspark import StorageLevel
+
+    # ONE distinct pass sizes the bitmap (distinct keys, not raw rows —
+    # a 1e9-row build over 1e6 keys would otherwise oversize m 1000x and
+    # scan build three times), feeds the bitmap build, and serves as the
+    # confirm join's right side (review r6)
+    key_rows = build.select(*keys).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    n = key_rows.count()
     spec = BloomSpec(n, bits_per_key=bits_per_key, max_bits=max_bits)
-    words = bloom_build(build, keys, spec)
+    words = bloom_build(key_rows, keys, spec)
 
     pos_arr = F.array(*spec.position_cols(keys))
     n_words = spec.m // 64
@@ -156,14 +168,16 @@ def bloom_anti_join(
             "__bloom_hit", hit_udf(*spec.position_cols(keys))
         )
 
+    retained = [key_rows]
     if persist:
-        from pyspark import StorageLevel
-
         flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+        retained.append(flagged)
     negatives = flagged.where(~F.col("__bloom_hit")).drop("__bloom_hit")
     confirm = (
         flagged.where(F.col("__bloom_hit"))
         .drop("__bloom_hit")
-        .join(build.select(*keys).distinct(), keys, "left_anti")
+        .join(key_rows, keys, "left_anti")
     )
-    return negatives.unionByName(confirm)
+    out = negatives.unionByName(confirm)
+    out._retained_cache = retained
+    return out

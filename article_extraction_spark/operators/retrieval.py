@@ -259,6 +259,28 @@ class MaintainedBM25Index:
     ) -> dict:
         """Index a batch of documents. Returns {"postings_mode",
         "doclens_mode", "buckets_exported"}."""
+        # pin the doc-id type in the index meta: the serving read schema is
+        # derived from it, so a string-keyed index reads back correctly and
+        # a type CHANGE across ingests fails here instead of corrupting the
+        # serving layout (review r6)
+        import json as _json
+        import os as _os
+
+        id_type = docs.schema[id_col].dataType.simpleString()
+        meta_path = _os.path.join(self.root, self._META)
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        if "doc_id_type" not in meta:
+            meta["doc_id_type"] = id_type
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(meta, f)
+            _os.replace(tmp, meta_path)
+        elif meta["doc_id_type"] != id_type:
+            raise ValueError(
+                f"index at {self.root} was built with doc_id type "
+                f"{meta['doc_id_type']!r}, this batch has {id_type!r}"
+            )
         batch = (
             docs.select(
                 F.col(id_col).alias("doc_id"),
@@ -347,13 +369,22 @@ class MaintainedBM25Index:
         qtext_col: str = "qtext",
         k1: float = 1.2,
         b: float = 0.75,
-        schema: str | None = "term string, doc_id long, tf long, dl long",
+        schema: str | None = "auto",
     ) -> DataFrame:
         """BM25 scores over the serving layout: the scan is pruned to the
         queries' term buckets at planning time (PartitionFilters — plan-
         asserted in tests), dl rides denormalized, and (n_docs, avgdl)
         come from the stored one-row stats: nothing corpus-wide is read.
-        Pass ``schema=None`` to infer (small tables only)."""
+        ``schema="auto"`` (default) derives the serving schema from the
+        doc-id type pinned at first ingest; pass an explicit DDL string
+        to override, or None to infer (small tables only)."""
+        if schema == "auto":
+            import json as _json
+            import os as _os
+
+            with open(_os.path.join(self.root, self._META)) as f:
+                id_type = _json.load(f).get("doc_id_type", "bigint")
+            schema = f"term string, doc_id {id_type}, tf long, dl long"
         probe = self.probe_buckets(spark, queries, qtext_col)
         if not probe:
             probe = [-1]  # no tokens → empty result, keep the plan shape

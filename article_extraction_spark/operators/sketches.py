@@ -255,8 +255,12 @@ def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
         F.col("max_rho") <= _HLL_SCALE_BITS,
         F.expr(f"shiftright(cast({scale} as bigint), max_rho)"),
     ).otherwise(F.lit(0).cast("long"))
+    # coalesce: the ungrouped groupBy over ZERO register rows yields one
+    # global row with sum=NULL — the empty set must estimate 0 via the
+    # linear-counting branch (zeros = m), not propagate NULL (review r6)
     agg = registers.groupBy(*gcols).agg(
-        F.sum(term).alias("__seen_sum"), F.count("*").alias("__n_seen")
+        F.coalesce(F.sum(term), F.lit(0).cast("long")).alias("__seen_sum"),
+        F.count("*").alias("__n_seen"),
     )
     zeros = F.lit(m).cast("long") - F.col("__n_seen")
     denom_q = F.col("__seen_sum") + zeros * F.lit(scale).cast("long")

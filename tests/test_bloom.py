@@ -106,3 +106,30 @@ def test_empty_build_passes_everything(spark, frames):
     probe, _ = frames
     empty = spark.createDataFrame([], "a long, b long")
     assert bloom_anti_join(probe, empty, ["a"]).count() == probe.count()
+
+
+def test_retained_cache_exposed_and_releasable(spark, frames):
+    """Review r6: the internal persists are handed back for release."""
+    probe, build = frames
+    out = bloom_anti_join(probe, build, ["a"], persist=True)
+    out.count()
+    assert len(out._retained_cache) == 2
+    for c in out._retained_cache:
+        c.unpersist(blocking=True)
+    out2 = bloom_anti_join(probe, build, ["a"])
+    assert len(out2._retained_cache) == 1
+    for c in out2._retained_cache:
+        c.unpersist(blocking=True)
+
+
+def test_bitmap_sized_from_distinct_keys_not_rows(spark):
+    """Review r6: 10k duplicate rows over 10 keys must size the bloom for
+    10 keys (m = 64 minimum bucket, k capped), not 10k."""
+    from article_extraction_spark.operators.bloom import BloomSpec
+
+    build = spark.createDataFrame([(i % 10,) for i in range(10_000)], "a long")
+    probe = spark.createDataFrame([(i,) for i in range(50)], "a long")
+    got = sorted(r["a"] for r in bloom_anti_join(probe, build, ["a"]).collect())
+    assert got == list(range(10, 50))
+    # the spec a raw-row count would produce differs from the distinct one
+    assert BloomSpec(10).m < BloomSpec(10_000).m

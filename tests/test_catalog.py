@@ -758,3 +758,49 @@ def test_stats_prune_timestamp_box(spark, tmp_path):
     assert total == 2 and len(keep) in (1, 2)
     got = sorted(r["id"] for r in t.read_pruned(spark, box).collect())
     assert got == list(range(10))
+
+
+def test_stats_prune_date_bounds_on_timestamp_column(spark, tmp_path):
+    """Review r6: date and datetime bounds must land on ONE temporal
+    scale — a date box over a timestamp column prunes correctly instead
+    of comparing day ordinals against epoch micros."""
+    import datetime
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    base = datetime.datetime(2026, 1, 1)
+    for day in (0, 30):
+        rows = [(i, base + datetime.timedelta(days=day, hours=i)) for i in range(5)]
+        t.append(spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1))
+    box = {"ts": (datetime.date(2026, 1, 1), datetime.date(2026, 1, 2))}
+    got = sorted(r["id"] for r in t.read_pruned(spark, box).collect())
+    want = sorted(
+        r["id"]
+        for r in t.read(spark)
+        .where("ts between date '2026-01-01' and date '2026-01-02'")
+        .collect()
+    )
+    assert got == want and got  # non-empty AND equal to the filtered read
+
+
+def test_stats_prune_respects_session_timezone(spark, tmp_path):
+    """Review r6: naive datetime bounds are session-local in the residual
+    filter, so pruning must interpret them the same way — in a non-UTC
+    session a UTC interpretation shifts the window and drops files."""
+    import datetime
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        t = ManifestTable(str(tmp_path / "t"))
+        base = datetime.datetime(2026, 1, 1, 20)  # session-local evening
+        rows = [(i, base + datetime.timedelta(minutes=i)) for i in range(10)]
+        t.append(spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1))
+        box = {"ts": (base, base + datetime.timedelta(minutes=4))}
+        got = sorted(r["id"] for r in t.read_pruned(spark, box).collect())
+        assert got == [0, 1, 2, 3, 4]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

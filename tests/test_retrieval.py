@@ -307,3 +307,24 @@ def test_maintained_index_piecewise_doc_and_guards(spark, tmp_path):
         MaintainedBM25Index(str(tmp_path / "idx"), n_buckets=8)
     with pytest.raises(ValueError):
         bm25_scores(fresh_post, None, queries)
+
+
+def test_maintained_index_string_doc_ids_roundtrip(spark, tmp_path):
+    """Review r6: the serving read schema derives from the doc-id type
+    pinned at first ingest — a string-keyed index must score via the
+    default read path, and a type change across ingests fails loudly."""
+    import pytest as _pytest
+
+    from article_extraction_spark.operators.retrieval import MaintainedBM25Index
+
+    idx = MaintainedBM25Index(str(tmp_path / "idx"), n_buckets=4)
+    docs = spark.createDataFrame(
+        [("doc-a", "spark filter join"), ("doc-b", "filter scan"), ("doc-c", "join join")],
+        "doc_id string, text string",
+    )
+    idx.ingest(spark, docs)
+    queries = spark.createDataFrame([(1, "join")], "query_id long, qtext string")
+    got = {r["doc_id"]: r["score"] for r in idx.scores(spark, queries).collect()}
+    assert set(got) == {"doc-a", "doc-c"} and got["doc-c"] > got["doc-a"]
+    with _pytest.raises(ValueError, match="doc_id type"):
+        idx.ingest(spark, spark.createDataFrame([(1, "x")], "doc_id long, text string"))

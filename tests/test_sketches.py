@@ -188,3 +188,11 @@ def test_maintained_hll_incremental_equals_single_pass(spark, tmp_path):
     src.overwrite(spark.createDataFrame([(f"v{i}",) for i in range(50)], "key string"))
     assert mh.refresh(spark)["mode"] == "full"
     assert_synced()
+
+
+def test_hll_estimate_empty_set_is_zero(spark):
+    """Review r6: zero observed keys -> estimate 0 via linear counting,
+    never NULL."""
+    empty = spark.createDataFrame([], "key string")
+    row = hll_estimate(hll_registers(empty, "key", b=8), b=8).collect()[0]
+    assert row["est_micro"] == 0 and row["used_linear_counting"] is True
