@@ -50,6 +50,8 @@ __all__ = [
     "hll_raw_numerator",
     "hll_row_projection",
     "maintained_hll",
+    "cm_row_projection",
+    "maintained_cm",
 ]
 
 # -- shared md5 arithmetic ----------------------------------------------------
@@ -204,6 +206,45 @@ def hll_registers(
     gcols = list(group_cols or [])
     base = hll_row_projection(df, key_col, b, gcols)
     return base.groupBy(*gcols, "register").agg(F.max("__rho").alias("max_rho"))
+
+
+def cm_row_projection(df: DataFrame, key_col: str, d: int, w: int) -> DataFrame:
+    """Row-wise generator (one input row → d cell rows ``(i, bucket)``):
+    the per-row piece of the count-min sketch, shared by the one-shot
+    build and the maintained rollup. Exploding is legal as a rollup
+    ``prepare`` — every output row derives from exactly one input row,
+    so CDC-delta cell counts sum correctly."""
+    rows = df.where(F.col(key_col).isNotNull()).select(F.col(key_col).alias("__k"))
+    return rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cm_bucket(F.col("__k"), i, w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c")
+    ).select("c.i", "c.bucket")
+
+
+def maintained_cm(source, cells, key_col: str, d: int = 4, w: int = 2048):
+    """Count-min cells maintained under append-only ingest: an
+    ``IncrementalRollup`` keyed on (i, bucket) with a count aggregate —
+    counts are sum-decomposable, so each refresh folds only the NEW
+    rows' cell partials (CDC delta; source rewrites → full recompute).
+    Estimate any time with ``cm_estimate(cells.read(spark), ...)``."""
+    from ..rollup import IncrementalRollup
+
+    return IncrementalRollup(
+        source,
+        cells,
+        keys=["i", "bucket"],
+        aggs={"cnt": ("count", None)},
+        prepare=lambda df: cm_row_projection(df, key_col, d, w),
+    )
 
 
 def maintained_hll(source, registers, key_col: str, b: int = 8, group_cols=None):

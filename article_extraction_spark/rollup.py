@@ -202,8 +202,11 @@ class IncrementalRollup:
         source rows BEFORE grouping, on both the full-recompute and the
         CDC-delta path — derived group keys / agg inputs (e.g. sketch
         registers) without materializing them in the source table. Must
-        be a deterministic per-row projection: anything that mixes rows
-        would break partial-aggregation correctness (round 6)."""
+        be deterministic and ROW-WISE: each output row derives from
+        exactly one input row (1→N generators like the count-min cell
+        explode are fine); anything that MIXES rows — joins, windows,
+        aggregates — would break CDC-delta partial-aggregation
+        correctness (round 6)."""
         if not keys:
             raise ValueError("rollup needs at least one group key")
         for out, (fn, col) in aggs.items():

@@ -804,3 +804,29 @@ def test_stats_prune_respects_session_timezone(spark, tmp_path):
         assert got == [0, 1, 2, 3, 4]
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stats_pruning_composes_with_sorted_ingest(spark, tmp_path):
+    """Composition (round 6): range-sorted ingest + per-commit footer
+    stats = z-order-style data skipping on the CATALOG read path with no
+    sidecar and no re-clustering — each sorted append produces files
+    with tight disjoint ranges, so a box read scans a small fraction."""
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    rows = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    # time-ordered ingest: four sorted range slices, several files each
+    for lo in (0, 1000, 2000, 3000):
+        t.append(
+            rows.where((F.col("id") >= lo) & (F.col("id") < lo + 1000))
+            .repartitionByRange(4, "id")
+            .sortWithinPartitions("id")
+        )
+    keep, total = t.prune_files({"id": (1500, 1700)})
+    assert total == 16 and len(keep) <= 2  # tight per-file ranges prune 14+/16
+    got = t.read_pruned(spark, {"id": (1500, 1700)}).count()
+    assert got == 201

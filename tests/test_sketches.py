@@ -196,3 +196,27 @@ def test_hll_estimate_empty_set_is_zero(spark):
     empty = spark.createDataFrame([], "key string")
     row = hll_estimate(hll_registers(empty, "key", b=8), b=8).collect()[0]
     assert row["est_micro"] == 0 and row["used_linear_counting"] is True
+
+
+def test_maintained_cm_incremental_equals_single_pass(spark, tmp_path):
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.operators.sketches import (
+        cm_build,
+        cm_estimate,
+        maintained_cm,
+    )
+
+    src = ManifestTable(str(tmp_path / "src"))
+    cells = ManifestTable(str(tmp_path / "cells"))
+    mc = maintained_cm(src, cells, "key", d=3, w=64)
+    src.append(spark.createDataFrame([(f"k{i % 20}",) for i in range(300)], "key string"))
+    assert mc.refresh(spark)["mode"] == "full"
+    src.append(spark.createDataFrame([(f"k{i % 35}",) for i in range(200)], "key string"))
+    assert mc.refresh(spark)["mode"] == "incremental"
+    got = sorted(map(tuple, cells.read(spark).select("i", "bucket", "cnt").collect()))
+    want = sorted(map(tuple, cm_build(src.read(spark), "key", d=3, w=64).collect()))
+    assert got == want
+    cand = spark.createDataFrame([(f"k{i}",) for i in range(35)], "key string")
+    e_got = sorted(map(tuple, cm_estimate(cells.read(spark).select("i", "bucket", "cnt"), cand, "key", d=3, w=64).collect()))
+    e_want = sorted(map(tuple, cm_estimate(cm_build(src.read(spark), "key", d=3, w=64), cand, "key", d=3, w=64).collect()))
+    assert e_got == e_want
