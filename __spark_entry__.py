@@ -1701,6 +1701,37 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file key blooms (round 6, the Iceberg-puffin/parquet-bloom
+    analog): documents land as four UNSORTED commits (doc_id mod 4 — every
+    file spans the whole key range, so min/max stats cannot prune a point
+    probe), a maintenance pass stores one bloom per (file, doc_id), and a
+    point read opens only bloom-accepting files. DuckDB replays the FULL
+    bloom membership — per-slice m/k sizing, every key's md5 positions,
+    coverage of all probe positions — so the scanned-file count in the
+    hashed result is cross-engine derived, not trusted."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    root = f"{tempfile.gettempdir()}/aes_bloompt_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    t = ManifestTable(root)
+    for r in range(4):
+        t.append(docs.where(F.col("doc_id") % 4 == r).coalesce(1))
+    t.build_file_blooms(spark, ["doc_id"], bits_per_key=10)
+    keep, total = t.prune_files_eq({"doc_id": 137})
+    out = t.read_eq(spark, {"doc_id": 137})
+    return out.select(
+        "doc_id",
+        "lang",
+        F.lit(len(keep)).cast("long").alias("n_files_scanned"),
+        F.lit(total).cast("long").alias("n_files_total"),
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank (round 6; Page et al. 1999) over the bipartite
     supplier→part lineitem graph, 3 rounds at damping 0.85. The recurrence
@@ -2500,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "hll_incremental": q_hll_incremental,
         "pagerank": q_pagerank,
+        "bloom_point_read": q_bloom_point_read,
         "hll_distinct": q_hll_distinct,
         "table_diff": q_table_diff,
         "winsorize": q_winsorize,
@@ -2561,6 +2593,51 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "pagerank": _pagerank_sql,
+        "bloom_point_read": """
+            WITH slices AS (
+              SELECT doc_id, lang, doc_id % 4 AS s FROM documents
+            ),
+            params AS (
+              SELECT s, count(*) AS n,
+                     CAST(power(2, greatest(6, ceil(log2(count(*) * 10))))
+                          AS BIGINT) AS m
+              FROM slices GROUP BY s
+            ),
+            params2 AS (
+              SELECT s, n, m,
+                     greatest(1, least(16,
+                       CAST(floor(0.693 * m / n + 0.5) AS BIGINT))) AS k
+              FROM params
+            ),
+            ii AS (SELECT unnest(generate_series(0, 15)) AS i),
+            probe_pos AS (
+              SELECT p.s, ii.i,
+                     ('0x' || substr(md5(CAST(ii.i AS VARCHAR) || '|137'), 1, 8))::BIGINT
+                       % p.m AS pos
+              FROM params2 p, ii WHERE ii.i < p.k
+            ),
+            slice_pos AS (
+              SELECT DISTINCT sl.s,
+                     ('0x' || substr(md5(CAST(jj.i AS VARCHAR) || '|' ||
+                          CAST(sl.doc_id AS VARCHAR)), 1, 8))::BIGINT % p.m AS pos
+              FROM slices sl JOIN params2 p ON p.s = sl.s, ii jj
+              WHERE jj.i < p.k
+            ),
+            covered AS (
+              SELECT pp.s, pp.i, (sp.pos IS NOT NULL) AS hit
+              FROM probe_pos pp
+              LEFT JOIN slice_pos sp ON sp.s = pp.s AND sp.pos = pp.pos
+            ),
+            scanned AS (
+              SELECT count(*) AS nf FROM (
+                SELECT s FROM covered GROUP BY s HAVING bool_and(hit)
+              )
+            )
+            SELECT d.doc_id, d.lang,
+                   (SELECT nf FROM scanned) AS n_files_scanned,
+                   CAST(4 AS BIGINT) AS n_files_total
+            FROM documents d WHERE d.doc_id = 137
+        """,
         "convert_html": """
             SELECT doc_id, trim(text) || chr(10) || 'lang: ' || lang AS extracted_text
             FROM documents

@@ -159,6 +159,248 @@ class ManifestTable:
             pass
         return [f"{commit_dir}/{name}" for name in names]
 
+    # -- per-file key blooms (round 6: point-lookup file skipping) ------------
+    #
+    # Column min/max stats prune RANGE predicates but are useless for a
+    # point lookup over unclustered data (every file's [min, max] straddles
+    # any popular key domain). The Iceberg-puffin / parquet-bloom answer:
+    # an opt-in maintenance pass stores one small bloom bitmap per (file,
+    # column) beside the stats, and equality reads drop every file whose
+    # bloom rejects the probe value. Hashing is md5 arithmetic (the
+    # sketches.py convention) so the DRIVER probes in pure python and an
+    # oracle engine can replay membership; bitmaps are built DISTRIBUTED
+    # (one Spark pass over the target files, bit_or per (file, word)) and
+    # only the ≤ m/64-word bitmaps come back to the driver.
+
+    _BLOOMS_NAME = "_blooms.json"
+
+    @staticmethod
+    def _bloom_params(rows: int, bits_per_key: int) -> tuple[int, int]:
+        # floor(x + 0.5), not round(): python round is banker's, which a
+        # replaying SQL engine cannot express portably (HALF_UP can)
+        import math
+
+        m = 1 << max(6, math.ceil(math.log2(max(1, rows) * bits_per_key)))
+        k = max(1, min(16, int(0.693 * m / max(1, rows) + 0.5)))
+        return m, k
+
+    @staticmethod
+    def _bloom_positions_py(value, i: int, m: int) -> int:
+        import hashlib
+
+        h = hashlib.md5(f"{i}|{value}".encode()).hexdigest()
+        return int(h[:8], 16) % m
+
+    def build_file_blooms(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        bits_per_key: int = 10,
+        snapshot_id: int | None = None,
+    ) -> int:
+        """Maintenance pass: compute a bloom per (data file, col) for the
+        snapshot's files that don't have one yet and store them in each
+        commit dir's ``_blooms.json``. Sized per file from its row count
+        (``_stats.json``; files without stats are counted). NULLs are not
+        inserted — an equality probe never matches NULL. Returns the
+        number of (file, col) blooms written. Like stats, blooms are an
+        optimization: files without one are always scanned."""
+        from pyspark.sql import functions as F
+
+        version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        manifest = self._load(version)
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        by_dir: dict[str, list[str]] = {}
+        for f in manifest["files"]:
+            d, name = os.path.split(f)
+            by_dir.setdefault(d, []).append(name)
+        written = 0
+        for d, names in by_dir.items():
+            blooms_path = os.path.join(self.root, d, self._BLOOMS_NAME)
+            try:
+                with open(blooms_path) as fh:
+                    blooms = json.load(fh)
+            except (OSError, ValueError):
+                blooms = {}
+            todo = [
+                n for n in names
+                if any(c not in blooms.get(n, {}) for c in cols)
+            ]
+            if not todo:
+                continue
+            stats_path = os.path.join(self.root, d, _STATS_NAME)
+            try:
+                with open(stats_path) as fh:
+                    stats = json.load(fh)
+            except (OSError, ValueError):
+                stats = {}
+            paths = [os.path.join(self.root, d, n) for n in todo]
+            rows_by_name: dict[str, int] = {}
+            for n in todo:
+                ent = stats.get(n)
+                if ent is not None and "rows" in ent:
+                    rows_by_name[n] = ent["rows"]
+            missing = [n for n in todo if n not in rows_by_name]
+            if missing:
+                counts = (
+                    spark.read.schema(schema)
+                    .parquet(*[os.path.join(self.root, d, n) for n in missing])
+                    .withColumn("__f", F.input_file_name())
+                    .groupBy("__f")
+                    .count()
+                    .collect()
+                )
+                for r in counts:
+                    rows_by_name[os.path.basename(r["__f"])] = r["count"]
+                for n in missing:
+                    rows_by_name.setdefault(n, 0)
+            params = {n: self._bloom_params(rows_by_name[n], bits_per_key) for n in todo}
+            k_max = max(k for _, k in params.values())
+            pdf = spark.createDataFrame(
+                [(n, m, k) for n, (m, k) in params.items()],
+                "__name string, __m long, __k int",
+            )
+            df = (
+                spark.read.schema(schema)
+                .parquet(*paths)
+                .withColumn(
+                    "__name",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                )
+                .join(F.broadcast(pdf), "__name")
+            )
+            for col in cols:
+                if not any(col not in blooms.get(n, {}) for n in todo):
+                    continue
+                pos = (
+                    df.where(F.col(col).isNotNull())
+                    .select(
+                        "__name", "__m", "__k",
+                        F.col(col).cast("string").alias("__v"),
+                    )
+                    .select(
+                        "__name", "__m",
+                        F.explode(
+                            F.array(*[F.lit(i) for i in range(k_max)])
+                        ).alias("__i"),
+                        "__k", "__v",
+                    )
+                    .where(F.col("__i") < F.col("__k"))
+                    .select(
+                        "__name",
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat_ws("|", F.col("__i"), F.col("__v"))),
+                                    1, 8,
+                                ), 16, 10,
+                            ).cast("long"),
+                            F.col("__m"),
+                        ).alias("__pos"),
+                    )
+                )
+                words = (
+                    pos.select(
+                        "__name",
+                        (F.col("__pos") / 64).cast("long").alias("__w"),
+                        F.expr("shiftleft(1L, cast(pmod(__pos, 64) as int))").alias("__mask"),
+                    )
+                    .groupBy("__name", "__w")
+                    .agg(F.expr("bit_or(__mask)").alias("__bits"))
+                    .collect()
+                )
+                per_file: dict[str, dict[str, int]] = {n: {} for n in todo}
+                for r in words:
+                    per_file[r["__name"]][str(r["__w"])] = r["__bits"]
+                for n in todo:
+                    if col in blooms.get(n, {}):
+                        continue
+                    m, k = params[n]
+                    blooms.setdefault(n, {})[col] = {
+                        "m": m, "k": k, "words": per_file[n],
+                    }
+                    written += 1
+            tmp = blooms_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(blooms, fh)
+            os.replace(tmp, blooms_path)
+        return written
+
+    def prune_files_eq(
+        self, eq: dict[str, object], snapshot_id: int | None = None
+    ) -> tuple[list[str], int]:
+        """Point-lookup scan planning: drop files whose per-file bloom
+        rejects any probe value, composed with range-stats pruning for
+        the same values. Files without a bloom (or stats) for a column
+        are kept. Probe values hash by their STRING form — pass values
+        whose str() matches Spark's string cast of the column (ints,
+        plain strings)."""
+        version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        stat_keep, total = self.prune_files(
+            {c: (v, v) for c, v in eq.items() if _stat_bound(v) is not None},
+            snapshot_id=version,
+        )
+        dir_blooms: dict[str, dict] = {}
+        keep = []
+        for f in stat_keep:
+            d, name = os.path.split(f)
+            if d not in dir_blooms:
+                try:
+                    with open(os.path.join(self.root, d, self._BLOOMS_NAME)) as fh:
+                        dir_blooms[d] = json.load(fh)
+                except (OSError, ValueError):
+                    dir_blooms[d] = {}
+            ent = dir_blooms[d].get(name, {})
+            drop = False
+            for col, value in eq.items():
+                b = ent.get(col)
+                if b is None:
+                    continue
+                words = b["words"]
+                for i in range(b["k"]):
+                    p = self._bloom_positions_py(value, i, b["m"])
+                    if not (words.get(str(p // 64), 0) >> (p % 64)) & 1:
+                        drop = True
+                        break
+                if drop:
+                    break
+            if not drop:
+                keep.append(f)
+        return keep, total
+
+    def read_eq(
+        self,
+        spark: SparkSession,
+        eq: dict[str, object],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Equality read with bloom + stats file skipping; MoR deletes and
+        the residual equality predicate still apply — equivalent to
+        ``read(...).where(col = value AND ...)`` by construction (a bloom
+        has no false negatives, so no matching file is ever dropped)."""
+        from pyspark.sql import functions as F
+
+        version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        manifest = self._load(version)
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        keep, _total = self.prune_files_eq(eq, snapshot_id=version)
+        pred = None
+        for col, value in eq.items():
+            clause = F.col(col) == F.lit(value)
+            pred = clause if pred is None else (pred & clause)
+        if not keep:
+            return spark.createDataFrame([], schema)
+        sub = dict(manifest)
+        sub["files"] = keep
+        out = self._read_with_deletes(spark, sub, schema)
+        return out if pred is None else out.where(pred)
+
     def _commit(
         self,
         new_files: list[str],

@@ -830,3 +830,63 @@ def test_stats_pruning_composes_with_sorted_ingest(spark, tmp_path):
     assert total == 16 and len(keep) <= 2  # tight per-file ranges prune 14+/16
     got = t.read_pruned(spark, {"id": (1500, 1700)}).count()
     assert got == 201
+
+
+def test_file_blooms_point_lookup_skips_unsorted_files(spark, tmp_path):
+    """Round 6 blooms: point lookups prune files on UNSORTED data where
+    min/max stats cannot (every commit spans the full key range). Proof
+    by corrupting every bloom-rejected file."""
+    import os
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    # 4 commits, each holding keys scattered over the whole domain
+    for r in range(4):
+        rows = [(i, f"s{i}") for i in range(r, 4000, 4)]
+        t.append(spark.createDataFrame(rows, "id long, s string").coalesce(1))
+    # stats alone cannot prune a point probe
+    stat_keep, total = t.prune_files({"id": (1234, 1234)})
+    assert len(stat_keep) == total == 4
+    n = t.build_file_blooms(spark, ["id"])
+    assert n == 4
+    keep, total = t.prune_files_eq({"id": 1234})
+    assert total == 4 and 1 <= len(keep) <= 2  # true file + rare fp
+    for f in t._load(t.current_snapshot_id())["files"]:
+        if f not in keep:
+            with open(os.path.join(t.root, f), "wb") as fh:
+                fh.write(b"garbage")
+    got = [(r["id"], r["s"]) for r in t.read_eq(spark, {"id": 1234}).collect()]
+    assert got == [(1234, "s1234")]
+
+
+def test_file_blooms_incremental_and_equivalence(spark, tmp_path):
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(0, 500, 2)], "id long").coalesce(1))
+    assert t.build_file_blooms(spark, ["id"]) == 1
+    t.append(spark.createDataFrame([(i,) for i in range(1, 500, 2)], "id long").coalesce(1))
+    # only the NEW file gets a bloom on the second pass
+    assert t.build_file_blooms(spark, ["id"]) == 1
+    assert t.build_file_blooms(spark, ["id"]) == 0  # idempotent
+    for probe in (0, 1, 77, 498, 9999):
+        got = sorted(r["id"] for r in t.read_eq(spark, {"id": probe}).collect())
+        want = sorted(r["id"] for r in t.read(spark).where(f"id = {probe}").collect())
+        assert got == want, probe
+
+
+def test_file_blooms_with_mor_delete_and_missing_bloom(spark, tmp_path):
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(100)], "id long").coalesce(1))
+    t.build_file_blooms(spark, ["id"])
+    # a post-bloom append has NO bloom -> its file is always scanned
+    t.append(spark.createDataFrame([(42,), (500,)], "id long").coalesce(1))
+    keep, total = t.prune_files_eq({"id": 500})
+    assert total == 2 and len(keep) >= 1
+    got = sorted(r["id"] for r in t.read_eq(spark, {"id": 42}).collect())
+    assert got == [42, 42]
+    t.delete(spark, spark.createDataFrame([(42,)], "id long"), ["id"])
+    assert t.read_eq(spark, {"id": 42}).count() == 0  # deletes apply
