@@ -191,6 +191,25 @@ class ManifestTable:
         h = hashlib.md5(f"{i}|{value}".encode()).hexdigest()
         return int(h[:8], 16) % m
 
+    # bloom membership hashes the SPARK string cast of the column; the
+    # driver probe must produce the identical string, which only holds for
+    # types whose python str() matches it. bool is NOT bloomable even
+    # though it subclasses int: str(True) = 'True' vs Spark 'true' — a
+    # mismatch here is a bloom FALSE NEGATIVE, i.e. silent data loss
+    # (review r6), so the build REJECTS other column types and the probe
+    # SKIPS the bloom (safe: file scanned) for other value types.
+    _BLOOMABLE_SPARK_TYPES = ("byte", "short", "int", "integer", "bigint", "long", "string")
+
+    @staticmethod
+    def _bloom_probe_str(value) -> str | None:
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return str(value)
+        if isinstance(value, str):
+            return value
+        return None
+
     def build_file_blooms(
         self,
         spark: SparkSession,
@@ -204,14 +223,27 @@ class ManifestTable:
         (``_stats.json``; files without stats are counted). NULLs are not
         inserted — an equality probe never matches NULL. Returns the
         number of (file, col) blooms written. Like stats, blooms are an
-        optimization: files without one are always scanned."""
+        optimization: files without one are always scanned. Column types
+        must be integer/string (``_BLOOMABLE_SPARK_TYPES`` — other casts'
+        string forms can't be reproduced by the driver probe, which would
+        mean false negatives, i.e. silent data loss)."""
         from pyspark.sql import functions as F
+
+        from .operators.sketches import _hex_to_long
 
         version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if version is None:
             raise FileNotFoundError(f"no snapshots in {self.root}")
         manifest = self._load(version)
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        for c in cols:
+            kind = schema[c].dataType.simpleString()
+            if kind not in self._BLOOMABLE_SPARK_TYPES:
+                raise TypeError(
+                    f"column {c!r} has type {kind!r} — blooms support only "
+                    f"{self._BLOOMABLE_SPARK_TYPES} (probe string forms must "
+                    "match Spark's cast exactly)"
+                )
         by_dir: dict[str, list[str]] = {}
         for f in manifest["files"]:
             d, name = os.path.split(f)
@@ -224,11 +256,13 @@ class ManifestTable:
                     blooms = json.load(fh)
             except (OSError, ValueError):
                 blooms = {}
-            todo = [
-                n for n in names
-                if any(c not in blooms.get(n, {}) for c in cols)
-            ]
-            if not todo:
+            # review r6: per-COLUMN work lists — a file already holding
+            # this column's bloom is never rescanned for it
+            col_todo = {
+                c: [n for n in names if c not in blooms.get(n, {})] for c in cols
+            }
+            all_todo = sorted({n for ns in col_todo.values() for n in ns})
+            if not all_todo:
                 continue
             stats_path = os.path.join(self.root, d, _STATS_NAME)
             try:
@@ -236,13 +270,12 @@ class ManifestTable:
                     stats = json.load(fh)
             except (OSError, ValueError):
                 stats = {}
-            paths = [os.path.join(self.root, d, n) for n in todo]
-            rows_by_name: dict[str, int] = {}
-            for n in todo:
-                ent = stats.get(n)
-                if ent is not None and "rows" in ent:
-                    rows_by_name[n] = ent["rows"]
-            missing = [n for n in todo if n not in rows_by_name]
+            rows_by_name: dict[str, int] = {
+                n: stats[n]["rows"]
+                for n in all_todo
+                if n in stats and "rows" in stats[n]
+            }
+            missing = [n for n in all_todo if n not in rows_by_name]
             if missing:
                 counts = (
                     spark.read.schema(schema)
@@ -256,47 +289,44 @@ class ManifestTable:
                     rows_by_name[os.path.basename(r["__f"])] = r["count"]
                 for n in missing:
                     rows_by_name.setdefault(n, 0)
-            params = {n: self._bloom_params(rows_by_name[n], bits_per_key) for n in todo}
-            k_max = max(k for _, k in params.values())
-            pdf = spark.createDataFrame(
-                [(n, m, k) for n, (m, k) in params.items()],
-                "__name string, __m long, __k int",
-            )
-            df = (
-                spark.read.schema(schema)
-                .parquet(*paths)
-                .withColumn(
-                    "__name",
-                    F.element_at(F.split(F.input_file_name(), "/"), -1),
-                )
-                .join(F.broadcast(pdf), "__name")
-            )
-            for col in cols:
-                if not any(col not in blooms.get(n, {}) for n in todo):
+            params = {
+                n: self._bloom_params(rows_by_name[n], bits_per_key) for n in all_todo
+            }
+            for col, todo in col_todo.items():
+                if not todo:
                     continue
+                k_max = max(params[n][1] for n in todo)
+                pdf = spark.createDataFrame(
+                    [(n, params[n][0], params[n][1]) for n in todo],
+                    "__name string, __m long, __k int",
+                )
                 pos = (
-                    df.where(F.col(col).isNotNull())
+                    spark.read.schema(schema)
+                    .parquet(*[os.path.join(self.root, d, n) for n in todo])
+                    .withColumn(
+                        "__name", F.element_at(F.split(F.input_file_name(), "/"), -1)
+                    )
+                    .join(F.broadcast(pdf), "__name")
+                    .where(F.col(col).isNotNull())
                     .select(
                         "__name", "__m", "__k",
                         F.col(col).cast("string").alias("__v"),
                     )
                     .select(
                         "__name", "__m",
-                        F.explode(
-                            F.array(*[F.lit(i) for i in range(k_max)])
-                        ).alias("__i"),
+                        F.explode(F.array(*[F.lit(i) for i in range(k_max)])).alias("__i"),
                         "__k", "__v",
                     )
                     .where(F.col("__i") < F.col("__k"))
                     .select(
                         "__name",
                         F.pmod(
-                            F.conv(
+                            _hex_to_long(
                                 F.substring(
                                     F.md5(F.concat_ws("|", F.col("__i"), F.col("__v"))),
                                     1, 8,
-                                ), 16, 10,
-                            ).cast("long"),
+                                )
+                            ),
                             F.col("__m"),
                         ).alias("__pos"),
                     )
@@ -315,8 +345,6 @@ class ManifestTable:
                 for r in words:
                     per_file[r["__name"]][str(r["__w"])] = r["__bits"]
                 for n in todo:
-                    if col in blooms.get(n, {}):
-                        continue
                     m, k = params[n]
                     blooms.setdefault(n, {})[col] = {
                         "m": m, "k": k, "words": per_file[n],
@@ -329,21 +357,31 @@ class ManifestTable:
         return written
 
     def prune_files_eq(
-        self, eq: dict[str, object], snapshot_id: int | None = None
+        self,
+        eq: dict[str, object],
+        snapshot_id: int | None = None,
+        tz: str | None = None,
     ) -> tuple[list[str], int]:
         """Point-lookup scan planning: drop files whose per-file bloom
         rejects any probe value, composed with range-stats pruning for
-        the same values. Files without a bloom (or stats) for a column
-        are kept. Probe values hash by their STRING form — pass values
-        whose str() matches Spark's string cast of the column (ints,
-        plain strings)."""
+        the same values (``tz`` forwarded to it — pass the session zone
+        when the values also feed a Spark filter; ``read_eq`` does).
+        Files without a bloom (or stats) for a column are kept. Bloom
+        membership applies ONLY to int/str probe values (see
+        ``_bloom_probe_str`` — other types' string forms can't be
+        reproduced driver-side, and a mismatch would be a false
+        negative); other values fall through to stats + residual."""
         version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if version is None:
             raise FileNotFoundError(f"no snapshots in {self.root}")
         stat_keep, total = self.prune_files(
-            {c: (v, v) for c, v in eq.items() if _stat_bound(v) is not None},
+            {c: (v, v) for c, v in eq.items() if _stat_bound(v, tz) is not None},
             snapshot_id=version,
+            tz=tz,
         )
+        probes = {
+            c: s for c, v in eq.items() if (s := self._bloom_probe_str(v)) is not None
+        }
         dir_blooms: dict[str, dict] = {}
         keep = []
         for f in stat_keep:
@@ -356,13 +394,13 @@ class ManifestTable:
                     dir_blooms[d] = {}
             ent = dir_blooms[d].get(name, {})
             drop = False
-            for col, value in eq.items():
+            for col, pstr in probes.items():
                 b = ent.get(col)
                 if b is None:
                     continue
                 words = b["words"]
                 for i in range(b["k"]):
-                    p = self._bloom_positions_py(value, i, b["m"])
+                    p = self._bloom_positions_py(pstr, i, b["m"])
                     if not (words.get(str(p // 64), 0) >> (p % 64)) & 1:
                         drop = True
                         break
@@ -371,6 +409,21 @@ class ManifestTable:
             if not drop:
                 keep.append(f)
         return keep, total
+
+    def _pruned_read(
+        self, spark: SparkSession, version: int, keep: list[str], pred
+    ) -> DataFrame:
+        """Shared tail of the pruned read paths: kept files through the
+        MoR-delete view plus a residual predicate (review r6 — the two
+        copies had already diverged once, on tz handling)."""
+        manifest = self._load(version)
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        if not keep:
+            return spark.createDataFrame([], schema)
+        sub = dict(manifest)
+        sub["files"] = keep
+        out = self._read_with_deletes(spark, sub, schema)
+        return out if pred is None else out.where(pred)
 
     def read_eq(
         self,
@@ -381,25 +434,23 @@ class ManifestTable:
         """Equality read with bloom + stats file skipping; MoR deletes and
         the residual equality predicate still apply — equivalent to
         ``read(...).where(col = value AND ...)`` by construction (a bloom
-        has no false negatives, so no matching file is ever dropped)."""
+        has no false negatives for int/str probes, and any other probe
+        type skips the bloom rather than risking one)."""
         from pyspark.sql import functions as F
 
         version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if version is None:
             raise FileNotFoundError(f"no snapshots in {self.root}")
-        manifest = self._load(version)
-        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-        keep, _total = self.prune_files_eq(eq, snapshot_id=version)
+        # naive temporal values: the residual filter is session-local, so
+        # the stats pruning inside prune_files_eq must be too (review r6 —
+        # the same bug read_pruned fixed, re-introduced on this path)
+        session_tz = spark.conf.get("spark.sql.session.timeZone", None)
+        keep, _total = self.prune_files_eq(eq, snapshot_id=version, tz=session_tz)
         pred = None
         for col, value in eq.items():
             clause = F.col(col) == F.lit(value)
             pred = clause if pred is None else (pred & clause)
-        if not keep:
-            return spark.createDataFrame([], schema)
-        sub = dict(manifest)
-        sub["files"] = keep
-        out = self._read_with_deletes(spark, sub, schema)
-        return out if pred is None else out.where(pred)
+        return self._pruned_read(spark, version, keep, pred)
 
     def _commit(
         self,
@@ -983,8 +1034,6 @@ class ManifestTable:
         version = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if version is None:
             raise FileNotFoundError(f"no snapshots in {self.root}")
-        manifest = self._load(version)
-        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         # naive temporal bounds: the residual filter below interprets them
         # in the SESSION timezone, so pruning must too (review r6)
         session_tz = spark.conf.get("spark.sql.session.timeZone", None)
@@ -993,12 +1042,7 @@ class ManifestTable:
         for col, (lo, hi) in box.items():
             clause = F.col(col).between(F.lit(lo), F.lit(hi))
             pred = clause if pred is None else (pred & clause)
-        if not keep:
-            return spark.createDataFrame([], schema)
-        sub = dict(manifest)
-        sub["files"] = keep
-        out = self._read_with_deletes(spark, sub, schema)
-        return out if pred is None else out.where(pred)
+        return self._pruned_read(spark, version, keep, pred)
 
     def _read_with_deletes(
         self,

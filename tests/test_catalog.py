@@ -890,3 +890,48 @@ def test_file_blooms_with_mor_delete_and_missing_bloom(spark, tmp_path):
     assert got == [42, 42]
     t.delete(spark, spark.createDataFrame([(42,)], "id long"), ["id"])
     assert t.read_eq(spark, {"id": 42}).count() == 0  # deletes apply
+
+
+def test_file_blooms_reject_unbloomable_types_and_skip_bad_probes(spark, tmp_path):
+    """Review r6: building blooms on a non-int/string column fails loudly
+    (driver probe could not reproduce Spark's cast -> false negatives =
+    silent data loss); non-int/str probe VALUES skip the bloom and still
+    read correctly via stats + residual."""
+    import pytest as _pytest
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, True, 1.5), (2, False, 2.5)], "id long, flag boolean, v double").coalesce(1)
+    )
+    with _pytest.raises(TypeError, match="blooms support only"):
+        t.build_file_blooms(spark, ["flag"])
+    with _pytest.raises(TypeError, match="blooms support only"):
+        t.build_file_blooms(spark, ["v"])
+    t.build_file_blooms(spark, ["id"])
+    # bool probe on a bloomed table: bloom skipped, result still correct
+    got = [(r["id"], r["flag"]) for r in t.read_eq(spark, {"flag": True}).collect()]
+    assert got == [(1, True)]
+    # mixed probe: int goes through bloom, float through stats+residual
+    got2 = [r["id"] for r in t.read_eq(spark, {"id": 2, "v": 2.5}).collect()]
+    assert got2 == [2]
+
+
+def test_read_eq_respects_session_timezone(spark, tmp_path):
+    """Review r6 second pass: the equality path interprets naive temporal
+    probe values session-locally, same as its residual filter."""
+    import datetime
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        t = ManifestTable(str(tmp_path / "t"))
+        ts = datetime.datetime(2026, 1, 1, 22, 30)  # written session-local
+        t.append(spark.createDataFrame([(1, ts)], "id long, ts timestamp").coalesce(1))
+        got = [r["id"] for r in t.read_eq(spark, {"ts": ts}).collect()]
+        assert got == [1]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
