@@ -935,3 +935,35 @@ def test_read_eq_respects_session_timezone(spark, tmp_path):
         assert got == [1]
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_maintain_table_job_ladder(spark, tmp_path):
+    """jobs/maintain_table.py: the maintenance ladder reports, rewrites
+    deletes past the threshold, compacts small files, expires history and
+    builds blooms — and dry-run mutates nothing."""
+    from article_extraction_spark.catalog import ManifestTable
+    from jobs.maintain_table import maintain
+
+    t = ManifestTable(str(tmp_path / "t"))
+    for i in range(6):
+        t.append(spark.createDataFrame([(j,) for j in range(i * 10, i * 10 + 10)], "id long").coalesce(1))
+    t.delete(spark, spark.createDataFrame([(5,), (15,)], "id long"), ["id"])
+    before = t.current_snapshot_id()
+    dry = maintain(spark, t, rewrite_deletes_over=0.5, compact_under_mb=64,
+                   keep_last=3, bloom_cols=["id"], dry_run=True)
+    assert t.current_snapshot_id() == before  # dry-run is a no-op
+    assert {r["action"] for r in dry} == {"report", "rewrite_deletes", "compact",
+                                          "expire_snapshots", "build_file_blooms"}
+    reports = maintain(spark, t, rewrite_deletes_over=0.5, compact_under_mb=64,
+                       keep_last=3, bloom_cols=["id"])
+    acts = {r["action"]: r for r in reports}
+    assert acts["report"]["delete_entries_per_data_file"] > 0.5
+    assert "snapshot" in acts["rewrite_deletes"] and "snapshot" in acts["compact"]
+    assert acts["build_file_blooms"]["written"] >= 1
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [
+        j for j in range(60) if j not in (5, 15)
+    ]
+    # post-maintenance read path: blooms built on the compacted file
+    got = [r["id"] for r in t.read_eq(spark, {"id": 42}).collect()]
+    assert got == [42]
+    assert len(t.snapshots()) <= 3
