@@ -1701,6 +1701,31 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE (round 6, the Delta/Iceberg UPDATE shape):
+    documents in three range commits, one UPDATE hits only the middle
+    range — exactly the untouched files carry by reference (flag hashed
+    into every row), matches get the SET, file-mates survive. DuckDB
+    replays the row results as a CASE projection."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    root = f"{tempfile.gettempdir()}/aes_updw_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    t = ManifestTable(root)
+    for lo, hi in ((0, 100), (100, 200), (200, 10**9)):
+        t.append(docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1))
+    files_before = t._load(t.current_snapshot_id())["files"]
+    v = t.update_where(spark, "doc_id between 120 and 180", {"lang": "'xx'"})
+    carried = sum(1 for f in files_before if f in t._load(v)["files"])
+    return t.read(spark).select(
+        "doc_id", "lang", F.lit(carried == 2).alias("untouched_carried")
+    )
+
+
 def q_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file key blooms (round 6, the Iceberg-puffin/parquet-bloom
     analog): documents land as four UNSORTED commits (doc_id mod 4 — every
@@ -2532,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_incremental": q_hll_incremental,
         "pagerank": q_pagerank,
         "bloom_point_read": q_bloom_point_read,
+        "update_where": q_update_where,
         "hll_distinct": q_hll_distinct,
         "table_diff": q_table_diff,
         "winsorize": q_winsorize,
@@ -2593,6 +2619,12 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "pagerank": _pagerank_sql,
+        "update_where": """
+            SELECT doc_id,
+                   CASE WHEN doc_id BETWEEN 120 AND 180 THEN 'xx' ELSE lang END AS lang,
+                   TRUE AS untouched_carried
+            FROM documents
+        """,
         "bloom_point_read": """
             WITH slices AS (
               SELECT doc_id, lang, doc_id % 4 AS s FROM documents

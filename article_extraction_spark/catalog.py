@@ -845,6 +845,85 @@ class ManifestTable:
             deletes=surviving_deletes,
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        set_exprs: dict,
+        extra_meta: dict | None = None,
+    ) -> int:
+        """Copy-on-write ``UPDATE ... SET ... WHERE`` (the Delta/Iceberg
+        UPDATE shape): ONLY data files containing at least one matching
+        row are rewritten — matching rows get ``set_exprs`` applied,
+        their file-mates carry unchanged, untouched files carry into the
+        new snapshot by reference. Matching is evaluated on the
+        delete-applied view, surviving MoR delete entries keep covering
+        the untouched files, and the commit is validated exactly like
+        ``merge`` (CommitConflict on a racing writer, never a silent
+        rebase).
+
+        ``condition``: Column or SQL string. ``set_exprs``: {column →
+        Column | SQL string}; only EXISTING columns may be set, and each
+        assignment is cast back to the column's declared type so the
+        table schema never drifts. ``read_incremental`` refuses to cross
+        an ``update`` snapshot (row rewrites are inexpressible as a
+        file-level delta) — same contract as merge/overwrite, so
+        incrementally-maintained rollups fall back to a full recompute."""
+        from pyspark.sql import functions as F
+
+        parent = self.current_snapshot_id()
+        if parent is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        manifest = self._load(parent)
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        names = {f.name: f.dataType for f in schema.fields}
+        bad = [c for c in set_exprs if c not in names]
+        if bad:
+            raise KeyError(f"update_where target column(s) {bad} not in table schema")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        sets = {
+            c: (F.expr(e) if isinstance(e, str) else e).cast(names[c])
+            for c, e in set_exprs.items()
+        }
+
+        tagged = self._read_with_deletes(spark, manifest, schema, file_tag_col="_file")
+        from urllib.parse import unquote, urlparse
+
+        root_abs = os.path.abspath(self.root)
+        matched_rel = {
+            os.path.relpath(unquote(urlparse(r["_file"]).path), root_abs)
+            for r in tagged.where(cond).select("_file").distinct().collect()
+        }
+        unknown = matched_rel - set(manifest["files"])
+        if unknown:  # fail CLOSED, same rule as merge
+            raise RuntimeError(
+                f"update_where could not map {len(unknown)} scanned file path(s) "
+                f"back to manifest entries (e.g. {sorted(unknown)[:2]})"
+            )
+        keep_files = [f for f in manifest["files"] if f not in matched_rel]
+        rewrite = [f for f in manifest["files"] if f in matched_rel]
+        if not rewrite:
+            return parent  # no row matches: the table is already the answer
+        sub = {"files": rewrite, "deletes": manifest.get("deletes", [])}
+        rows = self._read_with_deletes(spark, sub, schema)
+        updated = rows.select(
+            *[
+                F.when(cond, sets[c]).otherwise(F.col(c)).alias(c) if c in sets else F.col(c)
+                for c in rows.columns
+            ]
+        )
+        keep_set = set(keep_files)
+        surviving_deletes = []
+        for e in manifest.get("deletes", []):
+            cov = [f for f in e["applies_to"] if f in keep_set]
+            if cov:
+                surviving_deletes.append({**e, "applies_to": cov})
+        new_files = self._write_data(updated)
+        return self._commit_merge(
+            parent, new_files, keep_files, manifest["schema"], extra_meta,
+            deletes=surviving_deletes, operation="update",
+        )
+
     def _commit_merge(
         self,
         parent: int | None,
@@ -853,12 +932,13 @@ class ManifestTable:
         schema_json: str,
         extra_meta: dict | None = None,
         deletes: list[dict] | None = None,
+        operation: str = "merge",
     ) -> int:
         version = (parent if parent is not None else 0) + 1
         out = {
             "snapshot_id": version,
             "parent": parent,
-            "operation": "merge",
+            "operation": operation,
             "files": keep_files + new_files,
             "schema": schema_json,
             "ts": time.time(),
@@ -885,7 +965,7 @@ class ManifestTable:
                 except OSError:
                     pass
             raise CommitConflict(
-                "concurrent commit during merge — re-run against the new head"
+                f"concurrent commit during {operation} — re-run against the new head"
             ) from exc
         return version
 

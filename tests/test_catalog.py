@@ -967,3 +967,53 @@ def test_maintain_table_job_ladder(spark, tmp_path):
     got = [r["id"] for r in t.read_eq(spark, {"id": 42}).collect()]
     assert got == [42]
     assert len(t.snapshots()) <= 3
+
+
+def test_update_where_rewrites_only_matching_files(spark, tmp_path):
+    """Copy-on-write UPDATE (round 6): files without matches carry by
+    reference, matches get the SET applied, file-mates survive unchanged,
+    time travel sees the old values."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"s{i}", 1.0) for i in range(lo, lo + 100)], "id long, s string, v double"
+            ).coalesce(1)
+        )
+    before = t.current_snapshot_id()
+    files_before = t._load(before)["files"]
+    v = t.update_where(spark, "id between 120 and 130", {"s": "'UPDATED'", "v": "v * 10"})
+    m = t._load(v)
+    assert m["operation"] == "update"
+    untouched = [f for f in files_before if f in m["files"]]
+    assert len(untouched) == 2  # only the middle file rewritten
+    got = {r["id"]: (r["s"], r["v"]) for r in t.read(spark).collect()}
+    assert got[125] == ("UPDATED", 10.0) and got[131] == ("s131", 1.0)
+    assert got[50] == ("s50", 1.0) and len(got) == 300
+    # time travel: pre-update snapshot unchanged
+    old = {r["id"]: r["s"] for r in t.read(spark, snapshot_id=before).collect()}
+    assert old[125] == "s125"
+    # no-match update: same snapshot back, nothing written
+    assert t.update_where(spark, "id = 99999", {"s": "'X'"}) == v
+    # unknown column fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="not in table schema"):
+        t.update_where(spark, "id = 1", {"nope": "'x'"})
+
+
+def test_update_where_respects_mor_deletes(spark, tmp_path):
+    """Matching runs on the delete-applied view; deleted rows are not
+    resurrected by the rewrite, and entries keep covering kept files."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i, "a") for i in range(10)], "id long, s string").coalesce(1))
+    t.append(spark.createDataFrame([(i, "a") for i in range(10, 20)], "id long, s string").coalesce(1))
+    t.delete(spark, spark.createDataFrame([(5,), (15,)], "id long"), ["id"])
+    t.update_where(spark, "id < 10", {"s": "'U'"})  # rewrites file 1 only
+    got = {r["id"]: r["s"] for r in t.read(spark).collect()}
+    assert 5 not in got and 15 not in got  # delete survived both paths
+    assert got[3] == "U" and got[12] == "a"
