@@ -1701,6 +1701,36 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-v2 POSITIONAL deletes (round 6): two sorted commits —
+    all documents, plus a full duplicate of doc_id<20 — then one MoR
+    positional delete of the ODD-position rows among doc_id<20 in each
+    file, targeting exact physical copies (inexpressible as an equality
+    delete). No data file is rewritten (flag hashed into every row).
+    Files are written coalesce(1) + sortWithinPartitions(doc_id), so
+    row ordinals are the doc_id rank — which is how DuckDB replays the
+    deleted positions (row_number over the same sort)."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    root = f"{tempfile.gettempdir()}/aes_posdel_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    t = ManifestTable(root)
+    t.append(docs.coalesce(1).sortWithinPartitions("doc_id"))
+    t.append(docs.where(F.col("doc_id") < 20).coalesce(1).sortWithinPartitions("doc_id"))
+    files_before = t._load(t.current_snapshot_id())["files"]
+    v = t.delete_positions_where(
+        spark, "doc_id < 20 and _metadata.row_index % 2 = 1"
+    )
+    no_rewrite = t._load(v)["files"] == files_before
+    return t.read(spark).select(
+        "doc_id", "lang", F.lit(bool(no_rewrite)).alias("no_rewrite")
+    )
+
+
 def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write UPDATE (round 6, the Delta/Iceberg UPDATE shape):
     documents in three range commits, one UPDATE hits only the middle
@@ -2558,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bloom_point_read": q_bloom_point_read,
         "update_where": q_update_where,
+        "positional_delete": q_positional_delete,
         "hll_distinct": q_hll_distinct,
         "table_diff": q_table_diff,
         "winsorize": q_winsorize,
@@ -2619,6 +2650,23 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "pagerank": _pagerank_sql,
+        "positional_delete": """
+            WITH f1 AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS pos
+              FROM documents
+            ),
+            f2 AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS pos
+              FROM documents WHERE doc_id < 20
+            )
+            SELECT doc_id, lang, TRUE AS no_rewrite
+            FROM f1 WHERE NOT (doc_id < 20 AND pos % 2 = 1)
+            UNION ALL
+            SELECT doc_id, lang, TRUE
+            FROM f2 WHERE NOT (doc_id < 20 AND pos % 2 = 1)
+        """,
         "update_where": """
             SELECT doc_id,
                    CASE WHEN doc_id BETWEEN 120 AND 180 THEN 'xx' ELSE lang END AS lang,

@@ -1130,6 +1130,7 @@ class ManifestTable:
         manifest: dict,
         schema: "T.StructType",
         file_tag_col: str | None = None,
+        keep_position_cols: bool = False,
     ) -> DataFrame:
         """Snapshot read applying outstanding MoR delete entries (round 5,
         the Iceberg v2 equality-delete read path): data files are grouped
@@ -1142,17 +1143,24 @@ class ManifestTable:
         manifest without delete entries)."""
         from pyspark.sql import functions as F
 
-        def raw(paths: list[str]) -> DataFrame:
+        def raw(paths: list[str], with_pos: bool = False) -> DataFrame:
             df = spark.read.schema(schema).parquet(
                 *[os.path.join(self.root, p) for p in paths]
             )
             if file_tag_col:
                 df = df.withColumn(file_tag_col, F.input_file_name())
+            if with_pos:
+                # _metadata resolves only against the scan relation — the
+                # position keys must be attached HERE, before any join
+                df = df.withColumn(
+                    "__dfile",
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                ).withColumn("__dpos", F.col("_metadata.row_index"))
             return df
 
         deletes = manifest.get("deletes", [])
         if not deletes:
-            return raw(manifest["files"])
+            return raw(manifest["files"], with_pos=keep_position_cols)
         applies = [set(e["applies_to"]) for e in deletes]
         groups: dict[tuple, list[str]] = {}
         for f in manifest["files"]:
@@ -1161,7 +1169,13 @@ class ManifestTable:
         key_dfs: dict[int, DataFrame] = {}
         out = None
         for sig, paths in groups.items():
-            df = raw(paths)
+            # positional entries (round 6, Iceberg v2's second delete kind)
+            # anti-join on (file basename, row ordinal) — the keys come
+            # from the hidden _metadata column, attached at the scan
+            needs_pos = keep_position_cols or any(
+                deletes[i].get("kind") == "position" for i in sig
+            )
+            df = raw(paths, with_pos=needs_pos)
             for i in sig:
                 e = deletes[i]
                 if i not in key_dfs:
@@ -1170,6 +1184,8 @@ class ManifestTable:
                         *[os.path.join(self.root, p) for p in e["files"]]
                     )
                 df = df.join(F.broadcast(key_dfs[i]), e["keys"], "left_anti")
+            if needs_pos and not keep_position_cols:
+                df = df.drop("__dfile", "__dpos")
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -1345,6 +1361,76 @@ class ManifestTable:
         ``condition`` by its key tuple (evaluated against the
         delete-applied head, so already-deleted rows don't re-enter)."""
         return self.delete(spark, self.read(spark).where(condition), keys)
+
+    def delete_positions_where(self, spark: SparkSession, condition) -> int:
+        """Merge-on-read POSITIONAL delete (round 6 — Iceberg v2's second
+        delete kind): record (file basename, row ordinal) of every
+        current row matching ``condition`` as a delete file, rewriting
+        NO data. Positions come from the hidden ``_metadata.row_index``
+        column, so this targets exact physical rows — including ONE of
+        several fully identical rows, which equality deletes cannot
+        express. The entry's ``applies_to`` is only the files that
+        actually contain deleted positions (tighter than equality's
+        all-visible coverage); matching is evaluated on the delete-
+        applied view, so already-deleted rows are not re-deleted.
+        Rewrites (merge/update/compact/rewrite_deletes) read through the
+        delete-applied view and drop coverage with the rewritten files —
+        positions never outlive the files they index."""
+        from pyspark.sql import functions as F
+
+        head = self.current_snapshot_id()
+        if head is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        manifest = self._load(head)
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        if not manifest["files"]:
+            return head
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        view = self._read_with_deletes(
+            spark, manifest, schema, keep_position_cols=True
+        )
+        matches = view.where(cond).select("__dfile", "__dpos").distinct()
+        touched = {r["__dfile"] for r in matches.select("__dfile").distinct().collect()}
+        if not touched:
+            return head
+        delete_files = self._write_data(matches)
+        entry_schema = matches.schema.json()
+        for _ in range(5):
+            parent = self.current_snapshot_id()
+            pm = self._load(parent)
+            covered = [
+                f for f in pm["files"] if os.path.basename(f) in touched
+            ]
+            entry = {
+                "kind": "position",
+                "files": delete_files,
+                "keys": ["__dfile", "__dpos"],
+                "schema": entry_schema,
+                "applies_to": covered,
+            }
+            out = {
+                "snapshot_id": parent + 1,
+                "parent": parent,
+                "operation": "delete",
+                "files": pm["files"],
+                "schema": pm["schema"],
+                "ts": time.time(),
+                "deletes": pm.get("deletes", []) + ([entry] if covered else []),
+            }
+            try:
+                with open(self._manifest_path(parent + 1), "x") as fh:
+                    json.dump(out, fh)
+                return parent + 1
+            except FileExistsError:
+                continue
+        for f in delete_files:  # never referenced — don't leak
+            try:
+                os.remove(os.path.join(self.root, f))
+            except OSError:
+                pass
+        raise CommitConflict(
+            "concurrent commits exhausted positional-delete retries — re-run"
+        )
 
     def diff(
         self,

@@ -1017,3 +1017,65 @@ def test_update_where_respects_mor_deletes(spark, tmp_path):
     got = {r["id"]: r["s"] for r in t.read(spark).collect()}
     assert 5 not in got and 15 not in got  # delete survived both paths
     assert got[3] == "U" and got[12] == "a"
+
+
+def test_positional_delete_targets_one_of_identical_rows(spark, tmp_path):
+    """Iceberg-v2 positional deletes (round 6): delete exactly ONE of two
+    fully identical rows — inexpressible with equality deletes — with no
+    data file rewritten; time travel intact."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    v1 = t.append(
+        spark.createDataFrame([(1, "dup"), (1, "dup"), (2, "x")], "id long, s string").coalesce(1)
+    )
+    files_before = t._load(v1)["files"]
+    v2 = t.delete_positions_where(spark, "id = 1 and _metadata.row_index = 0")
+    assert t._load(v2)["files"] == files_before  # MoR: nothing rewritten
+    got = sorted((r["id"], r["s"]) for r in t.read(spark).collect())
+    assert got == [(1, "dup"), (2, "x")]  # exactly one copy survived
+    assert t.read(spark, snapshot_id=v1).count() == 3
+
+
+def test_positional_delete_coverage_and_lifecycle(spark, tmp_path):
+    """Positions cover only files that contain them; later appends are
+    untouched; matching runs on the delete-applied view (no re-delete);
+    compact materializes; equality + positional entries compose."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "id long").coalesce(1))
+    t.append(spark.createDataFrame([(i,) for i in range(10, 20)], "id long").coalesce(1))
+    v = t.delete_positions_where(spark, "id in (3, 4)")
+    entry = t._load(v)["deletes"][-1]
+    assert entry["kind"] == "position" and len(entry["applies_to"]) == 1
+    t.append(spark.createDataFrame([(3,)], "id long").coalesce(1))  # re-insert
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [0, 1, 2, 3, 5, 6, 7, 8, 9] + list(range(10, 20))
+    # second positional delete on the applied view: id=3 hits only the NEW row
+    t.delete_positions_where(spark, "id = 3")
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [
+        0, 1, 2, 5, 6, 7, 8, 9] + list(range(10, 20))
+    # compose with an equality delete, then compact materializes both kinds
+    t.delete(spark, spark.createDataFrame([(11,)], "id long"), ["id"])
+    pre = sorted(r["id"] for r in t.read(spark).collect())
+    vc = t.compact(spark, target_bytes=1 << 30)
+    assert "deletes" not in t._load(vc)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == pre
+    # no-match delete: same snapshot back
+    head = t.current_snapshot_id()
+    assert t.delete_positions_where(spark, "id = 12345") == head
+
+
+def test_positional_delete_update_and_amplification(spark, tmp_path):
+    """update_where reads through positional deletes; read_amplification
+    counts positional entries like equality ones."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i, "a") for i in range(10)], "id long, s string").coalesce(1))
+    t.delete_positions_where(spark, "id = 7")
+    assert t.read_amplification()["n_delete_entries"] == 1
+    t.update_where(spark, "id < 3", {"s": "'U'"})
+    got = {r["id"]: r["s"] for r in t.read(spark).collect()}
+    assert 7 not in got and got[0] == "U" and got[5] == "a"
