@@ -794,30 +794,10 @@ class ManifestTable:
         # read through outstanding MoR deletes (round 5): survivors must
         # not resurrect deleted rows, and matched-file detection must see
         # the delete-applied view
-        tagged = self._read_with_deletes(spark, manifest, schema, file_tag_col="_file")
-        from urllib.parse import unquote, urlparse
-
-        root_abs = os.path.abspath(self.root)
-        matched_rel = {
-            os.path.relpath(unquote(urlparse(r["_file"]).path), root_abs)
-            for r in tagged.join(F.broadcast(key_df), keys, "left_semi")
-            .select("_file")
-            .distinct()
-            .collect()
-        }
-        # fail CLOSED: every matched path must map back to a manifest entry;
-        # a URI→relative mapping mismatch must never silently classify
-        # matched files as untouched (that would append src without deleting
-        # the matched keys' old rows — duplicate keys)
-        unknown = matched_rel - set(manifest["files"])
-        if unknown:
-            raise RuntimeError(
-                f"merge could not map {len(unknown)} scanned file path(s) back "
-                f"to manifest entries (e.g. {sorted(unknown)[:2]}); refusing a "
-                "potentially lossy merge"
-            )
-        keep_files = [f for f in manifest["files"] if f not in matched_rel]
-        rewrite = [f for f in manifest["files"] if f in matched_rel]
+        keep_files, rewrite = self._matched_file_split(
+            spark, manifest, schema, "merge",
+            lambda tagged: tagged.join(F.broadcast(key_df), keys, "left_semi"),
+        )
         if rewrite:
             sub = {"files": rewrite, "deletes": manifest.get("deletes", [])}
             survivors = self._read_with_deletes(spark, sub, schema).join(
@@ -825,14 +805,7 @@ class ManifestTable:
             )
         else:
             survivors = spark.createDataFrame([], schema)
-        # delete entries survive on the untouched files only; rewritten
-        # files are delete-applied, so their coverage drops away
-        keep_set = set(keep_files)
-        surviving_deletes = []
-        for e in manifest.get("deletes", []):
-            cov = [f for f in e["applies_to"] if f in keep_set]
-            if cov:
-                surviving_deletes.append({**e, "applies_to": cov})
+        surviving_deletes = self._surviving_deletes(manifest, set(keep_files))
         # union even when nothing is rewritten so the committed schema is the
         # TABLE ∪ src schema: committing src's (possibly narrower) schema
         # would hide existing columns from every later read — silent data
@@ -886,22 +859,9 @@ class ManifestTable:
             for c, e in set_exprs.items()
         }
 
-        tagged = self._read_with_deletes(spark, manifest, schema, file_tag_col="_file")
-        from urllib.parse import unquote, urlparse
-
-        root_abs = os.path.abspath(self.root)
-        matched_rel = {
-            os.path.relpath(unquote(urlparse(r["_file"]).path), root_abs)
-            for r in tagged.where(cond).select("_file").distinct().collect()
-        }
-        unknown = matched_rel - set(manifest["files"])
-        if unknown:  # fail CLOSED, same rule as merge
-            raise RuntimeError(
-                f"update_where could not map {len(unknown)} scanned file path(s) "
-                f"back to manifest entries (e.g. {sorted(unknown)[:2]})"
-            )
-        keep_files = [f for f in manifest["files"] if f not in matched_rel]
-        rewrite = [f for f in manifest["files"] if f in matched_rel]
+        keep_files, rewrite = self._matched_file_split(
+            spark, manifest, schema, "update_where", lambda tagged: tagged.where(cond)
+        )
         if not rewrite:
             return parent  # no row matches: the table is already the answer
         sub = {"files": rewrite, "deletes": manifest.get("deletes", [])}
@@ -912,17 +872,52 @@ class ManifestTable:
                 for c in rows.columns
             ]
         )
-        keep_set = set(keep_files)
-        surviving_deletes = []
-        for e in manifest.get("deletes", []):
-            cov = [f for f in e["applies_to"] if f in keep_set]
-            if cov:
-                surviving_deletes.append({**e, "applies_to": cov})
+        surviving_deletes = self._surviving_deletes(manifest, set(keep_files))
         new_files = self._write_data(updated)
         return self._commit_merge(
             parent, new_files, keep_files, manifest["schema"], extra_meta,
             deletes=surviving_deletes, operation="update",
         )
+
+    def _matched_file_split(
+        self, spark: SparkSession, manifest: dict, schema, op: str, select_matches
+    ) -> tuple[list[str], list[str]]:
+        """Copy-on-write planning shared by merge and update_where (review
+        r6 — the two hand-copied versions were already diverging): ONE
+        tagged pass over the delete-applied view, ``select_matches``
+        narrows it to matching rows, and the touched files are mapped
+        back to manifest entries FAIL-CLOSED (a URI→relpath mismatch must
+        never classify a matched file as untouched — that would leave its
+        old rows alive). Returns (keep_files, rewrite_files)."""
+        from urllib.parse import unquote, urlparse
+
+        tagged = self._read_with_deletes(spark, manifest, schema, file_tag_col="_file")
+        root_abs = os.path.abspath(self.root)
+        matched_rel = {
+            os.path.relpath(unquote(urlparse(r["_file"]).path), root_abs)
+            for r in select_matches(tagged).select("_file").distinct().collect()
+        }
+        unknown = matched_rel - set(manifest["files"])
+        if unknown:
+            raise RuntimeError(
+                f"{op} could not map {len(unknown)} scanned file path(s) back "
+                f"to manifest entries (e.g. {sorted(unknown)[:2]}); refusing a "
+                "potentially lossy rewrite"
+            )
+        keep = [f for f in manifest["files"] if f not in matched_rel]
+        rewrite = [f for f in manifest["files"] if f in matched_rel]
+        return keep, rewrite
+
+    @staticmethod
+    def _surviving_deletes(manifest: dict, keep_set: set) -> list[dict]:
+        """Delete entries survive a rewrite only on the UNTOUCHED files:
+        rewritten files are delete-applied, so their coverage drops."""
+        out = []
+        for e in manifest.get("deletes", []):
+            cov = [f for f in e["applies_to"] if f in keep_set]
+            if cov:
+                out.append({**e, "applies_to": cov})
+        return out
 
     def _commit_merge(
         self,
@@ -1375,7 +1370,17 @@ class ManifestTable:
         applied view, so already-deleted rows are not re-deleted.
         Rewrites (merge/update/compact/rewrite_deletes) read through the
         delete-applied view and drop coverage with the rewritten files —
-        positions never outlive the files they index."""
+        positions never outlive the files they index. For the same
+        reason positions cannot REBASE: a concurrent rewrite of a
+        touched file raises CommitConflict (recompute against the new
+        head) instead of silently dropping deletions.
+
+        ``condition`` may reference ``_metadata.row_index`` and
+        ``_metadata.file_name`` (file basename): the hidden metadata
+        column does not resolve above the unioned delete-read, so the
+        view shadows it with a real struct over the materialized keys.
+        ``_metadata.file_path`` (a full-URI field this struct does not
+        carry) fails loudly rather than silently diverging."""
         from pyspark.sql import functions as F
 
         head = self.current_snapshot_id()
@@ -1385,22 +1390,62 @@ class ManifestTable:
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         if not manifest["files"]:
             return head
+        from pyspark import StorageLevel
+
         cond = F.expr(condition) if isinstance(condition, str) else condition
         view = self._read_with_deletes(
             spark, manifest, schema, keep_position_cols=True
         )
-        matches = view.where(cond).select("__dfile", "__dpos").distinct()
-        touched = {r["__dfile"] for r in matches.select("__dfile").distinct().collect()}
-        if not touched:
-            return head
-        delete_files = self._write_data(matches)
+        # shadow the hidden _metadata with a real struct over the
+        # materialized keys: the hidden column does not resolve above the
+        # Union the grouped delete-read produces (review r6, reproduced),
+        # so conditions may reference _metadata.row_index /
+        # _metadata.file_name (basename) uniformly on every path
+        view = view.withColumn(
+            "_metadata",
+            F.struct(
+                F.col("__dpos").alias("row_index"),
+                F.col("__dfile").alias("file_name"),
+            ),
+        )
+        matches = (
+            view.where(cond)
+            .select("__dfile", "__dpos")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            touched = {r["__dfile"] for r in matches.select("__dfile").distinct().collect()}
+            if not touched:
+                return head
+            delete_files = self._write_data(matches)
+        finally:
+            matches.unpersist(blocking=False)
         entry_schema = matches.schema.json()
+
+        def _cleanup():
+            for f in delete_files:  # never referenced — don't leak
+                try:
+                    os.remove(os.path.join(self.root, f))
+                except OSError:
+                    pass
+
         for _ in range(5):
             parent = self.current_snapshot_id()
             pm = self._load(parent)
-            covered = [
-                f for f in pm["files"] if os.path.basename(f) in touched
-            ]
+            head_basenames = {os.path.basename(f) for f in pm["files"]}
+            # positions index SPECIFIC physical files and cannot rebase: if
+            # a concurrent rewrite replaced any touched file, committing
+            # would silently drop those deletions (review r6) — equality
+            # deletes rebase because their keys re-apply to any head
+            if not touched <= head_basenames:
+                _cleanup()
+                raise CommitConflict(
+                    "a concurrent rewrite replaced file(s) holding deleted "
+                    "positions — recompute the positional delete against "
+                    "the new head"
+                )
+            covered = [f for f in pm["files"] if os.path.basename(f) in touched]
             entry = {
                 "kind": "position",
                 "files": delete_files,
@@ -1415,7 +1460,7 @@ class ManifestTable:
                 "files": pm["files"],
                 "schema": pm["schema"],
                 "ts": time.time(),
-                "deletes": pm.get("deletes", []) + ([entry] if covered else []),
+                "deletes": pm.get("deletes", []) + [entry],
             }
             try:
                 with open(self._manifest_path(parent + 1), "x") as fh:
@@ -1423,11 +1468,7 @@ class ManifestTable:
                 return parent + 1
             except FileExistsError:
                 continue
-        for f in delete_files:  # never referenced — don't leak
-            try:
-                os.remove(os.path.join(self.root, f))
-            except OSError:
-                pass
+        _cleanup()
         raise CommitConflict(
             "concurrent commits exhausted positional-delete retries — re-run"
         )

@@ -35,12 +35,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from article_extraction_spark.catalog import CommitConflict, ManifestTable  # noqa: E402
+# NOTE: engine imports happen inside maintain()/main() AFTER the
+# SparkSession exists — the --py-files zip lands on the driver's sys.path
+# only once the SparkContext starts (jobs/curate_corpus.py convention;
+# review r6: a module-level import broke the documented deployment)
 
 
 def maintain(
     spark: SparkSession,
-    table: ManifestTable,
+    table,
     rewrite_deletes_over: float | None = None,
     compact_under_mb: float | None = None,
     keep_last: int | None = None,
@@ -48,10 +51,17 @@ def maintain(
     bloom_cols: list[str] | None = None,
     dry_run: bool = False,
 ) -> list[dict]:
-    """Run the maintenance ladder; returns one report dict per step."""
+    """Run the maintenance ladder; returns one report dict per step. A
+    table with no snapshots yet (cron fired before first ingest) reports
+    and exits instead of crashing — maintenance is never fatal."""
+    from article_extraction_spark.catalog import CommitConflict
+
     out: list[dict] = []
-    amp = table.read_amplification()
     snaps = table.snapshots()
+    if not snaps:
+        out.append({"action": "report", "snapshots": 0, "empty": True})
+        return out
+    amp = table.read_amplification()
     out.append({"action": "report", "snapshots": len(snaps), **amp})
 
     if rewrite_deletes_over is not None and amp["delete_entries_per_data_file"] >= rewrite_deletes_over:
@@ -118,6 +128,8 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("maintain-table").getOrCreate()
+    from article_extraction_spark.catalog import ManifestTable
+
     table = ManifestTable(args.table)
     reports = maintain(
         spark,

@@ -1079,3 +1079,59 @@ def test_positional_delete_update_and_amplification(spark, tmp_path):
     t.update_where(spark, "id < 3", {"s": "'U'"})
     got = {r["id"]: r["s"] for r in t.read(spark).collect()}
     assert 7 not in got and got[0] == "U" and got[5] == "a"
+
+
+def test_positional_delete_composes_with_prior_equality_delete(spark, tmp_path):
+    """Review r6 third pass: the advertised _metadata.row_index predicate
+    must work when prior deletes split files into coverage groups (the
+    hidden column doesn't resolve above the union — shadowed struct)."""
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i, "a") for i in range(10)], "id long, s string").coalesce(1))
+    t.delete(spark, spark.createDataFrame([(2,)], "id long"), ["id"])  # splits groups
+    t.append(spark.createDataFrame([(i, "b") for i in range(10, 20)], "id long, s string").coalesce(1))
+    v = t.delete_positions_where(spark, "id < 20 and _metadata.row_index = 0")
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    # row 0 of each file gone (ids 0 and 10), id 2 equality-deleted
+    assert got == [1, 3, 4, 5, 6, 7, 8, 9] + list(range(11, 20))
+    assert t._load(v)["deletes"][-1]["kind"] == "position"
+
+
+def test_positional_delete_conflicts_on_concurrent_rewrite(spark, tmp_path):
+    """Positions cannot rebase: a rewrite racing the commit must raise
+    CommitConflict, never silently drop (or truncate) the deletions."""
+    import pytest as _pytest
+
+    from article_extraction_spark.catalog import CommitConflict, ManifestTable
+
+    root = str(tmp_path / "t")
+    t = ManifestTable(root)
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "id long").coalesce(1))
+
+    class RacedOnce(ManifestTable):
+        """Racer fires right after the delete file is written — between
+        position computation and the CAS commit (the RacedMerge pattern)."""
+
+        raced = False
+
+        def _write_data(self, df):
+            files = super()._write_data(df)
+            if not RacedOnce.raced:
+                RacedOnce.raced = True
+                ManifestTable(self.root).compact(spark, target_bytes=1 << 30)
+            return files
+
+    with _pytest.raises(CommitConflict, match="concurrent rewrite replaced"):
+        RacedOnce(root).delete_positions_where(spark, "id = 3")
+    # the table is untouched except the racer's compact
+    assert sorted(r["id"] for r in ManifestTable(root).read(spark).collect()) == list(range(10))
+
+
+def test_maintain_job_empty_table_reports(spark, tmp_path):
+    from article_extraction_spark.catalog import ManifestTable
+    from jobs.maintain_table import maintain
+
+    t = ManifestTable(str(tmp_path / "empty"))
+    out = maintain(spark, t, rewrite_deletes_over=1.0, compact_under_mb=10, bloom_cols=["id"])
+    assert out == [{"action": "report", "snapshots": 0, "empty": True}]
