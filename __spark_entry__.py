@@ -1787,6 +1787,39 @@ def q_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained count-min (round 6): orders ingested in
+    two appends, cell counts folded by an IncrementalRollup whose
+    prepare hook is the 1→N cell explode — refresh 1 full, refresh 2
+    CDC-incremental over the new rows only. Estimates for every distinct
+    customer from the MAINTAINED cells; DuckDB replays the sketch over
+    the union plus the refresh-mode sequence."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.operators.sketches import cm_estimate, maintained_cm
+
+    root = f"{tempfile.gettempdir()}/aes_cminc_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    src = ManifestTable(f"{root}/src")
+    cells = ManifestTable(f"{root}/cells")
+    mc = maintained_cm(src, cells, "o_custkey", d=4, w=512)
+    src.append(orders.where(F.col("o_custkey") % 2 == 0))
+    m1 = mc.refresh(spark)["mode"]
+    src.append(orders.where(F.col("o_custkey") % 2 == 1))
+    m2 = mc.refresh(spark)["mode"]
+    est = cm_estimate(
+        cells.read(spark).select("i", "bucket", "cnt"), orders, "o_custkey", d=4, w=512
+    )
+    return est.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "est",
+        F.lit(f"{m1},{m2}").alias("refresh_modes"),
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank (round 6; Page et al. 1999) over the bipartite
     supplier→part lineitem graph, 3 rounds at damping 0.85. The recurrence
@@ -2585,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_sketch": q_cm_sketch,
         "weighted_sample": q_weighted_sample,
         "hll_incremental": q_hll_incremental,
+        "cm_incremental": q_cm_incremental,
         "pagerank": q_pagerank,
         "bloom_point_read": q_bloom_point_read,
         "update_where": q_update_where,
@@ -3736,6 +3770,29 @@ def oracle_sql() -> dict[str, str]:
               FROM keyed
             )
             SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 50
+        """,
+        "cm_incremental": """
+            WITH ii AS (SELECT unnest(generate_series(0, 3)) AS i),
+            cells AS (
+              SELECT ii.i,
+                     ('0x' || substr(md5(CAST(ii.i AS VARCHAR) || '|' ||
+                          CAST(o.o_custkey AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket,
+                     count(*) AS cnt
+              FROM orders o, ii
+              WHERE o.o_custkey IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            cand AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL),
+            probes AS (
+              SELECT c.o_custkey, ii.i,
+                     ('0x' || substr(md5(CAST(ii.i AS VARCHAR) || '|' ||
+                          CAST(c.o_custkey AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket
+              FROM cand c, ii
+            )
+            SELECT p.o_custkey, CAST(min(coalesce(cl.cnt, 0)) AS BIGINT) AS est,
+                   'full,incremental' AS refresh_modes
+            FROM probes p LEFT JOIN cells cl ON p.i = cl.i AND p.bucket = cl.bucket
+            GROUP BY p.o_custkey
         """,
         "cm_sketch": """
             WITH ii AS (SELECT unnest(generate_series(0, 3)) AS i),

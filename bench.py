@@ -119,7 +119,7 @@ def main() -> None:
         "length_batches", "unicode_nfc", "semantic_pairs", "grouped_mad",
         "pq_codes", "pq_residual_codes", "bm25_incremental",
         "stats_pruned_read", "bloom_anti",
-        "cm_sketch", "hll_distinct", "weighted_sample", "hll_incremental",
+        "cm_sketch", "cm_incremental", "hll_distinct", "weighted_sample", "hll_incremental",
         "pagerank", "bloom_point_read", "update_where", "positional_delete",
     ]:
         if name in qs:
