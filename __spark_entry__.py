@@ -2527,7 +2527,65 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is the driver's sampling order (first ~50 scored per
+    # round). Round 7 front-loads the queries never scored in r1-r6
+    # (VERDICT r6 item 1); previously-scored queries follow. bench.py
+    # selects by NAME, so this order only affects driver sampling.
     return {
+        "bm25_incremental": q_bm25_incremental,
+        "mor_delete": q_mor_delete,
+        "update_where": q_update_where,
+        "positional_delete": q_positional_delete,
+        "stats_pruned_read": q_stats_pruned_read,
+        "bloom_point_read": q_bloom_point_read,
+        "bloom_anti": q_bloom_anti,
+        "cm_sketch": q_cm_sketch,
+        "cm_incremental": q_cm_incremental,
+        "hll_distinct": q_hll_distinct,
+        "hll_incremental": q_hll_incremental,
+        "pagerank": q_pagerank,
+        "weighted_sample": q_weighted_sample,
+        "substring_dup_spans": q_substring_dup_spans,
+        "substring_strip": q_substring_strip,
+        "pq_codes": q_pq_codes,
+        "pq_residual_codes": q_pq_residual_codes,
+        "rollup_refresh": q_rollup_refresh,
+        "bm25": q_bm25,
+        "time_travel": q_time_travel,
+        "incremental_read": q_incremental_read,
+        "charset_detect": q_charset_detect,
+        "domain_mixture": q_domain_mixture,
+        "near_dup_prune": q_near_dup_prune,
+        "semantic_pairs": q_semantic_pairs,
+        "exact_dup_groups": q_exact_dup_groups,
+        "dedup_components": q_dedup_components,
+        "table_diff": q_table_diff,
+        "winsorize": q_winsorize,
+        "corpus_card": q_corpus_card,
+        "length_batches": q_length_batches,
+        "unicode_nfc": q_unicode_nfc,
+        "canonical_urls": q_canonical_urls,
+        "range_join": q_range_join,
+        "repetition": q_repetition,
+        "stratified_sample": q_stratified_sample,
+        "curation_funnel": q_curation_funnel,
+        "pack_blocks": q_pack_blocks,
+        "bigram_lm_score": q_bigram_lm_score,
+        "boilerplate_lines": q_boilerplate_lines,
+        "answer_agg_modes": q_answer_agg_modes,
+        "clean_convert": q_clean_convert,
+        "pdf_layout": q_pdf_layout,
+        "sink_roundtrip": q_sink_roundtrip,
+        "jpeg_decode": q_jpeg_decode,
+        "jpeg_progressive": q_jpeg_progressive,
+        "window_suite": q_window_suite,
+        "vocab_stats": q_vocab_stats,
+        "collapse_lines": q_collapse_lines,
+        "grouped_quantiles": q_grouped_quantiles,
+        "grouped_mad": q_grouped_mad,
+        "ntile": q_ntile,
+        "grouped_median": q_grouped_median,
+        "moving_avg": q_moving_avg,
         "convert_html": q_convert_html,
         "classify_kinds": q_classify_kinds,
         "anti_join": q_anti_join,
@@ -2587,60 +2645,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "contamination": q_contamination,
         "top_terms": q_top_terms,
-        "repetition": q_repetition,
-        "stratified_sample": q_stratified_sample,
-        "curation_funnel": q_curation_funnel,
-        "exact_dup_groups": q_exact_dup_groups,
-        "pack_blocks": q_pack_blocks,
-        "bigram_lm_score": q_bigram_lm_score,
-        "boilerplate_lines": q_boilerplate_lines,
-        "time_travel": q_time_travel,
-        "incremental_read": q_incremental_read,
-        "charset_detect": q_charset_detect,
-        "answer_agg_modes": q_answer_agg_modes,
-        "clean_convert": q_clean_convert,
-        "pdf_layout": q_pdf_layout,
-        "collapse_lines": q_collapse_lines,
-        "window_suite": q_window_suite,
-        "vocab_stats": q_vocab_stats,
-        "sink_roundtrip": q_sink_roundtrip,
-        "jpeg_decode": q_jpeg_decode,
-        "jpeg_progressive": q_jpeg_progressive,
-        "substring_dup_spans": q_substring_dup_spans,
-        "substring_strip": q_substring_strip,
-        "rollup_refresh": q_rollup_refresh,
-        "bm25": q_bm25,
-        "bm25_incremental": q_bm25_incremental,
-        "domain_mixture": q_domain_mixture,
-        "mor_delete": q_mor_delete,
-        "stats_pruned_read": q_stats_pruned_read,
-        "bloom_anti": q_bloom_anti,
-        "cm_sketch": q_cm_sketch,
-        "weighted_sample": q_weighted_sample,
-        "hll_incremental": q_hll_incremental,
-        "cm_incremental": q_cm_incremental,
-        "pagerank": q_pagerank,
-        "bloom_point_read": q_bloom_point_read,
-        "update_where": q_update_where,
-        "positional_delete": q_positional_delete,
-        "hll_distinct": q_hll_distinct,
-        "table_diff": q_table_diff,
-        "winsorize": q_winsorize,
-        "near_dup_prune": q_near_dup_prune,
-        "corpus_card": q_corpus_card,
-        "length_batches": q_length_batches,
-        "unicode_nfc": q_unicode_nfc,
-        "semantic_pairs": q_semantic_pairs,
-        "grouped_mad": q_grouped_mad,
-        "pq_codes": q_pq_codes,
-        "pq_residual_codes": q_pq_residual_codes,
-        "grouped_quantiles": q_grouped_quantiles,
-        "canonical_urls": q_canonical_urls,
-        "range_join": q_range_join,
-        "dedup_components": q_dedup_components,
-        "ntile": q_ntile,
-        "grouped_median": q_grouped_median,
-        "moving_avg": q_moving_avg,
     }
 
 
