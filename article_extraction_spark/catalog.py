@@ -77,6 +77,29 @@ def _stat_bound(v, tz: str | None = None):
     return None
 
 
+def _temporal_kind(v) -> str | None:
+    """Classify a stats/bound value: ``"ts"`` (datetime), ``"date"``
+    (pure date), ``"num"`` (number/bool), None (unprunable kind)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return "ts"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (bool, int, float)):
+        return "num"
+    return None
+
+
+# Max |UTC offset| is 14 h (UTC+14, Line Islands). When a DATE column's
+# UTC-midnight stats must be compared against a session-zone INSTANT
+# (Spark casts the date column to timestamp at the session zone), the
+# true instant lies within ±14 h of the stored stat — widen by this slop
+# instead of guessing the zone's offset (ADVICE r6 high: guessing wrong
+# silently dropped files whose range touched the box edge).
+_TZ_SLOP_US = 14 * 3600 * 1e6
+
+
 def _write_commit_stats(commit_dir: str, names: list[str]) -> None:
     """Record per-file, per-column min/max (Iceberg manifest column stats)
     as ``_stats.json`` INSIDE the commit dir. One stats file per commit —
@@ -90,6 +113,7 @@ def _write_commit_stats(commit_dir: str, names: list[str]) -> None:
         md = pq.ParquetFile(os.path.join(commit_dir, name)).metadata
         fmin: dict[str, float] = {}
         fmax: dict[str, float] = {}
+        fkind: dict[str, str] = {}
         dead: set[str] = set()
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
@@ -99,19 +123,31 @@ def _write_commit_stats(commit_dir: str, names: list[str]) -> None:
                 if "." in cname or cname in dead:
                     continue  # nested columns: no flat box semantics
                 st = col.statistics
-                lo = hi = None
+                lo = hi = kind = None
                 if st is not None and st.has_min_max:
                     lo, hi = _stat_bound(st.min), _stat_bound(st.max)
-                if lo is None or hi is None:
+                    kind = _temporal_kind(st.min)
+                if (
+                    lo is None
+                    or hi is None
+                    or fkind.get(cname, kind) != kind  # kind flip across groups
+                ):
                     # one group without trustworthy bounds poisons the
                     # whole file for this column (scan is always safe)
                     dead.add(cname)
                     fmin.pop(cname, None)
                     fmax.pop(cname, None)
+                    fkind.pop(cname, None)
                     continue
                 fmin[cname] = min(fmin.get(cname, lo), lo)
                 fmax[cname] = max(fmax.get(cname, hi), hi)
-        stats[name] = {"rows": md.num_rows, "min": fmin, "max": fmax}
+                fkind[cname] = kind
+        # "kind" (ADVICE r7 high): the temporal class of each column's
+        # stats — the read path must compare date stats and timestamp
+        # stats under DIFFERENT timezone rules (dates are tz-free, Spark
+        # footer timestamps are UTC instants). Stats files written before
+        # this key existed get NO temporal pruning (see prune_files).
+        stats[name] = {"rows": md.num_rows, "min": fmin, "max": fmax, "kind": fkind}
     tmp = os.path.join(commit_dir, _STATS_NAME + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(stats, fh)
@@ -379,9 +415,28 @@ class ManifestTable:
             snapshot_id=version,
             tz=tz,
         )
-        probes = {
-            c: s for c, v in eq.items() if (s := self._bloom_probe_str(v)) is not None
+        # ADVICE r7 low: a probe is bloomable only when its python type
+        # matches the COLUMN's Spark type — an int probe against a string
+        # column bloom-hashes "5" while the residual `col == 5` casts the
+        # column to int and matches "05": a false negative that silently
+        # drops files. Mismatched probes fall through to stats + residual.
+        col_types = {
+            f.name: f.dataType.simpleString()
+            for f in T.StructType.fromJson(
+                json.loads(self._load(version)["schema"])
+            ).fields
         }
+        int_types = ("byte", "short", "int", "integer", "bigint", "long")
+        probes = {}
+        for c, v in eq.items():
+            s = self._bloom_probe_str(v)
+            if s is None:
+                continue
+            t = col_types.get(c)
+            if (isinstance(v, str) and t == "string") or (
+                isinstance(v, int) and not isinstance(v, bool) and t in int_types
+            ):
+                probes[c] = s
         dir_blooms: dict[str, dict] = {}
         keep = []
         for f in stat_keep:
@@ -678,6 +733,50 @@ class ManifestTable:
                 deleted += 1
             except OSError:
                 pass
+        # ADVICE r7 low: prune the removed files' _stats.json/_blooms.json
+        # entries and drop commit dirs left holding only sidecar JSON —
+        # otherwise streaming ingest + scheduled expiry accretes unbounded
+        # orphan metadata (stat/bloom entries for files that no longer
+        # exist are never consulted, but never freed either).
+        for d in sorted({os.path.dirname(f) for f in dead_files}):
+            full_dir = os.path.join(self.root, d)
+            if not os.path.isdir(full_dir):
+                continue
+            try:
+                live = {n for n in os.listdir(full_dir) if n.endswith(".parquet")}
+            except OSError:
+                continue
+            for sidecar in (_STATS_NAME, self._BLOOMS_NAME):
+                path = os.path.join(full_dir, sidecar)
+                if not os.path.exists(path):
+                    continue
+                try:
+                    if not live:
+                        os.remove(path)
+                        continue
+                    with open(path) as fh:
+                        ent = json.load(fh)
+                    kept_ent = {n: e for n, e in ent.items() if n in live}
+                    if len(kept_ent) != len(ent):
+                        tmp = path + ".tmp"
+                        with open(tmp, "w") as fh:
+                            json.dump(kept_ent, fh)
+                        os.replace(tmp, path)
+                except (OSError, ValueError):
+                    pass  # sidecars are optimizations, never correctness
+            if not live:
+                # sweep writer bookkeeping (_SUCCESS, .crc shadows) so the
+                # dir can go; anything unrecognized blocks rmdir (kept)
+                for n in os.listdir(full_dir):
+                    if n == "_SUCCESS" or (n.startswith(".") and n.endswith(".crc")):
+                        try:
+                            os.remove(os.path.join(full_dir, n))
+                        except OSError:
+                            pass
+                try:
+                    os.rmdir(full_dir)  # only succeeds when truly empty
+                except OSError:
+                    pass
         for v in expiring:
             try:
                 os.remove(self._manifest_path(v))
@@ -1062,7 +1161,16 @@ class ManifestTable:
                     f"box bound for {col!r} is not a prunable kind "
                     "(number / bool / date / datetime)"
                 )
-            bounds[col] = (blo, bhi)
+            # both normalizations per bound: which one compares against a
+            # file's stats depends on the COLUMN's recorded temporal kind
+            # (ADVICE r7 high: date stats are tz-free UTC-midnight values,
+            # but a session-zone bound was compared against them — a file
+            # touching the box edge was wrongly dropped in non-UTC zones)
+            bounds[col] = {
+                "tz": (blo, bhi),
+                "utc": (_stat_bound(lo, None), _stat_bound(hi, None)),
+                "kinds": (_temporal_kind(lo), _temporal_kind(hi)),
+            }
         files = self._load(version)["files"]
         dir_stats: dict[str, dict] = {}
         keep = []
@@ -1079,15 +1187,59 @@ class ManifestTable:
             if ent is not None:
                 if ent.get("rows") == 0:
                     continue  # zero-row part files never match anything
-                for col, (blo, bhi) in bounds.items():
-                    if col in ent["min"] and (
-                        ent["max"][col] < blo or ent["min"][col] > bhi
+                for col, b in bounds.items():
+                    if col not in ent["min"]:
+                        continue
+                    cmp = self._stat_cmp_bounds(
+                        ent.get("kind", {}).get(col), b
+                    )
+                    if cmp is None:
+                        continue  # comparison rules unknowable — keep file
+                    blo, bhi, slop = cmp
+                    if (
+                        ent["max"][col] + slop < blo
+                        or ent["min"][col] - slop > bhi
                     ):
                         drop = True
                         break
             if not drop:
                 keep.append(f)
         return keep, len(files)
+
+    @staticmethod
+    def _stat_cmp_bounds(col_kind: str | None, b: dict) -> tuple | None:
+        """Pick the (lo, hi, stat_slop) to compare a file's recorded stats
+        against, given the column's recorded temporal kind and the user
+        bound's kinds — or None when no sound comparison exists (the file
+        is then kept; the residual filter stays exact either way).
+
+        Rules mirror how Spark's residual filter evaluates the predicate:
+        - date column vs date bound: DATE comparison, timezone-free on
+          both sides → tz=None normalizations.
+        - timestamp column vs any temporal bound: Spark interprets naive
+          literals (and casts date literals) at the SESSION zone; footer
+          stats are UTC instants → session-zone normalizations.
+        - date column vs datetime bound: Spark casts the column to
+          timestamp at the session zone (an instant the stored tz-free
+          midnight can't pin down) → session-zone bound widened by the
+          max UTC offset (``_TZ_SLOP_US``), still pruning files more
+          than a day away from the box.
+        - numeric column vs numeric bound: tz-independent, exact.
+        - kind unrecorded (pre-r7 stats files) or temporal/numeric mix:
+          no pruning on this column."""
+        klo, khi = b["kinds"]
+        if klo == "num" and khi == "num":
+            if col_kind in (None, "num"):  # None = legacy file, numeric rules
+                return (*b["tz"], 0.0)
+            return None  # temporal column vs numeric bound: not comparable
+        # at least one temporal bound side
+        if col_kind == "date":
+            if klo == "date" and khi == "date":
+                return (*b["utc"], 0.0)
+            return (*b["tz"], _TZ_SLOP_US)
+        if col_kind == "ts":
+            return (*b["tz"], 0.0)
+        return None  # legacy stats: temporal rules unknowable
 
     def read_pruned(
         self,

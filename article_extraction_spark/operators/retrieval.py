@@ -206,7 +206,12 @@ class MaintainedBM25Index:
     ``ingest`` appends a batch, refreshes both rollups via
     IncrementalRollup (bootstrap = full, then CDC deltas only), and
     re-exports ONLY the buckets the batch touched (dynamic partition
-    overwrite). A doc arriving in pieces changes its dl, which is
+    overwrite). The touched/stale bucket set is persisted as a
+    write-ahead ``pending_buckets.json`` BEFORE the append and cleared
+    only after a successful export (ADVICE r7 medium: a crash between
+    append and export let the next refresh fold the batch via its CDC
+    cursor while its buckets never re-exported — the serving layout
+    silently missed those documents). A doc arriving in pieces changes its dl, which is
     denormalized into every bucket holding one of its terms — those
     stale buckets are detected (doclens overlap probe) and re-exported
     too. Honest 100-TB caveat: a batch containing corpus-common terms
@@ -307,12 +312,18 @@ class MaintainedBM25Index:
                         .distinct()
                         .collect()
                     }
+            # write-ahead: once the append lands, these buckets MUST reach
+            # the serving layout even if this process dies first — carry
+            # any earlier crash's leftovers forward too
+            pending = self._load_pending() | touched | stale
+            self._save_pending(pending)
             self.terms.append(batch)
             s_post = self._ir_post.refresh(spark)
             s_dl = self._ir_dl.refresh(spark)
             full = s_post["mode"] == "full" or s_dl["mode"] == "full"
-            affected = None if full else sorted(touched | stale)
+            affected = None if full else sorted(pending)
             exported = self._export(spark, affected)
+            self._save_pending(set())  # export landed; nothing owed
         finally:
             batch.unpersist(blocking=False)
         return {
@@ -320,6 +331,34 @@ class MaintainedBM25Index:
             "doclens_mode": s_dl["mode"],
             "buckets_exported": exported,
         }
+
+    _PENDING = "pending_buckets.json"
+
+    def _load_pending(self) -> set[int]:
+        import json as _json
+        import os as _os
+
+        try:
+            with open(_os.path.join(self.root, self._PENDING)) as f:
+                return set(_json.load(f))
+        except (OSError, ValueError):
+            return set()
+
+    def _save_pending(self, buckets: set[int]) -> None:
+        import json as _json
+        import os as _os
+
+        path = _os.path.join(self.root, self._PENDING)
+        if not buckets:
+            try:
+                _os.remove(path)
+            except OSError:
+                pass
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(sorted(buckets), f)
+        _os.replace(tmp, path)
 
     def _export(self, spark, affected: list[int] | None) -> int:
         """Sync the serving layout: affected buckets only (dynamic

@@ -1135,3 +1135,148 @@ def test_maintain_job_empty_table_reports(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "empty"))
     out = maintain(spark, t, rewrite_deletes_over=1.0, compact_under_mb=10, bloom_cols=["id"])
     assert out == [{"action": "report", "snapshots": 0, "empty": True}]
+
+
+def test_stats_prune_date_column_non_utc_session(spark, tmp_path):
+    """ADVICE r7 high: DATE-column stats are tz-free (UTC-midnight scale)
+    while date box bounds were normalized at the SESSION zone — in any
+    non-UTC session a file whose date range touches the box edge (daily
+    one-file-per-date ingest, lo = that date) was silently dropped. Date
+    bounds over date stats now compare timezone-free on both sides."""
+    import datetime
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/Los_Angeles", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            t = ManifestTable(str(tmp_path / f"t-{tz.replace('/', '-')}"))
+            # daily ingest: one file per date
+            for day in range(1, 5):
+                t.append(
+                    spark.createDataFrame(
+                        [(day, datetime.date(2026, 1, day))], "id long, d date"
+                    ).coalesce(1)
+                )
+            box = {"d": (datetime.date(2026, 1, 2), datetime.date(2026, 1, 3))}
+            got = sorted(r["id"] for r in t.read_pruned(spark, box).collect())
+            assert got == [2, 3], (tz, got)  # edge files were dropped pre-fix
+            # and pruning still skips: only the 2 in-box files are scanned
+            keep, total = t.prune_files(box)
+            assert total == 4 and len(keep) == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stats_prune_datetime_bounds_on_date_column(spark, tmp_path):
+    """Mixed kinds: a datetime box over a DATE column — Spark casts the
+    column to timestamp at the session zone, an instant the tz-free
+    stats can't pin down, so pruning widens by the max UTC offset instead
+    of guessing. Equivalence with the residual read holds; files more
+    than a day outside the box still prune."""
+    import datetime
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        t = ManifestTable(str(tmp_path / "t"))
+        for day in range(1, 11):
+            t.append(
+                spark.createDataFrame(
+                    [(day, datetime.date(2026, 1, day))], "id long, d date"
+                ).coalesce(1)
+            )
+        lo = datetime.datetime(2026, 1, 3, 12)
+        hi = datetime.datetime(2026, 1, 4, 12)
+        got = sorted(r["id"] for r in t.read_pruned(spark, {"d": (lo, hi)}).collect())
+        want = sorted(
+            r["id"]
+            for r in t.read(spark)
+            .where("d between timestamp '2026-01-03 12:00:00' and timestamp '2026-01-04 12:00:00'")
+            .collect()
+        )
+        assert got == want and got  # non-empty and residual-equivalent
+        keep, total = t.prune_files(
+            {"d": (lo, hi)}, tz=spark.conf.get("spark.sql.session.timeZone")
+        )
+        assert total == 10 and len(keep) <= 4  # ±14h slop keeps ≤ 2 extra days
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stats_prune_legacy_statsfile_without_kind(spark, tmp_path):
+    """Stats files written before the "kind" key existed get NO temporal
+    pruning (comparison rules unknowable) but keep numeric pruning."""
+    import datetime
+    import json as _json
+
+    t = ManifestTable(str(tmp_path / "t"))
+    for day in (1, 20):
+        t.append(
+            spark.createDataFrame(
+                [(day, datetime.date(2026, 1, day))], "id long, d date"
+            ).coalesce(1)
+        )
+    # strip "kind" to simulate a pre-r7 stats file
+    for f in t._load(t.current_snapshot_id())["files"]:
+        p = os.path.join(t.root, os.path.dirname(f), "_stats.json")
+        with open(p) as fh:
+            ent = _json.load(fh)
+        for e in ent.values():
+            e.pop("kind", None)
+        with open(p, "w") as fh:
+            _json.dump(ent, fh)
+    box = {"d": (datetime.date(2026, 1, 1), datetime.date(2026, 1, 2))}
+    keep, total = t.prune_files(box)
+    assert total == 2 and len(keep) == 2  # temporal: no pruning, all kept
+    assert [r["id"] for r in t.read_pruned(spark, box).collect()] == [1]
+    keep2, _ = t.prune_files({"id": (15, 25)})
+    assert len(keep2) == 1  # numeric pruning still works on legacy stats
+
+
+def test_bloom_probe_type_must_match_column_type(spark, tmp_path):
+    """ADVICE r7 low: an int probe against a STRING column bloom-hashed
+    "5" while the residual `col == 5` casts the column and matches "05" —
+    a bloom false negative silently dropping files. Mismatched probe
+    types now skip the bloom and fall through to stats + residual."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([("05", 1), ("7", 2)], "code string, id long").coalesce(1))
+    t.build_file_blooms(spark, ["code", "id"])
+    # int probe on string column: bloom skipped, cast semantics preserved
+    got = sorted(r["id"] for r in t.read_eq(spark, {"code": 5}).collect())
+    assert got == [1]
+    # str probe on int column: bloom skipped too ("02" vs Spark's "2")
+    got2 = sorted(r["code"] for r in t.read_eq(spark, {"id": 2}).collect())
+    assert got2 == ["7"]
+    # matched types still go through the bloom and prune
+    keep, total = t.prune_files_eq({"code": "zzz"})
+    assert total == 1 and keep == []
+
+
+def test_expire_snapshots_prunes_sidecar_entries(spark, tmp_path):
+    """ADVICE r7 low: expiry removes dead files' _stats.json/_blooms.json
+    entries and drops commit dirs left holding only sidecar JSON —
+    streaming ingest + scheduled expiry must not accrete orphan
+    metadata forever."""
+    import json as _json
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(50)], "id long").coalesce(1))
+    t.build_file_blooms(spark, ["id"])
+    old_dirs = {os.path.dirname(f) for f in t._load(t.current_snapshot_id())["files"]}
+    t.overwrite(spark.createDataFrame([(99,)], "id long").coalesce(1))
+    t.append(spark.createDataFrame([(100,)], "id long").coalesce(1))
+    res = t.expire_snapshots(keep_last=2)
+    assert res["deleted_files"] >= 1
+    # dead commit dirs are fully gone — no orphan sidecar-only dirs
+    for d in old_dirs:
+        assert not os.path.exists(os.path.join(t.root, d))
+    # surviving dirs' sidecars hold entries only for live files
+    for f in t._load(t.current_snapshot_id())["files"]:
+        d = os.path.join(t.root, os.path.dirname(f))
+        stats_p = os.path.join(d, "_stats.json")
+        if os.path.exists(stats_p):
+            with open(stats_p) as fh:
+                ent = _json.load(fh)
+            live = {n for n in os.listdir(d) if n.endswith(".parquet")}
+            assert set(ent) <= live
+    assert {r["id"] for r in t.read(spark).collect()} == {99, 100}

@@ -328,3 +328,51 @@ def test_maintained_index_string_doc_ids_roundtrip(spark, tmp_path):
     assert set(got) == {"doc-a", "doc-c"} and got["doc-c"] > got["doc-a"]
     with _pytest.raises(ValueError, match="doc_id type"):
         idx.ingest(spark, spark.createDataFrame([(1, "x")], "doc_id long, text string"))
+
+
+def test_maintained_index_recovers_crashed_export(spark, tmp_path):
+    """ADVICE r7 medium: a crash between terms.append and the serving
+    export used to strand the batch — the next refresh folded it via the
+    CDC cursor, but its buckets were never in `touched`, so queries
+    silently missed those documents. The write-ahead pending-bucket set
+    makes the next ingest export them."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.operators.retrieval import MaintainedBM25Index
+
+    docs_all = _spark_docs(spark).where(F.col("text") != "")
+    idx = MaintainedBM25Index(str(tmp_path / "bm25"), n_buckets=8)
+    idx.ingest(spark, docs_all.where(F.col("doc_id") == 0))  # bootstrap
+
+    # crash mid-ingest: the append + rollup refreshes land, export doesn't
+    real_export = idx._export
+    def dying_export(spark_, affected):
+        raise RuntimeError("simulated crash before export")
+    idx._export = dying_export
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        idx.ingest(spark, docs_all.where(F.col("doc_id") == 1))
+    idx._export = real_export
+    assert os.path.exists(os.path.join(idx.root, "pending_buckets.json"))
+
+    # a later (fresh-process) ingest of a DIFFERENT batch must also export
+    # the crashed batch's buckets — not just its own
+    idx2 = MaintainedBM25Index(str(tmp_path / "bm25"), n_buckets=8)
+    idx2.ingest(spark, docs_all.where(F.col("doc_id") == 2))
+    assert not os.path.exists(os.path.join(idx.root, "pending_buckets.json"))
+
+    queries = _spark_queries(spark)
+    maintained = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in idx2.scores(spark, queries).collect()
+    }
+    fresh_post, fresh_stats = build_text_index(docs_all.where(F.col("doc_id") <= 2))
+    fresh = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(fresh_post, fresh_stats, queries).collect()
+    }
+    assert maintained.keys() == fresh.keys() and len(maintained) > 0
+    for key in fresh:
+        assert maintained[key] == pytest.approx(fresh[key], rel=1e-12), key
