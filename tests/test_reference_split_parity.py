@@ -58,3 +58,19 @@ def test_reference_exact_split_parity(spark, ref_split, n, ratios):
         for r in reference_exact_split(df, "id", *ratios, random_state=42).collect()
     }
     assert got == expected
+
+
+def test_reference_exact_split_refuses_large_tables(spark):
+    """VERDICT r6: the parity tool materializes an n-row permutation on
+    the driver plus a global window — it must refuse scale-path misuse
+    and point at deterministic_split instead."""
+    import pytest as _pytest
+
+    from article_extraction_spark.operators.split import reference_exact_split
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="deterministic_split"):
+        reference_exact_split(df, "k", 0.8, 0.1, 0.1, max_rows=99)
+    # under the cap it still runs
+    out = reference_exact_split(df, "k", 0.8, 0.1, 0.1, max_rows=100)
+    assert out.count() == 100
