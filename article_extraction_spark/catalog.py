@@ -853,6 +853,121 @@ class ManifestTable:
             *[os.path.join(self.root, f) for f in added]
         )
 
+    def read_incremental_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """CDC with row-level delete deltas (round 7, VERDICT r6 #4):
+        returns ``(added, deleted)`` — the rows appended strictly after
+        ``from_snapshot`` and the rows REMOVED by equality-delete
+        snapshots in the same window. Net table state = state(from) +
+        added − deleted (as multisets), which is what lets a
+        sum-decomposable rollup stay incremental under MoR deletes
+        instead of degenerating to full rebuilds.
+
+        Each delete snapshot's removed rows are computed against its OWN
+        parent: the covered data files read through the parent's
+        outstanding delete entries (bounded by ``applies_to``, never a
+        table scan), inner-semi-joined with the new entry's key file.
+        Deleting an already-deleted key therefore contributes nothing
+        (no double subtraction), and a row appended and deleted inside
+        the window appears once on each side (net zero).
+
+        ``append`` contributes added files; ``compact`` and
+        ``rewrite_deletes`` are row-preserving and contribute nothing.
+        Raises ValueError for rewrites a row-level delta cannot express:
+        merge / overwrite / update, and POSITIONAL delete snapshots
+        (their ordinals are relative to the physical file, and the same
+        logical row can't be re-keyed after any rewrite — Iceberg's
+        changelog scan punts on them the same way)."""
+        from pyspark.sql import functions as F
+
+        to = to_snapshot if to_snapshot is not None else self.current_snapshot_id()
+        if to is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        if from_snapshot > to:
+            raise ValueError(f"from_snapshot {from_snapshot} is newer than {to}")
+        to_manifest = self._load(to)
+        added: list[str] = []
+        deleted_parts: list[DataFrame] = []
+        version, manifest = to, to_manifest
+        while version != from_snapshot:
+            parent = manifest.get("parent")
+            if parent is None:
+                raise ValueError(f"snapshot {from_snapshot} is not an ancestor of {to}")
+            try:
+                parent_manifest = self._load(parent)
+            except FileNotFoundError as exc:
+                raise ValueError(
+                    f"cannot read incrementally across expired snapshot {parent} "
+                    f"(run from a surviving ancestor)"
+                ) from exc
+            op = manifest["operation"]
+            if op == "append":
+                base = set(parent_manifest["files"])
+                added[:0] = [f for f in manifest["files"] if f not in base]
+            elif op in ("compact", "rewrite_deletes"):
+                pass  # row-preserving rewrites
+            elif op == "delete":
+                parent_entries = {
+                    tuple(e["files"]) for e in parent_manifest.get("deletes", [])
+                }
+                new_entries = [
+                    e
+                    for e in manifest.get("deletes", [])
+                    if tuple(e["files"]) not in parent_entries
+                ]
+                pschema = T.StructType.fromJson(json.loads(parent_manifest["schema"]))
+                for e in new_entries:
+                    if e.get("kind") == "position":
+                        raise ValueError(
+                            f"snapshot {version} holds a positional delete: row "
+                            "ordinals cannot be re-keyed as a logical delta — "
+                            "re-read the full table"
+                        )
+                    sub = dict(parent_manifest)
+                    sub["files"] = list(e["applies_to"])
+                    covered = self._read_with_deletes(spark, sub, pschema)
+                    kschema = T.StructType.fromJson(json.loads(e["schema"]))
+                    key_df = spark.read.schema(kschema).parquet(
+                        *[os.path.join(self.root, p) for p in e["files"]]
+                    )
+                    deleted_parts.append(
+                        covered.join(F.broadcast(key_df), e["keys"], "left_semi")
+                    )
+            else:
+                raise ValueError(
+                    f"snapshot {version} is {op!r}: a row-level incremental read "
+                    "cannot express rewrites — re-read the full table"
+                )
+            version, manifest = parent, parent_manifest
+        schema = T.StructType.fromJson(json.loads(to_manifest["schema"]))
+        added_df = (
+            spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f) for f in added]
+            )
+            if added
+            else spark.createDataFrame([], schema)
+        )
+        # NULL-align deleted parts to TO's schema (a window may widen the
+        # schema between a part's parent snapshot and the head)
+        aligned = []
+        for part in deleted_parts:
+            have = set(part.columns)
+            part = part.select(
+                *[
+                    F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            aligned.append(part)
+        deleted_df = aligned[0] if aligned else spark.createDataFrame([], schema)
+        for part in aligned[1:]:
+            deleted_df = deleted_df.unionByName(part)
+        return added_df, deleted_df
+
     def overwrite(self, df: DataFrame, extra_meta: dict | None = None) -> int:
         return self._commit(
             self._write_data(df), "overwrite", df.schema.json(), extra_meta=extra_meta
@@ -1066,7 +1181,11 @@ class ManifestTable:
     # -- reads ----------------------------------------------------------------
 
     def compact(
-        self, spark: SparkSession, target_bytes: int = 128 * 1024 * 1024
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        sort_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Small-file compaction (round 3): rewrite the CURRENT snapshot's
         data into ~target_bytes files via a VALIDATED rewrite commit — the
@@ -1080,13 +1199,32 @@ class ManifestTable:
 
         Streaming ingest (run_available_now_merge) commits one file set per
         micro-batch, so long-running tables accrete small files — schedule
-        this like any table-maintenance job."""
+        this like any table-maintenance job.
+
+        ``sort_by`` (VERDICT r6 #3): re-cluster during the rewrite
+        (repartitionByRange + sortWithinPartitions) so a sorted-ingest or
+        z-ordered table KEEPS its file-skipping power — a plain
+        round-robin repartition scatters every key range across every
+        output file, and one scheduled compaction silently turns
+        read_pruned/read_eq into full scans. ``_stats.json`` for the new
+        files is written by ``_write_data`` as always; pass ``bloom_cols``
+        to rebuild per-file key blooms for the new files in the same
+        maintenance action (blooms are sidecars: a crash before they're
+        built only costs skipping, never correctness)."""
         import os
 
         snap = self.current_snapshot_id()
         if snap is None:
             raise ValueError("cannot compact an empty table")
         manifest = self._load(snap)
+        if sort_by:
+            schema_names = {
+                f.name
+                for f in T.StructType.fromJson(json.loads(manifest["schema"])).fields
+            }
+            bad = [c for c in sort_by if c not in schema_names]
+            if bad:
+                raise KeyError(f"compact sort_by column(s) {bad} not in table schema")
         total = 0
         for f in manifest["files"]:
             try:
@@ -1094,7 +1232,11 @@ class ManifestTable:
             except OSError:
                 pass
         n_out = max(1, -(-total // target_bytes))
-        df = self.read(spark, snapshot_id=snap).repartition(n_out)
+        df = self.read(spark, snapshot_id=snap)
+        if sort_by:
+            df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.repartition(n_out)
         new_files = self._write_data(df)
         # exclusive-create of manifest snap+1 = compare-and-swap on the head
         version = snap + 1
@@ -1121,6 +1263,8 @@ class ManifestTable:
             raise CommitConflict(
                 "concurrent commit during compact — re-run against the new head"
             ) from exc
+        if bloom_cols:
+            self.build_file_blooms(spark, bloom_cols, snapshot_id=version)
         return version
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:

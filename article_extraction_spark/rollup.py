@@ -19,8 +19,13 @@ sum÷count at read time) are decomposable under APPEND-ONLY deltas, which
 is exactly what read_incremental can express — compaction contributes
 nothing, and a source merge/overwrite (rows rewritten in place) raises
 there, which this module catches and answers with a FULL recompute
-committed as an overwrite (cursor still atomic). min/max would be
-unsound under deletes; append-only is the contract.
+committed as an overwrite (cursor still atomic). Round 7 extends the
+incremental path to MoR equality DELETES for count/sum rollups: the
+removed rows (``read_incremental_changes``) fold as NEGATIVE partials,
+and groups whose last row was deleted are tombstone-swept (count==0) so
+the rollup still equals a full recompute row-for-row. min/max stay on
+the full-recompute path under deletes — a deleted row may BE the
+extremum, which no decomposable summary can recover.
 
 Scale shape: the delta aggregation is one groupBy over new rows only;
 the fold touches only affected keys (left-semi the rollup against the
@@ -251,23 +256,72 @@ class IncrementalRollup:
 
     # -- refresh --------------------------------------------------------------
 
+    def _delete_capable(self) -> str | None:
+        """The name of a maintained row-count output when delete deltas
+        are foldable, else None. count/sum are sign-decomposable (a
+        deleted row folds as a negative partial); min/max are NOT — the
+        deleted row may BE the extremum, and nothing short of a rescan
+        can tell (the same reason HLL register maxima stay on the
+        full-recompute path). The count output additionally identifies
+        groups whose last row was deleted: a full recompute has NO row
+        for them, so the fold must tombstone-sweep count==0 rows to keep
+        the rows-equal-full-recompute invariant."""
+        if any(fn not in ("count", "sum") for fn, _c in self.aggs.values()):
+            return None
+        for out, (fn, _c) in self.aggs.items():
+            if fn == "count":
+                return out
+        return None
+
+    def _sweep_tombstones(self, spark: SparkSession, count_out: str) -> None:
+        """Remove count==0 groups (MoR delete on the rollup). Runs after
+        every delete-aware fold AND opportunistically at refresh start,
+        which heals a crash that landed between the fold commit and the
+        sweep commit — zero-count rows are value-correct in between,
+        merely present."""
+        if self.rollup.current_snapshot_id() is None:
+            return
+        dead = self.rollup.read(spark).where(F.col(count_out) == 0)
+        if dead.limit(1).count():
+            self.rollup.delete(spark, dead.select(*self.keys), self.keys)
+
     def refresh(self, spark: SparkSession) -> dict:
         """Bring the rollup up to the source head. Returns
         {"mode": "noop"|"incremental"|"full", "from", "to",
-        "keys_updated"}."""
+        "keys_updated"}.
+
+        Delete-aware (round 7, VERDICT r6 #4): when the window contains
+        MoR equality-delete snapshots and every aggregate is count/sum,
+        the deleted rows fold as NEGATIVE partials
+        (``read_incremental_changes``) — a maintained sketch or index
+        over a table under delete churn no longer degenerates to full
+        rebuilds. min/max (or a missing count output) still answer
+        deletes with a full recompute; merge/overwrite/update and
+        positional deletes always do."""
         head = self.source.current_snapshot_id()
         if head is None:
             return {"mode": "noop", "from": None, "to": None, "keys_updated": 0}
+        count_out = self._delete_capable()
+        if count_out is not None:
+            self._sweep_tombstones(spark, count_out)  # heal a crashed sweep
         cur = self.cursor()
         if cur == head:
             return {"mode": "noop", "from": cur, "to": head, "keys_updated": 0}
 
         delta = None
+        deleted = None
         if cur is not None:
             try:
                 delta = self.source.read_incremental(spark, cur, head)
             except ValueError:
-                delta = None  # rewrite in source history → full recompute
+                delta = None  # rewrite in source history
+                if count_out is not None:
+                    try:
+                        delta, deleted = self.source.read_incremental_changes(
+                            spark, cur, head
+                        )
+                    except ValueError:
+                        delta = None  # true rewrite → full recompute
 
         if delta is None:
             rows = self._full_rows(spark, head)
@@ -277,7 +331,20 @@ class IncrementalRollup:
 
         if self.prepare is not None:
             delta = self.prepare(delta)
+            if deleted is not None:
+                deleted = self.prepare(deleted)
         partial = delta.groupBy(*self.keys).agg(*_agg_exprs(self.aggs))
+        if deleted is not None:
+            negative = (
+                deleted.groupBy(*self.keys)
+                .agg(*_agg_exprs(self.aggs))
+                .select(*self.keys, *[(-F.col(out)).alias(out) for out in self.aggs])
+            )
+            partial = (
+                partial.unionByName(negative)
+                .groupBy(*self.keys)
+                .agg(*[F.sum(out).alias(out) for out in self.aggs])
+            )
         # fold: existing rows for AFFECTED keys only, outer-joined with the
         # partials, per-aggregate combine; an empty delta still advances
         # the cursor atomically via an empty merge (fold_partials)
@@ -285,6 +352,8 @@ class IncrementalRollup:
             spark, self.rollup, partial, self.keys, self.aggs,
             extra_meta={_CURSOR_KEY: head},
         )
+        if deleted is not None and count_out is not None:
+            self._sweep_tombstones(spark, count_out)
         return {"mode": "incremental", "from": cur, "to": head, "keys_updated": n}
 
 

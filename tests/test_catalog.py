@@ -1280,3 +1280,76 @@ def test_expire_snapshots_prunes_sidecar_entries(spark, tmp_path):
             live = {n for n in os.listdir(d) if n.endswith(".parquet")}
             assert set(ent) <= live
     assert {r["id"] for r in t.read(spark).collect()} == {99, 100}
+
+
+def test_compact_sort_by_keeps_skipping_power(spark, tmp_path):
+    """VERDICT r6 #3: round-robin compaction scatters every key range
+    across every output file — one scheduled compaction silently turned
+    read_pruned into a full scan on sorted-ingest tables.
+    compact(sort_by=...) re-clusters during the rewrite and (with
+    bloom_cols) rebuilds the new files' blooms in the same action."""
+    from pyspark.sql import functions as F
+
+    def build(path):
+        t = ManifestTable(str(path))
+        rows = spark.range(0, 4000).select(F.col("id"), (F.col("id") % 97).alias("v"))
+        for lo in (0, 1000, 2000, 3000):
+            t.append(
+                rows.where((F.col("id") >= lo) & (F.col("id") < lo + 1000))
+                .repartitionByRange(4, "id")
+                .sortWithinPartitions("id")
+            )
+        return t
+
+    box = {"id": (1500, 1700)}
+
+    # sorted ingest: 16 tight files, the box scans <= 2
+    t = build(tmp_path / "sorted")
+    keep0, total0 = t.prune_files(box)
+    assert total0 == 16 and len(keep0) <= 2
+
+    # plain compaction LOSES the clustering (documented hazard)
+    t_plain = build(tmp_path / "plain")
+    t_plain.compact(spark, target_bytes=16 * 1024)
+    keep_p, total_p = t_plain.prune_files(box)
+    assert total_p > 1 and len(keep_p) > 2  # de-clustered: box hits many files
+
+    # sort-aware compaction keeps it, and the result is still correct
+    v = t.compact(spark, target_bytes=16 * 1024, sort_by=["id"], bloom_cols=["id"])
+    keep1, total1 = t.prune_files(box)
+    assert total1 > 1  # genuinely multiple files after the rewrite
+    assert len(keep1) <= max(2, len(keep0))  # skipping power preserved
+    assert t.read_pruned(spark, box).count() == 201
+    # blooms were rebuilt for the NEW files in the same action
+    assert t.build_file_blooms(spark, ["id"], snapshot_id=v) == 0  # nothing left to do
+    keep_eq, _ = t.prune_files_eq({"id": 1234})
+    assert len(keep_eq) <= 2
+    assert [r["id"] for r in t.read_eq(spark, {"id": 1234}).collect()] == [1234]
+
+    with pytest.raises(KeyError, match="sort_by"):
+        t.compact(spark, sort_by=["nope"])
+
+
+def test_maintain_compact_sort_by(spark, tmp_path):
+    """The maintenance ladder forwards --compact-sort-by (and bloom cols)
+    into the compaction rewrite."""
+    from pyspark.sql import functions as F
+
+    from jobs.maintain_table import maintain
+
+    t = ManifestTable(str(tmp_path / "t"))
+    rows = spark.range(0, 2000).select(F.col("id"))
+    for lo in (0, 500, 1000, 1500):
+        t.append(
+            rows.where((F.col("id") >= lo) & (F.col("id") < lo + 500))
+            .repartitionByRange(2, "id")
+            .sortWithinPartitions("id")
+        )
+    out = maintain(
+        spark, t, compact_under_mb=10, compact_sort_by=["id"], bloom_cols=["id"]
+    )
+    compact_step = [o for o in out if o["action"] == "compact"][0]
+    assert compact_step["sort_by"] == ["id"] and "snapshot" in compact_step
+    keep, total = t.prune_files({"id": (600, 700)})
+    assert total >= 1 and len(keep) <= max(1, total // 2)  # still clustered
+    assert t.read_pruned(spark, {"id": (600, 700)}).count() == 101
