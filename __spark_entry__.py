@@ -2026,6 +2026,57 @@ def q_pq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R (round 7, Jégou §IV): the ADC top-30 of the probed coarse
+    cell re-ranks by EXACT squared L2 over the raw vectors, returning the
+    true top-10 of the candidate set with the (dist, id) tie rule. Same
+    pinned fixture as pq_residual_codes (coarse = embeddings 0-1,
+    residual codebooks from embeddings 2-5, query = embedding 7),
+    nprobe=1. DuckDB replays coarse assignment, residual codes, the ADC
+    candidate cut AND the exact re-rank in the same fold order."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.operators.similarity_search import (
+        ivfadc_rerank_topk,
+        nearest_centroid_col,
+        pq_code_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    head = emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    coarse = [[float(x) for x in head[i]["embedding"]] for i in range(2)]
+
+    def _resid(vec: list[float]) -> list[float]:
+        d = [(sum((a - b) ** 2 for a, b in zip(vec, c)), i) for i, c in enumerate(coarse)]
+        c = coarse[min(d)[1]]
+        return [a - b for a, b in zip(vec, c)]
+
+    books = [
+        [_resid([float(x) for x in head[r]["embedding"]])[j * 16 : (j + 1) * 16] for r in range(2, 6)]
+        for j in range(4)
+    ]
+    query = [float(x) for x in head[7]["embedding"]]
+    from pyspark.sql import Window
+
+    path = f"{tempfile.gettempdir()}/aes_ivfadc_r_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(path, ignore_errors=True)
+    staged = emb.withColumn("cluster", nearest_centroid_col("embedding", coarse)).withColumn(
+        "codes", pq_code_col("embedding", books, coarse_centroids=coarse, cluster_col="cluster")
+    )
+    staged.write.partitionBy("cluster").parquet(path)  # codes AND raw vectors
+    out = ivfadc_rerank_topk(
+        spark, path, query, coarse, books,
+        k=10, nprobe=1, rerank=30, id_col="vec_id", vec_col="embedding",
+    )
+    w = Window.orderBy(F.col("dist"), F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        F.floor(F.col("dist") * 1e6).cast("long").alias("exact_micro"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
 def q_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped median absolute deviation (round 5): the robust spread
     statistic, two exact percentiles with a broadcast join between them,
@@ -2603,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # selects by NAME, so this order only affects driver sampling.
     return {
         "minhash_incremental": q_minhash_incremental,
+        "ivfadc_rerank": q_ivfadc_rerank,
         "bm25_incremental": q_bm25_incremental,
         "mor_delete": q_mor_delete,
         "update_where": q_update_where,
@@ -3458,6 +3510,76 @@ def oracle_sql() -> dict[str, str]:
                         + MAX(CASE WHEN j = 3 THEN qdist END)) * 1000000
                    ) AS BIGINT) AS adc_micro
             FROM codes GROUP BY vec_id
+        """,
+        "ivfadc_rerank": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 500
+            ),
+            co AS (SELECT vec_id AS cc, e AS ce FROM v WHERE vec_id < 2),
+            ad AS (
+              SELECT v.vec_id, co.cc,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (v.e[i] - co.ce[i]) * (v.e[i] - co.ce[i]))) AS d
+              FROM v, co
+            ),
+            asg AS (
+              SELECT vec_id, cc AS cl FROM (
+                SELECT vec_id, cc,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, cc) AS rn
+                FROM ad
+              ) WHERE rn = 1
+            ),
+            res AS (
+              SELECT v.vec_id, asg.cl,
+                     list_transform(range(1, 65), i -> v.e[i] - co.ce[i]) AS r
+              FROM v JOIN asg USING (vec_id) JOIN co ON co.cc = asg.cl
+            ),
+            cb AS (SELECT vec_id - 2 AS c, r AS cr FROM res WHERE vec_id BETWEEN 2 AND 5),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = 7),
+            probe AS (
+              SELECT cc FROM (
+                SELECT co.cc,
+                       row_number() OVER (ORDER BY list_sum(list_transform(range(1, 65),
+                         i -> (q.qe[i] - co.ce[i]) * (q.qe[i] - co.ce[i]))), co.cc) AS rn
+                FROM co, q
+              ) WHERE rn = 1
+            ),
+            pairs AS (
+              SELECT res.vec_id, res.cl, s.j, cb.c,
+                     list_sum(list_transform(range(1, 17),
+                       i -> (res.r[s.j*16 + i] - cb.cr[s.j*16 + i])
+                            * (res.r[s.j*16 + i] - cb.cr[s.j*16 + i]))) AS dist,
+                     list_sum(list_transform(range(1, 17),
+                       i -> ((q.qe[s.j*16 + i] - co.ce[s.j*16 + i]) - cb.cr[s.j*16 + i])
+                            * ((q.qe[s.j*16 + i] - co.ce[s.j*16 + i]) - cb.cr[s.j*16 + i]))) AS qdist
+              FROM res, generate_series(0, 3) s(j), cb, q, co
+              WHERE co.cc = res.cl AND res.cl = (SELECT cc FROM probe)
+            ),
+            best AS (
+              SELECT vec_id, j, qdist,
+                     row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+              FROM pairs
+            ),
+            adc AS (
+              SELECT vec_id,
+                     (((MAX(CASE WHEN j = 0 THEN qdist END)
+                        + MAX(CASE WHEN j = 1 THEN qdist END))
+                        + MAX(CASE WHEN j = 2 THEN qdist END))
+                        + MAX(CASE WHEN j = 3 THEN qdist END)) AS adc
+              FROM best WHERE rn = 1 GROUP BY vec_id
+            ),
+            cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 30),
+            exact AS (
+              SELECT v.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (v.e[i] - q.qe[i]) * (v.e[i] - q.qe[i]))) AS dist2
+              FROM v JOIN cand USING (vec_id), q
+            )
+            SELECT vec_id,
+                   CAST(floor(dist2 * 1000000) AS BIGINT) AS exact_micro,
+                   CAST(row_number() OVER (ORDER BY dist2, vec_id) AS INT) AS rank
+            FROM exact ORDER BY dist2, vec_id LIMIT 10
         """,
         "pq_residual_codes": """
             WITH v AS (

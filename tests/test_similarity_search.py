@@ -351,3 +351,87 @@ def test_residual_pq_twin_and_recall_beats_raw(spark, tmp_path):
     assert [i for _, i in expect] == [i for i, _ in got_rows]
     for (ea, _), (_, ga) in zip(expect, got_rows):
         assert ga == pytest.approx(ea, rel=1e-9)
+
+
+def test_ivfadc_rerank_improves_recall(spark, tmp_path):
+    """IVFADC+R (round 7, Jégou §IV): re-ranking the ADC top-R by exact
+    vectors strictly improves recall@10 over ADC-only on the same coded
+    table, and equals the exact top-10 of the candidate set."""
+    import numpy as np
+
+    from article_extraction_spark.operators.similarity_search import (
+        ivfadc_rerank_topk,
+        ivfadc_topk,
+        kmeans_fit,
+        nearest_centroid_col,
+        pq_code_col,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(4, 8)) * 8.0
+    pts = np.vstack(
+        [centers[i % 4] + rng.normal(size=8) for i in range(240)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(240)], "vid long, v array<float>"
+    )
+    coarse = kmeans_fit(df, "v", k=4, max_iter=6, seed=3)
+    books = pq_train(df, "v", m=4, k=4, max_iter=6, seed=9, coarse_centroids=coarse)
+
+    path = str(tmp_path / "ivfadc_r")
+    staged = df.withColumn("cluster", nearest_centroid_col("v", coarse)).withColumn(
+        "codes", pq_code_col("v", books, coarse_centroids=coarse, cluster_col="cluster")
+    )
+    staged.write.partitionBy("cluster").parquet(path)  # codes AND vectors
+
+    def py_assign(vec):
+        return min(
+            range(len(coarse)),
+            key=lambda c: (sum((a - b) ** 2 for a, b in zip(vec, coarse[c])), c),
+        )
+
+    adc_hits = rr_hits = 0
+    n_q = 0
+    for qi in (0, 7, 50, 101, 133, 202):
+        q = [float(x) for x in pts[qi]]
+        probed = sorted(
+            range(len(coarse)),
+            key=lambda c: (sum((a - b) ** 2 for a, b in zip(coarse[c], q)), c),
+        )[:2]
+        in_cells = [i for i in range(240) if py_assign([float(x) for x in pts[i]]) in probed]
+        exact = sorted(
+            in_cells, key=lambda i: (float(((pts[i] - pts[qi]) ** 2).sum()), i)
+        )[:10]
+        adc10 = [
+            r["vid"]
+            for r in ivfadc_topk(
+                spark, path, q, coarse, books, k=10, nprobe=2, id_col="vid"
+            ).collect()
+        ]
+        rr10 = [
+            r["vid"]
+            for r in ivfadc_rerank_topk(
+                spark, path, q, coarse, books,
+                k=10, nprobe=2, rerank=40, id_col="vid", vec_col="v",
+            ).collect()
+        ]
+        adc_hits += len(set(exact) & set(adc10))
+        rr_hits += len(set(exact) & set(rr10))
+        n_q += 1
+        # the re-rank stage itself is exact: its output is the true top-10
+        # of its candidate set, ordered by (dist, id)
+        cand = [
+            r["vid"]
+            for r in ivfadc_topk(
+                spark, path, q, coarse, books, k=40, nprobe=2, id_col="vid"
+            ).collect()
+        ]
+        want = sorted(cand, key=lambda i: (float(((pts[i] - pts[qi]) ** 2).sum()), i))[:10]
+        assert rr10 == want, qi
+    assert rr_hits > adc_hits, (rr_hits, adc_hits, n_q)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rerank"):
+        ivfadc_rerank_topk(spark, path, q, coarse, books, k=10, rerank=5, id_col="vid")
