@@ -2077,6 +2077,36 @@ def q_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC changelog over the snapshot catalog (round 7, the
+    Iceberg create_changelog_view analog): append docs <50, append
+    50-99, MoR-delete docs 10-19, then delete 10-14 AGAIN (a no-op —
+    each delete's rows are computed against its own parent, so
+    re-deletes emit nothing). changelog(v1) must contain exactly the
+    50-99 inserts and the 10-19 deletes; DuckDB replays both sides
+    relationally."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    root = f"{tempfile.gettempdir()}/aes_changelog_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = ManifestTable(root)
+    v1 = t.append(docs.where(F.col("doc_id") < 50))
+    t.append(docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)))
+    dels = docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select("doc_id")
+    t.delete(spark, dels, ["doc_id"])
+    t.delete(spark, dels.where(F.col("doc_id") < 15), ["doc_id"])  # re-delete: no-op
+    log = t.changelog(spark, v1)
+    return log.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
 def q_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped median absolute deviation (round 5): the robust spread
     statistic, two exact percentiles with a broadcast join between them,
@@ -2655,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "minhash_incremental": q_minhash_incremental,
         "ivfadc_rerank": q_ivfadc_rerank,
+        "changelog": q_changelog,
         "bm25_incremental": q_bm25_incremental,
         "mor_delete": q_mor_delete,
         "update_where": q_update_where,
@@ -3510,6 +3541,17 @@ def oracle_sql() -> dict[str, str]:
                         + MAX(CASE WHEN j = 3 THEN qdist END)) * 1000000
                    ) AS BIGINT) AS adc_micro
             FROM codes GROUP BY vec_id
+        """,
+        "changelog": """
+            SELECT doc_id,
+                   md5(coalesce(text, '')) AS text_md5,
+                   'insert' AS change_type
+            FROM documents WHERE doc_id >= 50 AND doc_id < 100
+            UNION ALL
+            SELECT doc_id,
+                   md5(coalesce(text, '')) AS text_md5,
+                   'delete' AS change_type
+            FROM documents WHERE doc_id >= 10 AND doc_id < 20
         """,
         "ivfadc_rerank": """
             WITH v AS (

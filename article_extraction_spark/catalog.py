@@ -738,7 +738,19 @@ class ManifestTable:
         # otherwise streaming ingest + scheduled expiry accretes unbounded
         # orphan metadata (stat/bloom entries for files that no longer
         # exist are never consulted, but never freed either).
-        for d in sorted({os.path.dirname(f) for f in dead_files}):
+        self._prune_sidecars({os.path.dirname(f) for f in dead_files})
+        for v in expiring:
+            try:
+                os.remove(self._manifest_path(v))
+            except OSError:
+                pass
+        return {"expired": expiring, "deleted_files": deleted, "kept": surviving}
+
+    def _prune_sidecars(self, dirs: set[str]) -> None:
+        """Drop _stats.json/_blooms.json entries for files no longer on
+        disk in ``dirs`` and remove dirs left holding only sidecar/writer
+        bookkeeping. Shared by expire_snapshots and vacuum_orphans."""
+        for d in sorted(dirs):
             full_dir = os.path.join(self.root, d)
             if not os.path.isdir(full_dir):
                 continue
@@ -777,12 +789,74 @@ class ManifestTable:
                     os.rmdir(full_dir)  # only succeeds when truly empty
                 except OSError:
                     pass
-        for v in expiring:
-            try:
-                os.remove(self._manifest_path(v))
-            except OSError:
-                pass
-        return {"expired": expiring, "deleted_files": deleted, "kept": surviving}
+
+    def vacuum_orphans(self, grace_seconds: float = 86400.0) -> dict:
+        """Remove data files referenced by NO surviving manifest (Iceberg's
+        remove_orphan_files): crashed writes — ``_write_data`` before a
+        failed commit, compact/merge losers whose cleanup also died —
+        leave full parquet files in commit dirs forever; expire_snapshots
+        never touches them because it only walks manifests.
+
+        ``grace_seconds`` (default 24 h) is the standard in-flight-writer
+        guard: a CONCURRENT writer's files exist on disk before its
+        manifest does, so only files older than the grace window are
+        eligible. Never pass 0 on a live table. Sidecar entries for the
+        removed files are pruned too. Returns
+        ``{"removed": n, "scanned": n_disk, "referenced": n_refs}``."""
+        referenced: set[str] = set()
+        for v in self.snapshots():
+            m = self._load(v)
+            referenced.update(m["files"])
+            for e in m.get("deletes", []):
+                referenced.update(e["files"])
+        data_root = os.path.join(self.root, "data")
+        cutoff = time.time() - grace_seconds
+        removed = 0
+        scanned = 0
+        touched_dirs: set[str] = set()
+        for dirpath, _dirs, names in os.walk(data_root):
+            rel_dir = os.path.relpath(dirpath, self.root)
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                scanned += 1
+                rel = os.path.join(rel_dir, n)
+                if rel in referenced:
+                    continue
+                full = os.path.join(dirpath, n)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly an in-flight writer's file
+                    os.remove(full)
+                    removed += 1
+                    touched_dirs.add(rel_dir)
+                except OSError:
+                    pass
+        if touched_dirs:
+            self._prune_sidecars(touched_dirs)
+        return {"removed": removed, "scanned": scanned, "referenced": len(referenced)}
+
+    def changelog(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Row-level CDC view (Iceberg's create_changelog_view analog,
+        round 7): every row added or removed in ``(from, to]`` with a
+        ``_change_type`` column ("insert" / "delete") — the shape
+        downstream incremental consumers (rollups, indexes, replication)
+        subscribe to. Built on ``read_incremental_changes``: appends
+        contribute inserts, MoR equality deletes contribute deletes
+        (computed against their own parent, so re-deletes don't
+        double-emit); raises ValueError for rewrites a row-level delta
+        cannot express (merge/overwrite/update, positional deletes)."""
+        from pyspark.sql import functions as F
+
+        added, deleted = self.read_incremental_changes(spark, from_snapshot, to_snapshot)
+        return added.withColumn("_change_type", F.lit("insert")).unionByName(
+            deleted.withColumn("_change_type", F.lit("delete"))
+        )
 
     def read_incremental(
         self,
@@ -1185,6 +1259,7 @@ class ManifestTable:
         spark: SparkSession,
         target_bytes: int = 128 * 1024 * 1024,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
         bloom_cols: list[str] | None = None,
     ) -> int:
         """Small-file compaction (round 3): rewrite the CURRENT snapshot's
@@ -1210,21 +1285,30 @@ class ManifestTable:
         files is written by ``_write_data`` as always; pass ``bloom_cols``
         to rebuild per-file key blooms for the new files in the same
         maintenance action (blooms are sidecars: a crash before they're
-        built only costs skipping, never correctness)."""
+        built only costs skipping, never correctness).
+
+        ``zorder_by`` (mutually exclusive with ``sort_by``): multi-column
+        re-clustering — rewrite in Morton z-value order (operators/zorder)
+        so box predicates over SEVERAL columns keep skipping via the
+        per-commit column stats; column domains are sampled from the
+        snapshot in one aggregate pass (Delta OPTIMIZE ZORDER BY's shape)."""
         import os
 
         snap = self.current_snapshot_id()
         if snap is None:
             raise ValueError("cannot compact an empty table")
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         manifest = self._load(snap)
-        if sort_by:
-            schema_names = {
-                f.name
-                for f in T.StructType.fromJson(json.loads(manifest["schema"])).fields
-            }
-            bad = [c for c in sort_by if c not in schema_names]
-            if bad:
-                raise KeyError(f"compact sort_by column(s) {bad} not in table schema")
+        for label, cols in (("sort_by", sort_by), ("zorder_by", zorder_by)):
+            if cols:
+                schema_names = {
+                    f.name
+                    for f in T.StructType.fromJson(json.loads(manifest["schema"])).fields
+                }
+                bad = [c for c in cols if c not in schema_names]
+                if bad:
+                    raise KeyError(f"compact {label} column(s) {bad} not in table schema")
         total = 0
         for f in manifest["files"]:
             try:
@@ -1235,6 +1319,28 @@ class ManifestTable:
         df = self.read(spark, snapshot_id=snap)
         if sort_by:
             df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+        elif zorder_by:
+            from pyspark.sql import functions as F
+
+            from .operators.zorder import zvalue_col
+
+            bounds = df.agg(
+                *[F.min(c).cast("double").alias(f"__lo_{c}") for c in zorder_by],
+                *[F.max(c).cast("double").alias(f"__hi_{c}") for c in zorder_by],
+            ).collect()[0]
+            mins = [bounds[f"__lo_{c}"] for c in zorder_by]
+            maxs = [bounds[f"__hi_{c}"] for c in zorder_by]
+            if any(v is None for v in mins + maxs):
+                raise ValueError(
+                    f"zorder_by columns {zorder_by} must be non-NULL numerics"
+                )
+            z = zvalue_col(zorder_by, mins, maxs)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         else:
             df = df.repartition(n_out)
         new_files = self._write_data(df)

@@ -11,7 +11,9 @@ this job is the one cron entry that keeps the read path healthy:
   3. COMPACT     small-file rewrite when mean file size < --compact-under-mb
   4. EXPIRE      drop snapshots beyond --keep-last / --older-than-hours
                  (orphan data + delete files swept, stream watermarks folded)
-  5. BLOOMS      build per-file key blooms for --bloom-cols (incremental —
+  5. VACUUM      remove data files referenced by NO manifest (crashed
+                 writes) older than --vacuum-orphans-hours
+  6. BLOOMS      build per-file key blooms for --bloom-cols (incremental —
                  only files lacking one are scanned)
 
 Every action prints one JSON line; --dry-run reports what WOULD run.
@@ -49,6 +51,7 @@ def maintain(
     compact_sort_by: list[str] | None = None,
     keep_last: int | None = None,
     older_than_hours: float | None = None,
+    vacuum_orphans_hours: float | None = None,
     bloom_cols: list[str] | None = None,
     dry_run: bool = False,
 ) -> list[dict]:
@@ -122,6 +125,13 @@ def maintain(
             removed = table.expire_snapshots(**kwargs)
             out.append({"action": "expire_snapshots", "removed": removed})
 
+    if vacuum_orphans_hours is not None:
+        if dry_run:
+            out.append({"action": "vacuum_orphans", "dry_run": True})
+        else:
+            res = table.vacuum_orphans(grace_seconds=vacuum_orphans_hours * 3600)
+            out.append({"action": "vacuum_orphans", **res})
+
     if bloom_cols:
         if dry_run:
             out.append({"action": "build_file_blooms", "dry_run": True, "cols": bloom_cols})
@@ -139,6 +149,8 @@ def main() -> None:
     ap.add_argument("--compact-sort-by", default=None, help="comma-separated sort columns for the compaction rewrite")
     ap.add_argument("--keep-last", type=int, default=None)
     ap.add_argument("--older-than-hours", type=float, default=None)
+    ap.add_argument("--vacuum-orphans-hours", type=float, default=None,
+                    help="remove unreferenced data files older than this many hours")
     ap.add_argument("--bloom-cols", default=None, help="comma-separated columns")
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
@@ -155,6 +167,7 @@ def main() -> None:
         compact_sort_by=args.compact_sort_by.split(",") if args.compact_sort_by else None,
         keep_last=args.keep_last,
         older_than_hours=args.older_than_hours,
+        vacuum_orphans_hours=args.vacuum_orphans_hours,
         bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
         dry_run=args.dry_run,
     )

@@ -1353,3 +1353,100 @@ def test_maintain_compact_sort_by(spark, tmp_path):
     keep, total = t.prune_files({"id": (600, 700)})
     assert total >= 1 and len(keep) <= max(1, total // 2)  # still clustered
     assert t.read_pruned(spark, {"id": (600, 700)}).count() == 101
+
+
+def test_compact_zorder_by_multicolumn_skipping(spark, tmp_path):
+    """compact(zorder_by=[a, b]): Morton re-clustering keeps BOX skipping
+    over several columns via the per-commit stats — neither column's
+    range is scattered across every output file."""
+    from pyspark.sql import functions as F
+
+    t = ManifestTable(str(tmp_path / "t"))
+    rows = spark.range(0, 16384).select(
+        (F.col("id") % 128).alias("x"), (F.col("id") / 128).cast("long").alias("y")
+    )
+    t.append(rows.repartition(4))
+    v = t.compact(spark, target_bytes=4 * 1024, zorder_by=["x", "y"])
+    box = {"x": (10, 15), "y": (10, 15)}
+    keep, total = t.prune_files(box)
+    assert total >= 8 and len(keep) <= total // 2  # 2-D box skips most files
+    assert t.read_pruned(spark, box).count() == 36
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(spark, sort_by=["x"], zorder_by=["y"])
+    with pytest.raises(KeyError, match="zorder_by"):
+        t.compact(spark, zorder_by=["nope"])
+    assert t.current_snapshot_id() == v
+
+
+def test_vacuum_orphans(spark, tmp_path):
+    """vacuum_orphans removes data files referenced by NO manifest
+    (crashed writes), honors the in-flight grace window, and never
+    touches referenced files."""
+    import time as _time
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(50)], "id long").coalesce(1))
+    t.build_file_blooms(spark, ["id"])
+    # simulate a crashed write: files exist, commit never happened
+    orphan_files = t._write_data(
+        spark.createDataFrame([(999,)], "id long").coalesce(1)
+    )
+    orphan_dir = os.path.dirname(os.path.join(t.root, orphan_files[0]))
+    # fresh orphans are protected by the grace window
+    res0 = t.vacuum_orphans(grace_seconds=3600)
+    assert res0["removed"] == 0
+    assert os.path.exists(os.path.join(t.root, orphan_files[0]))
+    # age them out
+    old = _time.time() - 7200
+    for n in os.listdir(orphan_dir):
+        os.utime(os.path.join(orphan_dir, n), (old, old))
+    res1 = t.vacuum_orphans(grace_seconds=3600)
+    assert res1["removed"] == 1
+    assert not os.path.exists(os.path.join(t.root, orphan_files[0]))
+    assert not os.path.exists(orphan_dir)  # sidecar-only dir swept
+    # the live table is untouched and fully readable
+    assert t.read(spark).count() == 50
+    assert [r["id"] for r in t.read_eq(spark, {"id": 7}).collect()] == [7]
+    # idempotent
+    assert t.vacuum_orphans(grace_seconds=3600)["removed"] == 0
+
+
+def test_maintain_vacuum_step(spark, tmp_path):
+    import time as _time
+
+    from jobs.maintain_table import maintain
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "id long").coalesce(1))
+    orphans = t._write_data(spark.createDataFrame([(2,)], "id long").coalesce(1))
+    d = os.path.dirname(os.path.join(t.root, orphans[0]))
+    old = _time.time() - 7200
+    for n in os.listdir(d):
+        os.utime(os.path.join(d, n), (old, old))
+    out = maintain(spark, t, vacuum_orphans_hours=1.0)
+    step = [o for o in out if o["action"] == "vacuum_orphans"][0]
+    assert step["removed"] == 1
+    assert t.read(spark).count() == 1
+
+
+def test_changelog_view(spark, tmp_path):
+    """changelog(): inserts from appends, deletes from MoR equality
+    deletes, each computed against its own parent — re-deleting an
+    already-deleted key emits nothing."""
+    from pyspark.sql import functions as F
+
+    t = ManifestTable(str(tmp_path / "t"))
+    v1 = t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    t.delete(spark, spark.createDataFrame([(2,)], "id long"), ["id"])
+    t.delete(spark, spark.createDataFrame([(2,)], "id long"), ["id"])  # no-op
+    log = t.changelog(spark, v1)
+    got = sorted((r["id"], r["s"], r["_change_type"]) for r in log.collect())
+    assert got == [(2, "b", "delete"), (3, "c", "insert")]
+    # net state replays: state(v1) + inserts - deletes == head
+    head = {(r["id"], r["s"]) for r in t.read(spark).collect()}
+    assert head == {(1, "a"), (3, "c")}
+    # positional deletes are refused (ordinals can't be re-keyed)
+    t.delete_positions_where(spark, F.col("id") == 1)
+    with pytest.raises(ValueError, match="positional"):
+        t.changelog(spark, v1).collect()
