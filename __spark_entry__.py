@@ -2107,6 +2107,69 @@ def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level data-quality expectations (round 7, quality_gate.py —
+    the Deequ/DLT pattern): three named rules over orders evaluated in
+    ONE codegen'd pass, failing rows quarantined with the array of rules
+    they violate. Result = exploded (order, rule) violations plus the
+    clean-row count folded into every row; DuckDB replays each rule's
+    3-valued logic (NULL verdict = violation) relationally."""
+    from article_extraction_spark.operators.quality_gate import quarantine
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)  # bounded result at every SF
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+    )
+    rules = {
+        "price_under_200k": F.col("o_totalprice") < 200000,
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_urgentish": F.col("o_orderpriority").rlike("^[12]"),
+    }
+    good, bad = quarantine(orders, rules)
+    n_good = good.count()
+    return bad.select(
+        "o_orderkey", F.explode("_violations").alias("rule")
+    ).withColumn("good_rows", F.lit(n_good).cast("long"))
+
+
+def q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (round 7, the Iceberg rollback_to_snapshot
+    analog): append docs <50, MoR-delete 10-19, append 50-99, overwrite
+    with 100-119, then ROLL BACK to the post-delete snapshot — the head
+    must read docs <50 minus 10-19 (files AND delete entries restored),
+    while the overwritten state stays time-travelable (nothing is
+    deleted by a rollback). Both properties fold into the hashed rows."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    root = f"{tempfile.gettempdir()}/aes_rollback_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = ManifestTable(root)
+    t.append(docs.where(F.col("doc_id") < 50))
+    t.delete(
+        spark,
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select("doc_id"),
+        ["doc_id"],
+    )
+    v2 = t.current_snapshot_id()
+    t.append(docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)))
+    t.overwrite(
+        docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    )
+    v5 = t.rollback(v2)
+    # the rolled-back-over overwrite is still readable one snapshot back
+    overwritten_rows = t.read(spark, snapshot_id=v5 - 1).count()
+    return t.read(spark).select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        F.lit(overwritten_rows).cast("long").alias("overwritten_still_readable"),
+    )
+
+
 def q_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped median absolute deviation (round 5): the robust spread
     statistic, two exact percentiles with a broadcast join between them,
@@ -2686,6 +2749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "ivfadc_rerank": q_ivfadc_rerank,
         "changelog": q_changelog,
+        "expectations": q_expectations,
+        "rollback": q_rollback,
         "bm25_incremental": q_bm25_incremental,
         "mor_delete": q_mor_delete,
         "update_where": q_update_where,
@@ -3541,6 +3606,34 @@ def oracle_sql() -> dict[str, str]:
                         + MAX(CASE WHEN j = 3 THEN qdist END)) * 1000000
                    ) AS BIGINT) AS adc_micro
             FROM codes GROUP BY vec_id
+        """,
+        "expectations": """
+            WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0),
+            good AS (
+              SELECT count(*) AS n FROM o
+              WHERE coalesce(o_totalprice < 200000, FALSE)
+                AND coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE)
+                AND coalesce(regexp_matches(o_orderpriority, '^[12]'), FALSE)
+            )
+            SELECT o_orderkey, 'price_under_200k' AS rule,
+                   (SELECT n FROM good) AS good_rows
+            FROM o WHERE NOT coalesce(o_totalprice < 200000, FALSE)
+            UNION ALL
+            SELECT o_orderkey, 'status_known',
+                   (SELECT n FROM good)
+            FROM o WHERE NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE)
+            UNION ALL
+            SELECT o_orderkey, 'priority_urgentish',
+                   (SELECT n FROM good)
+            FROM o WHERE NOT coalesce(regexp_matches(o_orderpriority, '^[12]'), FALSE)
+        """,
+        "rollback": """
+            SELECT doc_id,
+                   md5(coalesce(text, '')) AS text_md5,
+                   (SELECT count(*) FROM documents
+                    WHERE doc_id >= 100 AND doc_id < 120) AS overwritten_still_readable
+            FROM documents
+            WHERE doc_id < 50 AND NOT (doc_id >= 10 AND doc_id < 20)
         """,
         "changelog": """
             SELECT doc_id,

@@ -790,6 +790,40 @@ class ManifestTable:
                 except OSError:
                     pass
 
+    def rollback(self, snapshot_id: int) -> int:
+        """Restore the table to ``snapshot_id``'s state as a NEW commit
+        (Iceberg's rollback_to_snapshot): the head becomes a snapshot
+        referencing the target's exact file list and delete entries, so
+        the rollback is itself time-travelable and nothing is deleted —
+        expire_snapshots later reclaims the rolled-back-over files if
+        no surviving snapshot references them. CAS commit: a concurrent
+        writer raises CommitConflict (a silent rebase would resurrect
+        rows the other writer just changed)."""
+        target = self._load(snapshot_id)  # FileNotFoundError if expired
+        head = self.current_snapshot_id()
+        if head == snapshot_id:
+            return head
+        version = head + 1
+        out = {
+            "snapshot_id": version,
+            "parent": head,
+            "operation": "rollback",
+            "rolled_back_to": snapshot_id,
+            "files": list(target["files"]),
+            "schema": target["schema"],
+            "ts": time.time(),
+        }
+        if target.get("deletes"):
+            out["deletes"] = target["deletes"]
+        try:
+            with open(self._manifest_path(version), "x") as fh:
+                json.dump(out, fh)
+        except FileExistsError as exc:
+            raise CommitConflict(
+                "concurrent commit during rollback — re-run against the new head"
+            ) from exc
+        return version
+
     def vacuum_orphans(self, grace_seconds: float = 86400.0) -> dict:
         """Remove data files referenced by NO surviving manifest (Iceberg's
         remove_orphan_files): crashed writes — ``_write_data`` before a

@@ -959,7 +959,10 @@ def test_maintain_table_job_ladder(spark, tmp_path):
     acts = {r["action"]: r for r in reports}
     assert acts["report"]["delete_entries_per_data_file"] > 0.5
     assert "snapshot" in acts["rewrite_deletes"] and "snapshot" in acts["compact"]
-    assert acts["build_file_blooms"]["written"] >= 1
+    # round 7: compact(bloom_cols=...) already built the new files' blooms
+    # inside the compaction action, so the final BLOOMS step finds nothing
+    # left to do — zero written here means covered, not skipped
+    assert acts["build_file_blooms"]["written"] == 0
     assert sorted(r["id"] for r in t.read(spark).collect()) == [
         j for j in range(60) if j not in (5, 15)
     ]
