@@ -2107,6 +2107,32 @@ def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters via the count-min candidate filter + exact confirm
+    (round 7, Cormode & Muthukrishnan §4): the sketch's cells fold into
+    the row filter as plan literals, so only candidate keys' rows reach
+    the confirm groupBy; count-min's one-sided error makes the result
+    EXACTLY the plain HAVING query, which DuckDB replays directly. The
+    key is deliberately skewed (a HOT key on every 3rd order, WARM on
+    o_orderkey%7==1, the long custkey tail light) so the heavy set is
+    non-trivial at every SF."""
+    from article_extraction_spark.operators.sketches import heavy_hitters
+
+    keyed = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("HOT"))
+        .when(F.col("o_orderkey") % 7 == 1, F.lit("WARM"))
+        .otherwise(F.concat(F.lit("cust-"), F.col("o_custkey").cast("string")))
+        .alias("k")
+    )
+    total = keyed.count()
+    hh = heavy_hitters(keyed, "k", phi=0.01, d=4, w=512)
+    return hh.select(
+        "k",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.lit(total).cast("long").alias("total_rows"),
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level data-quality expectations (round 7, quality_gate.py —
     the Deequ/DLT pattern): three named rules over orders evaluated in
@@ -2751,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog": q_changelog,
         "expectations": q_expectations,
         "rollback": q_rollback,
+        "heavy_hitters": q_heavy_hitters,
         "bm25_incremental": q_bm25_incremental,
         "mor_delete": q_mor_delete,
         "update_where": q_update_where,
@@ -3606,6 +3633,19 @@ def oracle_sql() -> dict[str, str]:
                         + MAX(CASE WHEN j = 3 THEN qdist END)) * 1000000
                    ) AS BIGINT) AS adc_micro
             FROM codes GROUP BY vec_id
+        """,
+        "heavy_hitters": """
+            WITH keyed AS (
+              SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'HOT'
+                          WHEN o_orderkey % 7 = 1 THEN 'WARM'
+                          ELSE 'cust-' || CAST(o_custkey AS VARCHAR) END AS k
+              FROM orders
+            ),
+            tot AS (SELECT count(*) AS n FROM keyed WHERE k IS NOT NULL)
+            SELECT k, count(*) AS cnt, (SELECT n FROM tot) AS total_rows
+            FROM keyed WHERE k IS NOT NULL
+            GROUP BY k
+            HAVING count(*) >= ceil(0.01 * (SELECT n FROM tot))
         """,
         "expectations": """
             WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0),

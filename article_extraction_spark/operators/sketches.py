@@ -44,6 +44,7 @@ __all__ = [
     "cm_build",
     "cm_merge",
     "cm_estimate",
+    "heavy_hitters",
     "hll_registers",
     "hll_merge",
     "hll_estimate",
@@ -131,6 +132,72 @@ def cm_estimate(
     )
     return joined.groupBy("__k").agg(F.min("cnt").alias("est")).select(
         F.col("__k").alias(key_col), F.col("est").cast("long").alias("est")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    phi: float,
+    d: int = 4,
+    w: int = 2048,
+    cells: DataFrame | None = None,
+    total: int | None = None,
+) -> DataFrame:
+    """φ-heavy hitters with EXACT counts via the count-min filter
+    (Cormode & Muthukrishnan 2005 §4, round 7): keys occurring in at
+    least ``ceil(phi·N)`` rows.
+
+    The point at 100 TB: a plain ``GROUP BY key HAVING count >= t``
+    shuffles the WHOLE key domain; here the sketch's d·w cells fold into
+    the row filter as plan literals (``least`` over d ``element_at``
+    lookups on native md5 buckets — whole-stage codegen, zero python,
+    zero shuffle), so only rows of CANDIDATE keys reach the exact
+    confirm groupBy. Count-min never underestimates, so candidates ⊇
+    true heavy hitters and the exact confirm makes the result EXACTLY
+    equal to the plain HAVING query — collisions only cost extra
+    confirmed-then-dropped keys, never a miss.
+
+    ``cells``/``total``: pass a maintained sketch (``maintained_cm``)
+    and row count to skip the build pass — the steady-state shape under
+    ingest. d·w is capped at 65,536 literal cells (the bloom
+    ``literal_max_words`` precedent); size w to the expected heavy-key
+    count, not the key domain. Returns (key, cnt), both exact."""
+    import math
+
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    if d * w > 65536:
+        raise ValueError(
+            f"d*w = {d * w} literal cells exceeds 65536 — use a smaller sketch "
+            "(heavy-hitter filtering needs cell counts, not key-domain width)"
+        )
+    keyed = df.where(F.col(key_col).isNotNull())
+    if total is None:
+        total = keyed.count()
+    threshold = max(1, math.ceil(phi * total - 1e-9))
+    cells_df = cells if cells is not None else cm_build(df, key_col, d, w)
+    grid = [[0] * w for _ in range(d)]
+    for r in cells_df.collect():  # ≤ d·w rows by construction
+        grid[r["i"]][r["bucket"]] = r["cnt"]
+    arrs = [
+        F.expr("array(" + ",".join(f"{v}L" for v in grid[i]) + ")") for i in range(d)
+    ]
+    est = F.least(
+        *[
+            F.element_at(
+                arrs[i], (_cm_bucket(F.col(key_col), i, w) + 1).cast("int")
+            )
+            for i in range(d)
+        ]
+    )
+    sliver = keyed.where(est >= threshold)
+    # every row of a candidate key passes the filter (est is a pure
+    # function of the key), so counting the sliver IS the exact count
+    return (
+        sliver.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= threshold)
     )
 
 

