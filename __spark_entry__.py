@@ -2133,6 +2133,32 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantiles (round 7,
+    operators/histogram.py): bin counts are one map-side-combined
+    groupBy over ≤1000 keys (rows shuffle a bin id, never a value),
+    merge = per-bin sums (rollup-maintainable), and the estimate is a
+    closed-form interpolation DuckDB replays bit-for-bit — built from
+    two disjoint partials merged together, so the oracle also pins
+    decomposability."""
+    from article_extraction_spark.operators.histogram import (
+        hist_counts,
+        hist_merge,
+        hist_quantiles,
+    )
+
+    lo, hi, bins = 0.0, 600000.0, 1000
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    h = hist_merge(
+        hist_counts(orders.where(F.col("o_orderkey") % 2 == 0), "o_totalprice", lo, hi, bins),
+        hist_counts(orders.where(F.col("o_orderkey") % 2 == 1), "o_totalprice", lo, hi, bins),
+    )
+    est = hist_quantiles(h, [0.5, 0.9, 0.99], lo, hi, bins)
+    return est.select(
+        "q", F.floor(F.col("estimate") * 1e6).cast("long").alias("est_micro")
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level data-quality expectations (round 7, quality_gate.py —
     the Deequ/DLT pattern): three named rules over orders evaluated in
@@ -2778,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "rollback": q_rollback,
         "heavy_hitters": q_heavy_hitters,
+        "hist_quantiles": q_hist_quantiles,
         "bm25_incremental": q_bm25_incremental,
         "mor_delete": q_mor_delete,
         "update_where": q_update_where,
@@ -3633,6 +3660,27 @@ def oracle_sql() -> dict[str, str]:
                         + MAX(CASE WHEN j = 3 THEN qdist END)) * 1000000
                    ) AS BIGINT) AS adc_micro
             FROM codes GROUP BY vec_id
+        """,
+        "hist_quantiles": """
+            WITH b AS (
+              SELECT LEAST(GREATEST(CAST(floor((o_totalprice - 0.0) / 600000.0 * 1000) AS INT), 0), 999) AS bin
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+            c AS (SELECT bin, cnt,
+                         sum(cnt) OVER (ORDER BY bin) AS cum,
+                         sum(cnt) OVER () AS n
+                  FROM h),
+            qs AS (SELECT CAST(col0 AS DOUBLE) AS q
+                   FROM (VALUES (0.5), (0.9), (0.99))),
+            hit AS (
+              SELECT qs.q, c.bin, c.cnt, c.cum, c.n,
+                     row_number() OVER (PARTITION BY qs.q ORDER BY c.bin) AS rn
+              FROM qs JOIN c ON c.cum >= qs.q * c.n
+            )
+            SELECT q,
+                   CAST(floor((0.0 + (bin + (n * q - (cum - cnt)) / cnt) * 600.0) * 1000000) AS BIGINT) AS est_micro
+            FROM hit WHERE rn = 1
         """,
         "heavy_hitters": """
             WITH keyed AS (
