@@ -266,3 +266,59 @@ def streaming_interval_join(
             if c != key
         ],
     )
+
+
+def run_available_now_minhash_ingest(
+    df: DataFrame,
+    pairs_out_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n_buckets: int = 16,
+    query_name: str = "minhash-ingest",
+) -> None:
+    """Streaming twin of ``MaintainedMinHashIndex.ingest`` (round 7):
+    each micro-batch indexes against the persistent signature index and
+    its verified near-dup pairs append to ``pairs_out_dir``.
+
+    Exactly-once comes from the INDEX, not the checkpoint: a replayed
+    batch's doc ids are already in the signature table, so it produces
+    zero new docs and zero pairs — re-running the whole stream over the
+    same corpus emits nothing new. The pairs sink is written INSIDE
+    ``ingest`` via ``on_pairs`` (before the index commits): a crash
+    between the pairs append and the index commit re-appends the same
+    pairs on replay (at-least-once parquet, readers dedup on
+    (id_a, id_b)); the reverse order would lose them forever — the same
+    append-before-merge lesson as ``run_available_now_dedup_ingest``."""
+    from ..operators.minhash_index import MaintainedMinHashIndex
+
+    def _index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        idx = MaintainedMinHashIndex(
+            index_root, num_hashes=num_hashes, bands=bands, n_buckets=n_buckets
+        )
+        stats = idx.ingest(
+            spark,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            on_pairs=lambda p: p.write.mode("append").parquet(pairs_out_dir),
+        )
+        stats["pairs"].unpersist(blocking=False)
+
+    q = (
+        df.writeStream.foreachBatch(_index_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
