@@ -165,6 +165,7 @@ class MaintainedMinHashIndex:
         text_col: str = "text",
         threshold: float = 0.5,
         on_pairs=None,
+        commit: bool = True,
     ) -> dict:
         """Index a batch; returns ``{"pairs": DataFrame (persisted),
         "new_docs", "skipped_existing", "buckets_probed", "min_matches"}``.
@@ -205,11 +206,15 @@ class MaintainedMinHashIndex:
         ).persist(StorageLevel.MEMORY_AND_DISK)
         n_fresh = fresh.count()
         try:
-            return self._ingest_fresh(spark, fresh, n_in, n_fresh, min_matches, on_pairs)
+            return self._ingest_fresh(
+                spark, fresh, n_in, n_fresh, min_matches, on_pairs, commit
+            )
         finally:
             fresh.unpersist(blocking=False)
 
-    def _ingest_fresh(self, spark, fresh, n_in, n_fresh, min_matches, on_pairs=None) -> dict:
+    def _ingest_fresh(
+        self, spark, fresh, n_in, n_fresh, min_matches, on_pairs=None, commit=True
+    ) -> dict:
         try:
             existing_ids = self.sigs.read(spark).select("doc_id")
         except FileNotFoundError:
@@ -296,7 +301,7 @@ class MaintainedMinHashIndex:
                 # BEFORE the commits: a replayed batch returns empty pairs
                 # (see ingest docstring), so late sinks would lose these
                 on_pairs(pairs)
-            if n_new:
+            if n_new and commit:
                 # serving FIRST: a crash before the sig merge leaves orphan
                 # band rows the retry dedups; sig-first would drop the batch
                 # from candidate generation forever

@@ -44,6 +44,7 @@ def curate_corpus(
     boilerplate_max_doc_freq: int | None = None,
     lm_score_floor: float | None = None,
     dedup_index_root: str | None = None,
+    near_dup_index_root: str | None = None,
     substring_dedup_k: int | None = None,
     substring_max_dup_ratio: float = 0.5,
 ) -> dict:
@@ -145,14 +146,73 @@ def curate_corpus(
     # 3. near dedup at CLUSTER granularity: pairs → connected components →
     # keep the canonical (min-id) doc per component. Dropping one side of
     # each pair would over/under-delete transitive duplicate chains.
+    #
+    # With --near-dup-index (round 7): pairs come from the PERSISTENT
+    # MaintainedMinHashIndex instead of a per-run LSH pass — a doc
+    # near-duplicating anything a PREVIOUS run already emitted drops (the
+    # indexed side wins: it is already in the corpus), and within-batch
+    # pairs go through the same CC-keep-min rule. The probe runs with
+    # commit=False; the index commits AFTER the stage-6 write (same
+    # write-before-merge reasoning as the exact index — a pre-write
+    # commit would make a crash-retry skip near-dup detection, since a
+    # replayed batch is a no-op against an index that already has it).
     from article_extraction_spark.operators.dedup import connected_components
 
-    pairs = minhash_dedup(exact, id_col, text_col, threshold=jaccard_threshold)
-    comp = connected_components(pairs)
-    drop_ids = comp.where(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    near_index = None
+    if near_dup_index_root is not None:
+        from article_extraction_spark.operators.minhash_index import (
+            MaintainedMinHashIndex,
+        )
+
+        near_index = MaintainedMinHashIndex(near_dup_index_root)
+        probe = near_index.ingest(
+            spark,
+            exact.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            threshold=jaccard_threshold,
+            commit=False,
+        )
+        ma = exact.select(F.col(id_col).alias("id_a"), F.lit(True).alias("_a_new"))
+        mb = exact.select(F.col(id_col).alias("id_b"), F.lit(True).alias("_b_new"))
+        p = (
+            probe["pairs"]
+            .join(ma, "id_a", "left")
+            .join(mb, "id_b", "left")
+            .fillna(False, ["_a_new", "_b_new"])
+        )
+        # new-vs-indexed: the new side always drops (the old doc is
+        # already published); new-vs-new: transitive closure, keep min
+        vs_old = p.where(F.col("_a_new") != F.col("_b_new")).select(
+            F.when(F.col("_a_new"), F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
+        )
+        nn = p.where(F.col("_a_new") & F.col("_b_new")).select("id_a", "id_b")
+        comp = connected_components(nn)
+        drop_ids = (
+            comp.where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
+            .unionByName(vs_old)
+            .distinct()
+        )
+        probe["pairs"].unpersist(blocking=False)
+        # docs whose ID is already in the index were emitted by a prior
+        # run — a replayed input is a no-op, not a re-emission (the probe
+        # itself skipped them as non-fresh, so they produced no pairs)
+        if probe["skipped_existing"]:
+            already = near_index.sigs.read(spark).select(F.col("doc_id").alias(id_col))
+            drop_ids = drop_ids.unionByName(
+                exact.join(already, id_col, "left_semi").select(id_col)
+            ).distinct()
+    else:
+        pairs = minhash_dedup(exact, id_col, text_col, threshold=jaccard_threshold)
+        comp = connected_components(pairs)
+        drop_ids = comp.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
     near = exact.join(drop_ids, id_col, "left_anti")
     stats["after_near_dedup"] = near.count()
-    pairs.unpersist()
+    if near_dup_index_root is None:
+        pairs.unpersist()
 
     # 3b. (optional) substring-level dedup (round 5, Lee et al. 2021):
     # among the near-dedup survivors, docs MOSTLY made of cross-corpus
@@ -209,6 +269,19 @@ def curate_corpus(
             exact.select("fingerprint", F.col(id_col).alias("first_seen_id")),
             ["fingerprint"],
         )
+    if near_index is not None:
+        # index the EMITTED docs only (future runs dedup against what is
+        # actually in the corpus; docs rejected by stages 4-5 stay
+        # unindexed so a clean near-variant can still enter later) —
+        # committed AFTER the write, re-ingest is idempotent on retry
+        emitted = near_index.ingest(
+            spark,
+            clean.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            threshold=jaccard_threshold,
+        )
+        emitted["pairs"].unpersist(blocking=False)
     comp.unpersist(blocking=True)  # last consumer (the write) is done
     for c in spine_caches:  # the handles hold the caches, not projections
         c.unpersist(blocking=True)
@@ -232,6 +305,9 @@ def main() -> None:
                     help="opt-in span-level dedup: strip >=k-char repeated passages "
                          "(keep-first), drop docs mostly made of repeats")
     ap.add_argument("--substring-max-dup-ratio", type=float, default=0.5)
+    ap.add_argument("--near-dup-index", default=None,
+                    help="MaintainedMinHashIndex root: near-dup detection against "
+                         "previously emitted corpora (persistent, cross-run)")
     ap.add_argument("--dedup-index", default=None,
                     help="persistent fingerprint-index table root: drop docs "
                          "already curated by a previous run, commit this "
@@ -264,6 +340,7 @@ def main() -> None:
         substring_dedup_k=args.substring_dedup_k,
         substring_max_dup_ratio=args.substring_max_dup_ratio,
         dedup_index_root=args.dedup_index,
+        near_dup_index_root=args.near_dup_index,
     )
     print(json.dumps(stats))
 

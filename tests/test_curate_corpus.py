@@ -187,3 +187,60 @@ def test_funnel_substring_dedup_stage(spark, tmp_path):
     # default path: no stage, no stats key
     out2 = curate_corpus(spark, docs, bench, str(tmp_path / "o2"), jaccard_threshold=0.95)
     assert "after_substring_dedup" not in out2
+
+
+def test_curate_corpus_cross_run_near_dup_index(spark, tmp_path):
+    """round 7: --near-dup-index makes stage 3 persistent across runs —
+    run 2 drops docs that NEAR-duplicate anything run 1 already emitted
+    (different fingerprints, so the exact index can't catch them), the
+    within-batch CC-keep-min rule still applies, and the index commits
+    only after the write (probe is commit=False)."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate_corpus import curate_corpus
+
+    def doc(stem: str, tail: str = "") -> str:
+        body = " ".join(f"{stem}{i:02d} the {stem}x{i:02d}" for i in range(20))
+        return f"some {stem} document {body}{tail}"
+
+    benchmark = spark.createDataFrame([], "doc_id long, text string")
+    idx = str(tmp_path / "mhidx")
+
+    run1 = spark.createDataFrame(
+        [
+            (1, doc("alpha")),
+            (2, doc("alpha", " slightly edited tail")),  # near-dup of 1 in-batch
+            (3, doc("beta")),
+        ],
+        "doc_id long, text string",
+    )
+    s1 = curate_corpus(
+        spark, run1, benchmark, str(tmp_path / "out1"), near_dup_index_root=idx
+    )
+    out1 = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out1") + "/curated").collect()}
+    assert out1 == {1, 3}  # in-batch near-dup 2 dropped, min id kept
+    assert s1["after_near_dedup"] == 2
+
+    # run 2: a near-variant of run-1's emitted doc 1 (new fingerprint!),
+    # plus one genuinely new doc
+    run2 = spark.createDataFrame(
+        [
+            (10, doc("alpha", " another different suffix")),  # near-dup of emitted 1
+            (11, doc("gamma")),
+        ],
+        "doc_id long, text string",
+    )
+    s2 = curate_corpus(
+        spark, run2, benchmark, str(tmp_path / "out2"), near_dup_index_root=idx
+    )
+    out2 = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out2") + "/curated").collect()}
+    assert out2 == {11}, out2  # the cross-run near-dup dropped
+    assert s2["after_near_dedup"] == 1
+
+    # run 3 replays run 2's input: doc 11 is exactly indexed now (no new
+    # fingerprint drop — no exact index in play — but it IS a near-dup of
+    # itself in the index at 16/16 agreement), so nothing survives
+    s3 = curate_corpus(
+        spark, run2, benchmark, str(tmp_path / "out3"), near_dup_index_root=idx
+    )
+    assert s3["after_near_dedup"] == 0 and s3["output"] == 0
