@@ -189,7 +189,10 @@ class MaintainedMinHashIndex:
         min_matches = math.ceil(threshold * self.num_hashes - 1e-9)
 
         id_type = docs.schema[id_col].dataType.simpleString()
-        self._pin_meta("doc_id_type", id_type)
+        # validate against an existing pin always; WRITE the pin only on
+        # the commit path (review r7: a crashed commit=False probe with a
+        # wrongly-typed id column must not poison the empty index forever)
+        self._pin_meta("doc_id_type", id_type, write=commit)
 
         batch = docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -207,18 +210,16 @@ class MaintainedMinHashIndex:
         n_fresh = fresh.count()
         try:
             return self._ingest_fresh(
-                spark, fresh, n_in, n_fresh, min_matches, on_pairs, commit
+                spark, fresh, existing_ids, n_in, n_fresh, min_matches,
+                on_pairs, commit,
             )
         finally:
             fresh.unpersist(blocking=False)
 
     def _ingest_fresh(
-        self, spark, fresh, n_in, n_fresh, min_matches, on_pairs=None, commit=True
+        self, spark, fresh, existing_ids, n_in, n_fresh, min_matches,
+        on_pairs=None, commit=True,
     ) -> dict:
-        try:
-            existing_ids = self.sigs.read(spark).select("doc_id")
-        except FileNotFoundError:
-            existing_ids = None
         # one md5 pass per shingle, materialized once (HOF no-CSE rule).
         # Tokenless docs are dropped FIRST: shingles_col maps an empty
         # token array to [""], which would otherwise band every empty doc
@@ -325,11 +326,13 @@ class MaintainedMinHashIndex:
 
     # -- helpers --------------------------------------------------------------
 
-    def _pin_meta(self, key: str, value: str) -> None:
+    def _pin_meta(self, key: str, value: str, write: bool = True) -> None:
         meta_path = os.path.join(self.root, self._META)
         with open(meta_path) as f:
             meta = json.load(f)
         if key not in meta:
+            if not write:
+                return  # probe mode: nothing pinned yet, nothing to check
             meta[key] = value
             tmp = meta_path + ".tmp"
             with open(tmp, "w") as f:

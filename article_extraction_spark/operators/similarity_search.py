@@ -461,6 +461,21 @@ def ivfadc_score_col(
     return expr
 
 
+def _probe_cells(coarse_centroids: list[list[float]], query: list[float], nprobe: int) -> list[int]:
+    """The nprobe coarse cells nearest the query under the (dist, index)
+    tie rule — SHARED by ivfadc_topk (stage 1) and ivfadc_rerank_topk
+    (stage 2): both stages must select the same partitions or stage-1
+    candidates would vanish from stage 2's IN-filtered scan (review r7)."""
+    ranked = sorted(
+        range(len(coarse_centroids)),
+        key=lambda i: (
+            sum((a - b) ** 2 for a, b in zip(coarse_centroids[i], query)),
+            i,
+        ),
+    )
+    return ranked[: max(1, nprobe)]
+
+
 def ivfadc_topk(
     spark,
     path: str,
@@ -484,11 +499,7 @@ def ivfadc_topk(
     Pass ``schema`` (data columns only) on large tables to skip
     footer-sampling inference at planning."""
     q = [float(x) for x in query]
-    ranked = sorted(
-        range(len(coarse_centroids)),
-        key=lambda i: (sum((a - b) ** 2 for a, b in zip(coarse_centroids[i], q)), i),
-    )
-    probe = ranked[: max(1, nprobe)]
+    probe = _probe_cells(coarse_centroids, q, nprobe)
     reader = spark.read.schema(schema) if schema is not None else spark.read
     t = reader.parquet(path).where(F.col("cluster").isin(probe))
     scored = t.select(
@@ -546,11 +557,7 @@ def ivfadc_rerank_topk(
     cand = [r[id_col] for r in stage1.select(id_col).collect()]
     if not cand:
         return stage1.select(id_col, F.lit(0.0).alias("dist")).limit(0)
-    ranked = sorted(
-        range(len(coarse_centroids)),
-        key=lambda i: (sum((a - b) ** 2 for a, b in zip(coarse_centroids[i], q)), i),
-    )
-    probe = ranked[: max(1, nprobe)]
+    probe = _probe_cells(coarse_centroids, q, nprobe)  # same cells as stage 1
     reader = spark.read.schema(schema) if schema is not None else spark.read
     t = (
         reader.parquet(path)

@@ -178,8 +178,25 @@ def heavy_hitters(
     threshold = max(1, math.ceil(phi * total - 1e-9))
     cells_df = cells if cells is not None else cm_build(df, key_col, d, w)
     grid = [[0] * w for _ in range(d)]
+    seen_rows = 0
     for r in cells_df.collect():  # ≤ d·w rows by construction
+        if r["i"] >= d or r["bucket"] >= w:
+            raise ValueError(
+                f"cells sketch cell (i={r['i']}, bucket={r['bucket']}) exceeds "
+                f"d={d}/w={w} — the passed sketch was built with a different "
+                "geometry (probing it would silently miss heavy keys)"
+            )
         grid[r["i"]][r["bucket"]] = r["cnt"]
+        seen_rows = max(seen_rows, r["i"] + 1)
+    if cells is not None and seen_rows and seen_rows != d:
+        # every row 0..d_real-1 appears in a nonempty sketch, so a depth
+        # mismatch is fully detectable; a WIDER probe w than the build w
+        # is not (buckets stay in range) — callers must pass the build
+        # geometry, which maintained_cm records with its rollup
+        raise ValueError(
+            f"cells sketch has depth {seen_rows}, expected d={d} — "
+            "pass the geometry the sketch was built with"
+        )
     arrs = [
         F.expr("array(" + ",".join(f"{v}L" for v in grid[i]) + ")") for i in range(d)
     ]

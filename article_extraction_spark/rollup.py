@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from .catalog import ManifestTable
 
 _CURSOR_KEY = "rollup_source_snapshot"
+_SWEEP_KEY = "rollup_needs_sweep"
 _SUPPORTED = ("count", "sum", "min", "max")
 
 
@@ -273,12 +274,35 @@ class IncrementalRollup:
                 return out
         return None
 
+    def _sweep_needed(self) -> bool:
+        """True when the rollup's parent chain carries an unswept
+        delete-aware fold: the fold commit stamps ``_SWEEP_KEY`` in its
+        manifest and the sweep's delete commit supersedes it, so a crash
+        between the two leaves the flag on the chain above any newer
+        cursor-less commits. Pure manifest reads — no Spark job (review
+        r7: sweeping unconditionally scanned the whole rollup table on
+        EVERY refresh of any count/sum rollup, including the maintained
+        BM25 postings on every ingest)."""
+        try:
+            v = self.rollup.current_snapshot_id()
+            while v is not None:
+                m = self.rollup._load(v)
+                if m.get("operation") == "delete":
+                    return False  # the sweep itself was the last word
+                if _SWEEP_KEY in m:
+                    return True
+                if _CURSOR_KEY in m:
+                    return False  # a newer clean fold supersedes
+                v = m.get("parent")
+        except FileNotFoundError:
+            return False
+        return False
+
     def _sweep_tombstones(self, spark: SparkSession, count_out: str) -> None:
         """Remove count==0 groups (MoR delete on the rollup). Runs after
-        every delete-aware fold AND opportunistically at refresh start,
-        which heals a crash that landed between the fold commit and the
-        sweep commit — zero-count rows are value-correct in between,
-        merely present."""
+        a delete-aware fold, and at refresh start ONLY when the manifest
+        chain says a fold crashed before its sweep (zero-count rows are
+        value-correct in between, merely present)."""
         if self.rollup.current_snapshot_id() is None:
             return
         dead = self.rollup.read(spark).where(F.col(count_out) == 0)
@@ -302,7 +326,7 @@ class IncrementalRollup:
         if head is None:
             return {"mode": "noop", "from": None, "to": None, "keys_updated": 0}
         count_out = self._delete_capable()
-        if count_out is not None:
+        if count_out is not None and self._sweep_needed():
             self._sweep_tombstones(spark, count_out)  # heal a crashed sweep
         cur = self.cursor()
         if cur == head:
@@ -348,9 +372,12 @@ class IncrementalRollup:
         # fold: existing rows for AFFECTED keys only, outer-joined with the
         # partials, per-aggregate combine; an empty delta still advances
         # the cursor atomically via an empty merge (fold_partials)
+        meta = {_CURSOR_KEY: head}
+        if deleted is not None:
+            meta[_SWEEP_KEY] = True  # cleared by the sweep's own commit
         n = fold_partials(
             spark, self.rollup, partial, self.keys, self.aggs,
-            extra_meta={_CURSOR_KEY: head},
+            extra_meta=meta,
         )
         if deleted is not None and count_out is not None:
             self._sweep_tombstones(spark, count_out)

@@ -194,7 +194,6 @@ def curate_corpus(
             .unionByName(vs_old)
             .distinct()
         )
-        probe["pairs"].unpersist(blocking=False)
         # docs whose ID is already in the index were emitted by a prior
         # run — a replayed input is a no-op, not a re-emission (the probe
         # itself skipped them as non-fresh, so they produced no pairs)
@@ -203,6 +202,14 @@ def curate_corpus(
             drop_ids = drop_ids.unionByName(
                 exact.join(already, id_col, "left_semi").select(id_col)
             ).distinct()
+        # materialize drop_ids BEFORE releasing the probe pairs: vs_old
+        # reads them directly, and every downstream action (stage counts,
+        # the stage-6 write) consumes drop_ids — an early unpersist
+        # re-executed the whole LSH probe per action (review r7)
+        drop_ids = drop_ids.persist(StorageLevel.MEMORY_AND_DISK)
+        drop_ids.count()
+        spine_caches.append(drop_ids)
+        probe["pairs"].unpersist(blocking=False)
     else:
         pairs = minhash_dedup(exact, id_col, text_col, threshold=jaccard_threshold)
         comp = connected_components(pairs)

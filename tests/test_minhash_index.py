@@ -185,3 +185,25 @@ def test_available_now_minhash_ingest(spark, tmp_path):
     # replay: fresh checkpoint over the SAME input emits nothing new
     run_available_now_minhash_ingest(stream(), pairs_dir, idx_root, str(tmp_path / "ckpt2"))
     assert {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_dir).collect()} == want
+
+
+def test_probe_mode_does_not_pin_meta(spark, tmp_path):
+    """Review r7: a commit=False probe must not mutate the index — a
+    crashed probe with a wrongly-typed id column used to pin
+    doc_id_type on the empty index forever."""
+    import json
+    import os
+
+    idx = MaintainedMinHashIndex(str(tmp_path / "mh"), num_hashes=16, bands=8)
+    st = idx.ingest(spark, _df(spark, DOCS[:2]), commit=False)
+    st["pairs"].unpersist()
+    with open(os.path.join(idx.root, "index_meta.json")) as f:
+        assert "doc_id_type" not in json.load(f)
+    # nothing committed either
+    assert idx.sigs.current_snapshot_id() is None
+    assert not os.path.isdir(idx.serving_dir)
+    # a committed ingest with a DIFFERENT id type is still fine afterwards
+    sdocs = spark.createDataFrame([("a", DOCS[0][1])], "doc_id string, text string")
+    idx.ingest(spark, sdocs)["pairs"].unpersist()
+    with open(os.path.join(idx.root, "index_meta.json")) as f:
+        assert json.load(f)["doc_id_type"] == "string"

@@ -312,19 +312,18 @@ def test_delete_aware_sweep_heals_after_crash(spark, tmp_path):
     ir.refresh(spark)
     source.delete(spark, spark.createDataFrame([(5,)], "v long"), ["v"])
     real_sweep = ir._sweep_tombstones
-    calls = {"n": 0}
     def crashing_sweep(spark_, count_out):
-        if calls["n"] == 0:  # skip the heal-sweep at refresh start
-            calls["n"] += 1
-            return real_sweep(spark_, count_out)
         raise RuntimeError("simulated crash before sweep")
     ir._sweep_tombstones = crashing_sweep
     with pytest.raises(RuntimeError, match="simulated crash"):
-        ir.refresh(spark)
+        ir.refresh(spark)  # fold commits (flagged), the sweep dies
     ir._sweep_tombstones = real_sweep
-    # tombstone visible (value-correct), then healed by the next refresh
-    assert _sum_got(spark, rollup)["c"] == (0, None) or _sum_got(spark, rollup)["c"][0] == 0
+    # tombstone visible (value-correct), manifest flag says sweep owed
+    assert _sum_got(spark, rollup)["c"][0] == 0
+    assert ir._sweep_needed()
     s = ir.refresh(spark)
     assert s["mode"] == "noop"
     assert "c" not in _sum_got(spark, rollup)
     assert _sum_got(spark, rollup) == _sum_expect(spark, source)
+    # swept: later refreshes pay NO start-of-refresh scan
+    assert not ir._sweep_needed()

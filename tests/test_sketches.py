@@ -312,3 +312,20 @@ def test_heavy_hitters_exact_and_pruned(spark):
         heavy_hitters(df, "k", 0.0)
     with pytest.raises(ValueError, match="65536"):
         heavy_hitters(df, "k", 0.5, d=8, w=10000)
+
+
+def test_heavy_hitters_rejects_geometry_mismatch(spark):
+    """Review r7: a caller-passed sketch with different d/w would silently
+    drop true heavy hitters (estimates read zero-filled cells) — the
+    mismatch must fail loudly instead."""
+    import pytest
+
+    from article_extraction_spark.operators.sketches import cm_build, heavy_hitters
+
+    df = spark.createDataFrame([("k1", i) for i in range(100)], "k string, v long")
+    wide = cm_build(df, "k", d=4, w=2048)
+    with pytest.raises(ValueError, match="geometry"):
+        heavy_hitters(df, "k", 0.1, d=4, w=512, cells=wide, total=100)
+    shallow = cm_build(df, "k", d=2, w=512)
+    with pytest.raises(ValueError, match="depth"):
+        heavy_hitters(df, "k", 0.1, d=4, w=512, cells=shallow, total=100)
