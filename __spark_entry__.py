@@ -2159,6 +2159,51 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained histogram quantiles under append + DELETE churn
+    (round 7 composition: histogram × IncrementalRollup × delete-aware
+    CDC): two appends refresh incrementally, then a MoR equality delete
+    folds NEGATIVE bin counts — mode stays "incremental", emptied bins
+    tombstone-sweep, and the quantiles equal a from-scratch histogram of
+    the surviving rows, which DuckDB replays with the same closed-form
+    interpolation. Modes folded into the hashed result."""
+    import shutil
+    import tempfile
+
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.operators.histogram import (
+        hist_quantiles,
+        maintained_hist,
+    )
+
+    lo, hi, bins = 0.0, 400.0, 200
+    root = f"{tempfile.gettempdir()}/aes_mhist_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    source = ManifestTable(f"{root}/src")
+    rollup = ManifestTable(f"{root}/roll")
+    mh = maintained_hist(source, rollup, "value", lo, hi, bins)
+    modes = []
+    source.append(ev.where(F.col("event_id") < 500))
+    modes.append(mh.refresh(spark)["mode"])
+    source.append(ev.where((F.col("event_id") >= 500) & (F.col("event_id") < 1000)))
+    modes.append(mh.refresh(spark)["mode"])
+    source.delete(
+        spark,
+        ev.where((F.col("event_id") < 1000) & (F.col("event_id") % 5 == 0)).select("event_id"),
+        ["event_id"],
+    )
+    modes.append(mh.refresh(spark)["mode"])
+    est = hist_quantiles(
+        rollup.read(spark).withColumnRenamed("n", "cnt"), [0.5, 0.9, 0.99], lo, hi, bins
+    )
+    return est.select(
+        "q",
+        F.floor(F.col("estimate") * 1e6).cast("long").alias("est_micro"),
+        F.lit("|".join(modes)).alias("refresh_modes"),
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level data-quality expectations (round 7, quality_gate.py —
     the Deequ/DLT pattern): three named rules over orders evaluated in
@@ -2805,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollback": q_rollback,
         "heavy_hitters": q_heavy_hitters,
         "hist_quantiles": q_hist_quantiles,
+        "hist_incremental": q_hist_incremental,
         "bm25_incremental": q_bm25_incremental,
         "mor_delete": q_mor_delete,
         "update_where": q_update_where,
@@ -3660,6 +3706,32 @@ def oracle_sql() -> dict[str, str]:
                         + MAX(CASE WHEN j = 3 THEN qdist END)) * 1000000
                    ) AS BIGINT) AS adc_micro
             FROM codes GROUP BY vec_id
+        """,
+        "hist_incremental": """
+            WITH live AS (
+              SELECT value FROM events
+              WHERE event_id < 1000 AND event_id % 5 != 0 AND value IS NOT NULL
+            ),
+            b AS (
+              SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 400.0 * 200) AS INT), 0), 199) AS bin
+              FROM live
+            ),
+            h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+            c AS (SELECT bin, cnt,
+                         sum(cnt) OVER (ORDER BY bin) AS cum,
+                         sum(cnt) OVER () AS n
+                  FROM h),
+            qs AS (SELECT CAST(col0 AS DOUBLE) AS q
+                   FROM (VALUES (0.5), (0.9), (0.99))),
+            hit AS (
+              SELECT qs.q, c.bin, c.cnt, c.cum, c.n,
+                     row_number() OVER (PARTITION BY qs.q ORDER BY c.bin) AS rn
+              FROM qs JOIN c ON c.cum >= qs.q * c.n
+            )
+            SELECT q,
+                   CAST(floor((0.0 + (bin + (n * q - (cum - cnt)) / cnt) * 2.0) * 1000000) AS BIGINT) AS est_micro,
+                   'full|incremental|incremental' AS refresh_modes
+            FROM hit WHERE rn = 1
         """,
         "hist_quantiles": """
             WITH b AS (

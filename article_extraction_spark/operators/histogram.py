@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hist_counts", "hist_merge", "hist_quantiles"]
+__all__ = ["hist_counts", "hist_merge", "hist_quantiles", "maintained_hist"]
 
 
 def _bin_col(col, lo: float, hi: float, bins: int):
@@ -65,6 +65,30 @@ def hist_merge(*hists: DataFrame) -> DataFrame:
     for h in hists[1:]:
         out = out.unionByName(h)
     return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def maintained_hist(source, rollup, value_col: str, lo: float, hi: float, bins: int = 1024):
+    """The histogram as a MAINTAINED artifact: an ``IncrementalRollup``
+    whose ``prepare`` hook projects each source row to its bin — refreshes
+    fold only CDC deltas (bin counts are sum-decomposable), and because
+    the rollup is count-only it rides the DELETE-AWARE path too: MoR
+    equality deletes on the source fold as negative bin counts and
+    emptied bins tombstone-sweep away. Quantiles over a 100-TB table
+    under append+delete churn stay fresh without ever rescanning it.
+    Read estimates with ``hist_quantiles(rollup.read(spark)
+    .withColumnRenamed("n", "cnt"), ...)`` after ``refresh()``."""
+    from ..rollup import IncrementalRollup
+
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+
+    def prepare(df: DataFrame) -> DataFrame:
+        c = F.col(value_col)
+        return df.where(c.isNotNull()).select(_bin_col(c, lo, hi, bins).alias("bin"))
+
+    return IncrementalRollup(source, rollup, ["bin"], {"n": ("count", None)}, prepare=prepare)
 
 
 def hist_quantiles(

@@ -121,7 +121,7 @@ def main() -> None:
         "stats_pruned_read", "bloom_anti",
         "cm_sketch", "cm_incremental", "hll_distinct", "weighted_sample", "hll_incremental",
         "pagerank", "bloom_point_read", "update_where", "positional_delete",
-        "minhash_incremental", "ivfadc_rerank", "changelog", "expectations", "rollback", "heavy_hitters", "hist_quantiles",
+        "minhash_incremental", "ivfadc_rerank", "changelog", "expectations", "rollback", "heavy_hitters", "hist_quantiles", "hist_incremental",
     ]:
         if name in qs:
             runs = []

@@ -83,3 +83,56 @@ def test_validation_and_nulls(spark):
         hist_counts(df, "v", 0.0, 1.0, 0)
     with pytest.raises(ValueError, match="quantiles"):
         hist_quantiles(h, [0.0], 0.0, 10.0, 4).collect()
+
+
+def test_maintained_hist_under_ingest_and_delete(spark, tmp_path):
+    """maintained_hist composes the histogram with the delete-aware
+    rollup: appends refresh incrementally, a MoR delete folds negative
+    bin counts (mode stays "incremental"), emptied bins sweep away, and
+    quantiles always equal a from-scratch histogram of the live rows."""
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.catalog import ManifestTable
+    from article_extraction_spark.operators.histogram import (
+        hist_counts,
+        hist_quantiles,
+        maintained_hist,
+    )
+
+    lo, hi, bins = 0.0, 100.0, 20
+    source = ManifestTable(str(tmp_path / "src"))
+    rollup = ManifestTable(str(tmp_path / "roll"))
+    mh = maintained_hist(source, rollup, "v", lo, hi, bins)
+
+    def quants(counts_df):
+        return {
+            r["q"]: r["estimate"]
+            for r in hist_quantiles(counts_df, [0.5, 0.9], lo, hi, bins).collect()
+        }
+
+    def expected():
+        return quants(hist_counts(source.read(spark), "v", lo, hi, bins))
+
+    def got():
+        return quants(rollup.read(spark).withColumnRenamed("n", "cnt"))
+
+    rows = spark.createDataFrame(
+        [(i, float(i % 97)) for i in range(2000)], "event_id long, v double"
+    )
+    source.append(rows.where(F.col("event_id") < 1000))
+    assert mh.refresh(spark)["mode"] == "full"  # bootstrap
+    assert got() == expected()
+    source.append(rows.where(F.col("event_id") >= 1000))
+    assert mh.refresh(spark)["mode"] == "incremental"
+    assert got() == expected()
+    # delete everything in one value band: negative partials + sweep
+    source.delete(
+        spark,
+        rows.where((F.col("v") >= 40) & (F.col("v") < 45)).select("event_id"),
+        ["event_id"],
+    )
+    s = mh.refresh(spark)
+    assert s["mode"] == "incremental"
+    assert got() == expected()
+    emptied = {8}  # bins 40-45 live in bin 8 at width 5
+    assert not emptied & {r["bin"] for r in rollup.read(spark).collect()}
