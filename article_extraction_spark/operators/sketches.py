@@ -188,6 +188,12 @@ def heavy_hitters(
             )
         grid[r["i"]][r["bucket"]] = r["cnt"]
         seen_rows = max(seen_rows, r["i"] + 1)
+    if cells is not None and seen_rows == 0 and total > 0:
+        raise ValueError(
+            "cells sketch is EMPTY while the table has rows — a stale or "
+            "never-refreshed maintained sketch would silently report zero "
+            "heavy hitters; rebuild or refresh it first"
+        )
     if cells is not None and seen_rows and seen_rows != d:
         # every row 0..d_real-1 appears in a nonempty sketch, so a depth
         # mismatch is fully detectable; a WIDER probe w than the build w

@@ -75,13 +75,21 @@ def fold_partials(
     keys: list[str],
     aggs: dict[str, tuple[str, str | None]],
     extra_meta: dict | None = None,
+    sweep_flag: tuple[str, str] | None = None,
 ) -> int:
     """Fold already-aggregated partials into a rollup table: affected
     keys' existing rows outer-join the partials, per-aggregate combine,
     copy-on-write MERGE (``extra_meta`` rides the commit — the refresh
     cursor / stream batch id). Bootstrap (empty rollup) merges the
     partials directly. Shared by the batch refresher and the streaming
-    twin. Returns the number of keys written."""
+    twin. Returns the number of keys written.
+
+    ``sweep_flag=(manifest_key, count_col)``: stamp ``manifest_key`` on
+    the commit ONLY when the folded state actually contains
+    ``count_col == 0`` rows (one limit-1 probe of the already-persisted
+    fold — review r7 second pass: flagging unconditionally left the flag
+    on the head whenever a delete emptied nothing, so every later
+    refresh paid the heal scan the flag exists to avoid)."""
     if rollup.current_snapshot_id() is None:
         from pyspark import StorageLevel
 
@@ -111,6 +119,11 @@ def fold_partials(
     folded = folded.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n = folded.count()
+        if sweep_flag is not None and n:
+            key, count_col = sweep_flag
+            if folded.where(F.col(count_col) == 0).limit(1).count():
+                extra_meta = dict(extra_meta or {})
+                extra_meta[key] = True
         if n == 0:
             rollup.merge(
                 spark,
@@ -282,7 +295,13 @@ class IncrementalRollup:
         cursor-less commits. Pure manifest reads — no Spark job (review
         r7: sweeping unconditionally scanned the whole rollup table on
         EVERY refresh of any count/sum rollup, including the maintained
-        BM25 postings on every ingest)."""
+        BM25 postings on every ingest). Folds only stamp the flag when
+        zero-count rows actually exist, so a delete that empties nothing
+        costs no later scans. Upgrade caveat: a fold committed by a
+        pre-flag build that crashed before its sweep carries no flag —
+        run one manual ``_sweep_tombstones`` when adopting (both the
+        delete-aware fold and the flag shipped in the same round, so no
+        such history exists in practice)."""
         try:
             v = self.rollup.current_snapshot_id()
             while v is not None:
@@ -372,14 +391,16 @@ class IncrementalRollup:
         # fold: existing rows for AFFECTED keys only, outer-joined with the
         # partials, per-aggregate combine; an empty delta still advances
         # the cursor atomically via an empty merge (fold_partials)
-        meta = {_CURSOR_KEY: head}
-        if deleted is not None:
-            meta[_SWEEP_KEY] = True  # cleared by the sweep's own commit
         n = fold_partials(
             spark, self.rollup, partial, self.keys, self.aggs,
-            extra_meta=meta,
+            extra_meta={_CURSOR_KEY: head},
+            sweep_flag=(
+                (_SWEEP_KEY, count_out)
+                if deleted is not None and count_out is not None
+                else None
+            ),
         )
-        if deleted is not None and count_out is not None:
+        if deleted is not None and count_out is not None and self._sweep_needed():
             self._sweep_tombstones(spark, count_out)
         return {"mode": "incremental", "from": cur, "to": head, "keys_updated": n}
 

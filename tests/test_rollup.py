@@ -327,3 +327,20 @@ def test_delete_aware_sweep_heals_after_crash(spark, tmp_path):
     assert _sum_got(spark, rollup) == _sum_expect(spark, source)
     # swept: later refreshes pay NO start-of-refresh scan
     assert not ir._sweep_needed()
+
+
+def test_sweep_flag_only_when_tombstones_exist(spark, tmp_path):
+    """Review r7 second pass: a delete that empties NO group must not
+    leave the needs-sweep flag on the head — otherwise every later
+    refresh pays the heal scan the flag exists to avoid."""
+    source = ManifestTable(str(tmp_path / "src"))
+    rollup = ManifestTable(str(tmp_path / "roll"))
+    ir = IncrementalRollup(source, rollup, ["k"], SUM_AGGS)
+    source.append(_rows(spark, [("a", 1), ("a", 2), ("b", 10)]))
+    ir.refresh(spark)
+    # delete ONE of a's rows: group survives, no tombstone possible
+    source.delete(spark, spark.createDataFrame([(2,)], "v long"), ["v"])
+    s = ir.refresh(spark)
+    assert s["mode"] == "incremental"
+    assert not ir._sweep_needed()  # no zero-count rows -> no flag
+    assert _sum_got(spark, rollup) == _sum_expect(spark, source)
