@@ -1197,8 +1197,15 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (small) plan table, then release the range-partitioned
     # input cache the operator retained — leaving it pinned would hold the
     # full documents projection for the rest of the gate session (review r3)
+    # the oracle's window sum(n) is HUGEINT → pandas float64; surface the
+    # offset/token columns as DOUBLE so the driver's dtype-sensitive hash
+    # matches (VERDICT r7 #1 — values are exact ints, lossless in float64)
     out = plan.select(
-        "doc_id", "block_id", "doc_offset", "block_offset", "n_tokens"
+        "doc_id",
+        "block_id",
+        F.col("doc_offset").cast("double").alias("doc_offset"),
+        F.col("block_offset").cast("double").alias("block_offset"),
+        F.col("n_tokens").cast("double").alias("n_tokens"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     plan._retained_cache.unpersist()
@@ -1250,7 +1257,11 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = remove_boilerplate_lines(docs, "doc_id", "text", max_doc_freq=2)
-    return out.select("doc_id", "text_clean", "n_lines", "n_lines_kept")
+    # n_lines_kept: oracle coalesce(sum(CASE…),0) is HUGEINT → pandas
+    # float64; cast to match the driver's dtype-sensitive hash (VERDICT r7)
+    return out.select(
+        "doc_id", "text_clean", "n_lines", F.col("n_lines_kept").cast("double").alias("n_lines_kept")
+    )
 
 
 def q_answer_agg_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1369,7 +1380,12 @@ def q_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    return collapse_repeated_lines(docs, "doc_id", "text")
+    out = collapse_repeated_lines(docs, "doc_id", "text")
+    # n_collapsed: oracle sum(...) is HUGEINT → pandas float64; align the
+    # representation (driver hash is dtype-sensitive; VERDICT r7 #1)
+    return out.select(
+        "doc_id", "text_clean", "n_lines", F.col("n_collapsed").cast("double").alias("n_collapsed")
+    )
 
 
 def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1403,10 +1419,12 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     toks = docs.select(F.explode(alnum_tokens_col(F.col("text"))).alias("w"))
     per_word = toks.groupBy("w").agg(F.count("*").alias("n"))
+    # the two sums surface as DOUBLE: DuckDB sum(BIGINT) → HUGEINT →
+    # pandas float64 (driver hash is dtype-sensitive; VERDICT r7 #1)
     return per_word.agg(
-        F.sum("n").alias("total_tokens"),
+        F.sum("n").cast("double").alias("total_tokens"),
         F.count("*").alias("distinct_tokens"),
-        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double").alias("hapax_count"),
         # same op ORDER as the oracle's (count*1e6)/sum — a different
         # association could differ by one ulp and flip the floor
         F.floor(F.count("*") * F.lit(1_000_000.0) / F.sum("n")).cast("long").alias("ttr_micro"),
@@ -2552,10 +2570,15 @@ def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ev.where(F.col("event_id") < 10).select("event_id"), ["event_id"]
     )
     modes2.append(ir2.refresh(spark)["mode"])
+    # sum columns surface as DOUBLE: the oracle's DuckDB sum(BIGINT) is
+    # HUGEINT, which pandas materializes as float64 — the driver's hash is
+    # dtype-sensitive, so int64 here red-flagged r7 (VERDICT r7 #1; oracle
+    # SQL is frozen this round, so the representation aligns on this side;
+    # the values are exact integers < 2^53, lossless in float64)
     after = rollup2.read(spark).select(
         "event_type",
         F.col("n2").cast("long").alias("n_after_delete"),
-        F.col("sum2").cast("long").alias("sum_after_delete"),
+        F.col("sum2").cast("double").alias("sum_after_delete"),
     )
     return (
         rollup.read(spark)
@@ -2563,7 +2586,7 @@ def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("n").cast("long").alias("n"),
-            F.col("sum_v").cast("long").alias("sum_v_micro"),
+            F.col("sum_v").cast("double").alias("sum_v_micro"),
             F.col("min_v").cast("long").alias("min_v_micro"),
             F.col("max_v").cast("long").alias("max_v_micro"),
             "n_after_delete",
