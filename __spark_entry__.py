@@ -53,6 +53,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive fan-out for CPU-dense per-row stages (r8, guide §2.5
+    "input skew"): a small parquet table is a handful of scan splits (one
+    ~6 MB file = one row group = ONE task), so regex/HOF/Arrow-UDF work
+    rooted at the scan runs nearly serially on local[32] — measured 3.1 s →
+    0.64 s (pii) and 7.8 s → 1.4 s (contamination) at sf1.0 from this alone.
+    Repartition to the session's parallelism ONLY when the scan yields fewer
+    splits than cores; at production scale inputs already split past core
+    count and this is a no-op (no shuffle). Callers project needed columns
+    FIRST so the balancing exchange carries minimal bytes (guide §2.3)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -79,7 +95,9 @@ def q_convert_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, extracted back out; oracle reconstructs the expected text."""
     from article_extraction_spark.extract.udfs import to_text_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    # r8: fan the single-split scan out — the Arrow extraction UDF otherwise
+    # runs in the scan's one task (see _spread)
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
     payload = F.concat(
         F.lit("<header>nav</header><p>"),
         F.col("text"),
@@ -221,7 +239,12 @@ def q_parse_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # a small parquet is a single row-group = ONE task; spread the row-wise
     # regex work across cores (at production scale many files split naturally)
-    li = _t(spark, sf_dir, "lineitem").repartition(spark.sparkContext.defaultParallelism)
+    # r8: project the 3 needed columns BEFORE the balancing exchange — the
+    # former whole-row repartition shuffled all 16 lineitem columns
+    # (~131 MB at sf1.0) to move 3 (guide §2.3)
+    li = _spread(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    )
     raw = F.concat(F.col("l_quantity").cast("int").cast("string"), F.lit("k"))
     return li.select(
         "l_orderkey", "l_linenumber", parse_numeric_col(raw).alias("parsed_qty")
@@ -281,7 +304,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace token counting per document."""
     from article_extraction_spark.operators.textstats import token_count_col
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens"))
 
 
@@ -318,7 +341,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: normalized md5 document fingerprint."""
     from article_extraction_spark.operators.textstats import fingerprint_col
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
 
 
@@ -327,8 +350,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from article_extraction_spark.operators.similarity_search import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
+    # query lookup stays on the pruned scan; only the scoring side fans out
     query = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    top = brute_force_topk(emb, "embedding", list(query), k=20)
+    scored = _spread(emb.select("vec_id", "embedding"))
+    top = brute_force_topk(scored, "embedding", list(query), k=20)
     return top.select("vec_id", F.round(F.col("cosine"), 5).alias("cosine_r"))
 
 
@@ -351,10 +376,11 @@ def q_fuzzy_country_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → mapInPandas feature extraction
     (hash + size are engine-portable; the fake feature vector is not output)."""
-    from article_extraction_spark.operators.multimodal import extract_media_features
-
     docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
+    # r8: spread the single-split scan (the feature kernel ran in 1-2 scan
+    # tasks) and use the zero-copy mapInArrow twin (parity-tested; hashes
+    # memoryview slices of the Arrow buffer instead of per-row bytes)
+    media = _spread(docs.select("doc_id", "text", "n_chars")).select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
@@ -366,7 +392,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         (F.col("n_chars") % 10000).cast("int").alias("duration_ms"),
     )
-    return extract_media_features(media).select("media_id", "kind", "n_bytes", "content_hash")
+    from article_extraction_spark.operators.multimodal import extract_media_features_arrow
+
+    return extract_media_features_arrow(media).select(
+        "media_id", "kind", "n_bytes", "content_hash"
+    )
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,6 +419,8 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail edit")).alias("text"),
     )
+    # NOT spread (r8): corpus is capped at 1000 docs at every SF — measured
+    # the extra balancing exchange costs more than the kernel saves
     corpus = docs.select("doc_id", "text").unionByName(edited)
     pairs = minhash_dedup(corpus, "doc_id", "text", threshold=0.6, num_hashes=32, bands=16)
     return pairs.select("id_a", "id_b", "n_common", "n_union")
@@ -409,6 +441,7 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table explodes block-candidate counts without testing anything new
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    # NOT spread (r8): 1000-doc cap — same measurement as minhash_near_dups
     corpus = docs.select("doc_id", "text").unionByName(copies)
     pairs = simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=3)
     return pairs.where(F.col("id_b") - F.col("id_a") == 1_000_000).select(
@@ -2789,8 +2822,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from article_extraction_spark.operators.dedup import contamination_check
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # benchmark side stays on the pruned scan (predicate pushdown); only the
+    # corpus side — where the shingle HOFs run per row — is fanned out
+    # (r8: 7.8 s → 1.4 s at sf1.0, see _spread)
     benchmark = docs.where(F.col("doc_id") < 50)
-    return contamination_check(docs, benchmark, "doc_id", "text", ngram=3, threshold=1)
+    return contamination_check(_spread(docs), benchmark, "doc_id", "text", ngram=3, threshold=1)
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2800,7 +2836,9 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically per doc_id (the synthetic corpus contains none)."""
     from article_extraction_spark.operators.textstats import redact_pii
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # r8: seven regex passes over the full text ran in the scan's 1-2 tasks;
+    # spread to core count (3.1 s → 0.6 s at sf1.0)
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     planted = docs.withColumn(
         "text",
         F.concat(
