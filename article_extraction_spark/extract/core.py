@@ -119,9 +119,27 @@ _FAST_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[
 _FAST_UNSAFE_RE = re.compile(r"(?i)&|<[!?]|\r|<script|<style")
 
 
+# r8: the old standalone `_FAST_UNSAFE_RE.search` screen was ~40% of the
+# fast-path kernel (multi-char alternation scanning). It is now folded into
+# the main loop: '&' and '\r' stay as two C memchr passes up front; '<!'
+# and '<?' never match _FAST_TAG_RE, so their '<' lands in an inter-tag gap
+# and the existing stray-'<' gap check bails identically; <script>/<style>
+# elements bail on the matched tag NAME. A '<script'/'<!' inside a QUOTED
+# attribute no longer bails, which is safe: html.parser treats it as a
+# plain attribute value of a non-p tag — exactly what the fast loop does
+# (the old screen was conservative there, falling back to the parser for
+# the same result; parity property test covers both paths).
+
+
 def _fast_html_extract(html: str) -> tuple[str, list[Span]] | None:
-    """Regex twin of _ParagraphCollector; None ⇒ caller must use the parser."""
-    if _FAST_UNSAFE_RE.search(html):
+    """Regex twin of _ParagraphCollector; None ⇒ caller must use the parser.
+
+    r8 micro-shape (semantics unchanged, enforced by the parser-parity
+    property test): the unsafe screen uses C substring finds; the tag loop
+    only allocates the group tuple for p-tags (checked via the name group's
+    span) and detects stray '<' in inter-tag gaps with a bounded str.find
+    instead of slicing every gap."""
+    if "&" in html or "\r" in html:
         return None
     paragraphs: list[str] = []
     spans: list[Span] = []
@@ -139,14 +157,21 @@ def _fast_html_extract(html: str) -> tuple[str, list[Span]] | None:
         inside = False
         chunks = []
 
+    find = html.find
     for m in _FAST_TAG_RE.finditer(html):
-        data = html[pos : m.start()]
-        if "<" in data:  # stray '<' — html.parser treats it specially
+        mstart = m.start()
+        if find("<", pos, mstart) != -1:  # stray '<' — html.parser treats it specially
             return None
-        if inside and data:
-            chunks.append(data)
-        closing, name, attrs, selfclose = m.groups()
-        if name.lower() == "p":
+        if inside and mstart > pos:
+            chunks.append(html[pos:mstart])
+        s2, e2 = m.span(2)
+        n_name = e2 - s2
+        if n_name == 5 or n_name == 6:
+            nm = html[s2:e2].lower()
+            if nm == "script" or nm == "style":
+                return None  # CDATA content elements — parser semantics
+        if n_name == 1 and html[s2] in "pP":
+            closing, _name, attrs, selfclose = m.groups()
             # the greedy attrs group may swallow the self-closing '/'
             if not selfclose and attrs.endswith("/"):
                 if attrs == "/" or attrs[-2].isspace():
@@ -159,7 +184,7 @@ def _fast_html_extract(html: str) -> tuple[str, list[Span]] | None:
                 return None  # '<p-x>' etc: parser reads a LONGER tag name
             if closing:
                 if inside:
-                    end_p(m.start())
+                    end_p(mstart)
             else:
                 if not inside:
                     inside = True
@@ -167,7 +192,7 @@ def _fast_html_extract(html: str) -> tuple[str, list[Span]] | None:
                     span_start = m.end()
                 if selfclose and inside:
                     # <p/> ⇒ start-then-end (html.parser handle_startendtag)
-                    end_p(m.start())
+                    end_p(mstart)
         pos = m.end()
     tail = html[pos:]
     if "<" in tail:

@@ -100,6 +100,93 @@ def classify_payload_col(text: Column) -> Column:
     )
 
 
+# -- Arrow-native extraction stage (r8) --------------------------------------
+# The pandas-UDF path pays twice per batch: Series iteration on input and a
+# python-dict-per-span list on output that pandas→Arrow converts object by
+# object (measured +17 µs/row on a 22 µs/row kernel). The mapInArrow twin
+# consumes the record batch directly and assembles the spans column from flat
+# int arrays (one ListArray/StructArray build per batch, no per-span dicts).
+# Semantics are IDENTICAL: same to_text kernel, same error capture.
+
+_EXTRACT_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("doc_kind", T.StringType(), True),
+        T.StructField("n_source_bytes", T.LongType(), True),
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("start", T.IntegerType(), False),
+                        T.StructField("end", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField("extract_error", T.StringType(), True),
+    ]
+)
+
+
+def extract_map_in_arrow(batches):
+    """mapInArrow stage: (conv_id, turn_idx, doc_kind, n_source_bytes, text)
+    → (conv_id, turn_idx, doc_kind, n_source_bytes, extracted_text, spans,
+    extract_error). Keyed columns pass through untouched; only text is
+    consumed. Use with ``_EXTRACT_BATCH_SCHEMA``."""
+    import pyarrow as pa
+
+    span_fields = [
+        pa.field("start", pa.int32(), nullable=False),
+        pa.field("end", pa.int32(), nullable=False),
+    ]
+    for batch in batches:
+        kinds = batch.column("doc_kind").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_texts: list[str] = []
+        errors: list[str | None] = []
+        starts: list[int] = []
+        ends: list[int] = []
+        offsets: list[int] = [0]
+        for kind, data in zip(kinds, texts):
+            err = None
+            try:
+                text, sp = to_text(kind, data)
+            except Exception as exc:  # noqa: BLE001
+                text, sp, err = "", [], f"{type(exc).__name__}: {exc}"[:500]
+            out_texts.append(text)
+            for s, e in sp:
+                starts.append(s)
+                ends.append(e)
+            offsets.append(len(starts))
+            errors.append(err)
+        spans = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(starts, pa.int32()), pa.array(ends, pa.int32())],
+                fields=span_fields,
+            ),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("conv_id"),
+                batch.column("turn_idx"),
+                batch.column("doc_kind"),
+                batch.column("n_source_bytes"),
+                pa.array(out_texts, pa.string()),
+                spans,
+                pa.array(errors, pa.string()),
+            ],
+            names=[
+                "conv_id", "turn_idx", "doc_kind", "n_source_bytes",
+                "extracted_text", "spans", "extract_error",
+            ],
+        )
+
+
 @F.pandas_udf(_EXTRACT_RESULT_TYPE)
 def _to_text_layout_udf_impl(doc_kind: pd.Series, payload: pd.Series) -> pd.DataFrame:
     """Layout-analyzed variant: pdf payloads go through the positioned-run

@@ -81,15 +81,29 @@ def convert_transcripts(
         # parallelize away. The native branch is uniform per-row cheap.
         needs_py = salted_repartition(needs_py, num_partitions, "conv_id", "turn_idx", salt=salt)
 
-    py_out = needs_py.withColumn(
-        "_res", udf(F.col("doc_kind"), F.col("text"))
-    ).select(
-        *base,
-        F.col("_res.extracted_text").alias("extracted_text"),
-        F.col("_res.spans").alias("spans"),
-        F.col("_res.error").alias("extract_error"),
-        src_bytes,
-    )
+    if pdf_mode == "simple" and not with_readability:
+        # r8: Arrow-native extraction stage — same to_text kernel, but the
+        # spans column is assembled from flat int arrays per batch instead
+        # of a python dict per span (the pandas-UDF path's dominant
+        # overhead; see extract/udfs.py). n_source_bytes is computed
+        # JVM-side BEFORE the map and passes through untouched.
+        from ..extract.udfs import _EXTRACT_BATCH_SCHEMA, extract_map_in_arrow
+
+        py_out = needs_py.select(
+            "conv_id", "turn_idx", "doc_kind", src_bytes, "text"
+        ).mapInArrow(extract_map_in_arrow, _EXTRACT_BATCH_SCHEMA).select(
+            *base, "extracted_text", "spans", "extract_error", "n_source_bytes"
+        )
+    else:
+        py_out = needs_py.withColumn(
+            "_res", udf(F.col("doc_kind"), F.col("text"))
+        ).select(
+            *base,
+            F.col("_res.extracted_text").alias("extracted_text"),
+            F.col("_res.spans").alias("spans"),
+            F.col("_res.error").alias("extract_error"),
+            src_bytes,
+        )
 
     txt = F.coalesce(F.col("text"), F.lit(""))
     native_text = F.when(F.col("doc_kind").isin("txt", "json"), txt).otherwise(F.lit(""))

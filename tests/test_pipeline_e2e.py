@@ -84,3 +84,46 @@ def test_doc_kind_classification_matches_python(spark):
     got = tdf.select("text", classify_payload_col(F.col("text")).alias("k")).collect()
     for r in got:
         assert r["k"] == classify_payload(r["text"])
+
+
+def test_arrow_extraction_stage_matches_pandas_udf_path(spark):
+    """r8: the default (simple, no-readability) convert path runs the
+    Arrow-native mapInArrow extraction stage; its output — text, spans,
+    error capture, byte counts — must be row-identical to the legacy
+    pandas-UDF path (pdf_mode='layout' exercises that path's plumbing for
+    html/txt/json rows via the same to_text kernel)."""
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.extract.udfs import (
+        _EXTRACT_BATCH_SCHEMA,
+        extract_map_in_arrow,
+        to_text_udf,
+    )
+
+    rows = [
+        ("c1", 0, "html", "<p>alpha</p><div>skip</div><p>beta</p>"),
+        ("c1", 1, "html", "<p></p>"),                      # drops: no paragraphs
+        ("c1", 2, "html", "&amp; <p>entity path</p>"),      # parser fallback
+        ("c1", 3, "pdf", "JVBERi0xLjQKJSVFT0Y="),           # undecodable → error
+        ("c1", 4, "pdf", "%PDF-garbage"),                   # error path
+        ("c2", 0, "html", "<p>  padded  </p>\n<p>two</p>"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, doc_kind string, text string"
+    ).withColumn("n_source_bytes", F.octet_length("text").cast("long"))
+
+    arrow = df.mapInArrow(extract_map_in_arrow, _EXTRACT_BATCH_SCHEMA)
+    legacy = df.withColumn("_r", to_text_udf(F.col("doc_kind"), F.col("text"))).select(
+        "conv_id", "turn_idx", "doc_kind", "n_source_bytes",
+        F.col("_r.extracted_text").alias("extracted_text"),
+        F.col("_r.spans").alias("spans"),
+        F.col("_r.error").alias("extract_error"),
+    )
+    a = sorted(map(tuple, arrow.collect()))
+    b = sorted(map(tuple, legacy.collect()))
+    assert a == b
+    # spans survive as real offsets through the arrow batch assembly
+    by_key = {(r[0], r[1]): r for r in a}
+    good = by_key[("c1", 0)]
+    assert good[4] == "alpha\nbeta" and [tuple(s) for s in good[5]] == [(3, 8), (30, 34)]
+    assert by_key[("c1", 3)][6] is not None  # error captured, not raised

@@ -56,8 +56,10 @@ def test_native_branch_has_no_python(spark):
     t = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
     out = convert_transcripts(t, num_partitions=2)
     plan = _plan(out)
-    # exactly ONE python-eval operator (the html/pdf branch), none for native
-    assert plan.count("ArrowEvalPython") == 1
+    # exactly ONE python-eval operator (the html/pdf branch), none for
+    # native (r8: the default path is the Arrow-native MapInArrow stage)
+    assert plan.count("MapInArrow") == 1
+    assert plan.count("ArrowEvalPython") == 0
     # and the union has a pure-projection second branch
     assert "Union" in plan
 
