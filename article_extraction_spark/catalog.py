@@ -234,7 +234,7 @@ class ManifestTable:
     # mismatch here is a bloom FALSE NEGATIVE, i.e. silent data loss
     # (review r6), so the build REJECTS other column types and the probe
     # SKIPS the bloom (safe: file scanned) for other value types.
-    _BLOOMABLE_SPARK_TYPES = ("byte", "short", "int", "integer", "bigint", "long", "string")
+    _BLOOMABLE_SPARK_TYPES = ("tinyint", "smallint", "int", "integer", "bigint", "long", "string")
 
     @staticmethod
     def _bloom_probe_str(value) -> str | None:
@@ -426,7 +426,10 @@ class ManifestTable:
                 json.loads(self._load(version)["schema"])
             ).fields
         }
-        int_types = ("byte", "short", "int", "integer", "bigint", "long")
+        # simpleString() names: tinyint/smallint for 8/16-bit ints (the old
+        # "byte"/"short" entries could never match — ADVICE r7: blooms over
+        # such columns were silently never probed, losing skipping power)
+        int_types = ("tinyint", "smallint", "int", "integer", "bigint", "long")
         probes = {}
         for c, v in eq.items():
             s = self._bloom_probe_str(v)

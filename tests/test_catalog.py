@@ -1453,3 +1453,28 @@ def test_changelog_view(spark, tmp_path):
     t.delete_positions_where(spark, F.col("id") == 1)
     with pytest.raises(ValueError, match="positional"):
         t.changelog(spark, v1).collect()
+
+
+def test_file_blooms_probe_tinyint_smallint_columns(spark, tmp_path):
+    """ADVICE r7: simpleString() names 8/16-bit ints 'tinyint'/'smallint';
+    the old 'byte'/'short' gate entries never matched, so blooms over such
+    columns were built but silently never probed (skipping power lost).
+    Bloom pruning must now drop files for both widths."""
+    from pyspark.sql import functions as F
+
+    from article_extraction_spark.catalog import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"))
+    for r in range(4):
+        rows = [(i,) for i in range(r, 120, 4)]
+        df = spark.createDataFrame(rows, "id int").select(
+            F.col("id").cast("smallint").alias("sk"),
+            F.col("id").cast("tinyint").alias("tk"),
+        )
+        t.append(df.coalesce(1))
+    assert t.build_file_blooms(spark, ["sk", "tk"]) > 0
+    for col in ("sk", "tk"):
+        keep, total = t.prune_files_eq({col: 37})
+        assert total == 4 and 1 <= len(keep) <= 2, f"{col} bloom not probed"
+        got = sorted(r[col] for r in t.read_eq(spark, {col: 37}).collect())
+        assert got == [37]
