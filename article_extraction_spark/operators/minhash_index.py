@@ -194,20 +194,34 @@ class MaintainedMinHashIndex:
         # wrongly-typed id column must not poison the empty index forever)
         self._pin_meta("doc_id_type", id_type, write=commit)
 
+        # r8 (VERDICT r7 #4): steady-state ingest was job-latency-bound
+        # (~7 driver round-trips per batch in local mode). The batch and
+        # fresh counts now come from ONE left-join-marked aggregate (the
+        # former separate batch.count() + fresh.count() jobs), and the
+        # signature count is read off the already-materialized cache after
+        # the bucket collect. (An Observation-based fold was tried first:
+        # CollectMetrics nodes inside persisted subtrees silently break
+        # Observation.get, so counts stay explicit jobs.)
         batch = docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         ).dropDuplicates(["doc_id"])
-        n_in = batch.count()
         try:
             existing_ids = self.sigs.read(spark).select("doc_id")
         except FileNotFoundError:
             existing_ids = None
-        fresh = (
-            batch.join(existing_ids, "doc_id", "left_anti")
-            if existing_ids is not None
-            else batch
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        n_fresh = fresh.count()
+        if existing_ids is not None:
+            marked = batch.join(
+                existing_ids.withColumn("_old", F.lit(1)), "doc_id", "left"
+            )
+            row = marked.agg(
+                F.count(F.lit(1)).alias("n_in"), F.count("_old").alias("n_old")
+            ).first()
+            n_in, n_fresh = row["n_in"], row["n_in"] - row["n_old"]
+            fresh = marked.where(F.col("_old").isNull()).select("doc_id", "text")
+        else:
+            n_in = n_fresh = batch.count()  # bootstrap: nothing indexed yet
+            fresh = batch
+        fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             return self._ingest_fresh(
                 spark, fresh, existing_ids, n_in, n_fresh, min_matches,
@@ -234,7 +248,6 @@ class MaintainedMinHashIndex:
         sig_df = hashed.select("doc_id", self.sig_col(F.col("_h")).alias("sig")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        n_new = sig_df.count()
 
         banded = (
             sig_df.select(
@@ -244,14 +257,28 @@ class MaintainedMinHashIndex:
             .withColumn("bucket", self.bucket_col(F.col("band_idx"), F.col("band_key")))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # ≤ n_buckets ints by construction — bounded driver round-trip
+        # ≤ n_buckets ints by construction — bounded driver round-trip.
+        # This ONE job also materializes the sig/band caches (r8: the
+        # former standalone sig_df.count() materialization job is gone;
+        # the count below reads the already-populated cache).
         probe = sorted({r["bucket"] for r in banded.select("bucket").distinct().collect()})
+        n_new = sig_df.count()
+
+        # r8: for normally-sized batches, hint the batch-derived sides of
+        # every join as broadcasts — banded is bounded by n_fresh × bands
+        # by construction, and the candidate set by its band collisions.
+        # The planner otherwise falls back to shuffle joins (cands' size
+        # is unestimable through the union+dedup), shuffling the FULL
+        # signature table by id for a batch-bounded probe. Gated on the
+        # known n_fresh so a pathological giant batch keeps shuffle joins.
+        small_batch = n_fresh * self.bands <= 2_000_000
+        bj = F.broadcast if small_batch else (lambda df: df)
 
         cand_parts = []
         if probe and os.path.isdir(self.serving_dir):
             old = self._read_serving(spark).where(F.col("bucket").isin(probe))
             vs_index = (
-                banded.join(
+                bj(banded).join(
                     old.select(
                         "bucket", "band_idx", "band_key", F.col("doc_id").alias("_old_id")
                     ),
@@ -264,7 +291,7 @@ class MaintainedMinHashIndex:
                 )
             )
             cand_parts.append(vs_index)
-        a, b = banded.alias("a"), banded.alias("b")
+        a, b = bj(banded.alias("a")), banded.alias("b")
         vs_batch = a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -288,8 +315,11 @@ class MaintainedMinHashIndex:
                 lambda eq: eq,
             )
         )
+        with_a = bj(cands).join(
+            lookup.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sig_a")), "id_a"
+        )
         pairs = (
-            cands.join(lookup.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sig_a")), "id_a")
+            bj(with_a)
             .join(lookup.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sig_b")), "id_b")
             .withColumn("n_matches", match_cnt)
             .where(F.col("n_matches") >= min_matches)
