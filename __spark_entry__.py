@@ -534,11 +534,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    centroids = kmeans_fit(emb, "embedding", k=4, max_iter=3, seed=42)
+    # r8: the assignment/centroid kernels run above the scan — fan out
+    emb_all = _spread(emb.select("vec_id", "embedding"))
+    centroids = kmeans_fit(emb_all, "embedding", k=4, max_iter=3, seed=42)
     path = (
         f"/tmp/aes_ivf_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
     )
-    write_ivf(emb.select("vec_id", "embedding"), path, "embedding", centroids)
+    write_ivf(emb_all, path, "embedding", centroids)
     top = ivf_topk(
         spark, path, "embedding", list(query), centroids, k=10, nprobe=len(centroids),
         schema="vec_id bigint, embedding array<float>",
@@ -665,7 +667,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored-microunits (Spark HALF_UP vs DuckDB half-even dodge)."""
     from article_extraction_spark.operators.textstats import tfidf_top_terms
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     top = tfidf_top_terms(docs, "doc_id", "text", k=3)
     return top.select(
         "doc_id",
@@ -1223,7 +1225,9 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # r8: token counting over the full corpus fans out of the single-split
+    # scan (see _spread) before the cheap int-only plan computation
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id", token_count_col(F.col("text")).cast("long").alias("_n")
     )
     plan = concat_chunk_plan(docs, "_n", 512, order_col="doc_id")
@@ -1624,6 +1628,8 @@ def _substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-document ≥k-char repeats exist by construction (natural repeats
     in the synthetic text count too: both engines compute the same
     definition, so they agree on those as well)."""
+    # NOT spread (r8): A/B-measured — the per-position fingerprint shuffle
+    # dominates these operators, and the balancing exchange only added cost
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     plant = docs.where(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -2389,7 +2395,7 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact and replayed in DuckDB."""
     from article_extraction_spark.card import corpus_card
 
-    return corpus_card(_t(spark, sf_dir, "documents"))
+    return corpus_card(_spread(_t(spark, sf_dir, "documents")))
 
 
 def q_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2484,7 +2490,8 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead). DuckDB replays the identical formula relationally."""
     from article_extraction_spark.operators.retrieval import bm25_scores, build_text_index
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # r8: index tokenization fans out of the single-split scan (see _spread)
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     queries = spark.createDataFrame(
         [(1, "merge sort join"), (2, "spark filter customer"), (3, "window hash scan")],
         "query_id long, qtext string",

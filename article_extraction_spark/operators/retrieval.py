@@ -286,11 +286,16 @@ class MaintainedBM25Index:
                 f"index at {self.root} was built with doc_id type "
                 f"{meta['doc_id_type']!r}, this batch has {id_type!r}"
             )
+        # r8: tokenization + posting fan-out runs above the scan — fan a
+        # small single-split batch out to core count first (no-op when the
+        # input already splits past the session's parallelism)
+        from ..pipeline.partitioning import fan_out_small_scan
+
         batch = (
-            docs.select(
-                F.col(id_col).alias("doc_id"),
-                F.explode(_tokens(F.col(text_col))).alias("term"),
+            fan_out_small_scan(
+                docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
             )
+            .select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
             .withColumn("bucket", term_bucket_col("term", self.n_buckets))
             .persist()
         )

