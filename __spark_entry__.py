@@ -2182,7 +2182,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k")
     )
     total = keyed.count()
-    hh = heavy_hitters(keyed, "k", phi=0.01, d=4, w=512)
+    # r8: reuse the count as the operator's total — drops one of three
+    # full passes over orders (the operator's standalone count scan)
+    hh = heavy_hitters(keyed, "k", phi=0.01, d=4, w=512, total=total)
     return hh.select(
         "k",
         F.col("cnt").cast("long").alias("cnt"),

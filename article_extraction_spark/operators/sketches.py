@@ -173,10 +173,21 @@ def heavy_hitters(
             "(heavy-hitter filtering needs cell counts, not key-domain width)"
         )
     keyed = df.where(F.col(key_col).isNotNull())
-    if total is None:
-        total = keyed.count()
-    threshold = max(1, math.ceil(phi * total - 1e-9))
-    cells_df = cells if cells is not None else cm_build(df, key_col, d, w)
+    obs = None
+    if total is None and cells is None:
+        # r8: fold the row count into the sketch-build pass — cm_build
+        # filters NULL keys identically, so building from the observed
+        # `keyed` is equivalent and the standalone count scan disappears
+        # (2 full passes over the table instead of 3)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        keyed = keyed.observe(obs, F.count(F.lit(1)).alias("n"))
+        cells_df = cm_build(keyed, key_col, d, w)
+    else:
+        if total is None:
+            total = keyed.count()
+        cells_df = cells if cells is not None else cm_build(df, key_col, d, w)
     grid = [[0] * w for _ in range(d)]
     seen_rows = 0
     for r in cells_df.collect():  # ≤ d·w rows by construction
@@ -188,6 +199,9 @@ def heavy_hitters(
             )
         grid[r["i"]][r["bucket"]] = r["cnt"]
         seen_rows = max(seen_rows, r["i"] + 1)
+    if obs is not None:
+        total = obs.get["n"]  # flushed by the cells collect above
+    threshold = max(1, math.ceil(phi * total - 1e-9))
     if cells is not None and seen_rows == 0 and total > 0:
         raise ValueError(
             "cells sketch is EMPTY while the table has rows — a stale or "
