@@ -59,14 +59,12 @@ def _spread(df: DataFrame) -> DataFrame:
     ~6 MB file = one row group = ONE task), so regex/HOF/Arrow-UDF work
     rooted at the scan runs nearly serially on local[32] — measured 3.1 s →
     0.64 s (pii) and 7.8 s → 1.4 s (contamination) at sf1.0 from this alone.
-    Repartition to the session's parallelism ONLY when the scan yields fewer
-    splits than cores; at production scale inputs already split past core
-    count and this is a no-op (no shuffle). Callers project needed columns
-    FIRST so the balancing exchange carries minimal bytes (guide §2.3)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
-    return df.repartition(par)
+    A no-op whenever the input already plans at least core-count partitions
+    (production scale). Callers project needed columns FIRST so the
+    balancing exchange carries minimal bytes (guide §2.3)."""
+    from article_extraction_spark.pipeline.partitioning import fan_out_small_scan
+
+    return fan_out_small_scan(df)
 
 
 # ---------------------------------------------------------------------------
@@ -2397,7 +2395,11 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact and replayed in DuckDB."""
     from article_extraction_spark.card import corpus_card
 
-    return corpus_card(_spread(_t(spark, sf_dir, "documents")))
+    docs = _t(spark, sf_dir, "documents")
+    # project the card's inputs (id, text, mixture dims) before the
+    # balancing exchange — _spread's project-first contract
+    cols = [c for c in ("doc_id", "text", "lang", "source") if c in docs.columns]
+    return corpus_card(_spread(docs.select(*cols)))
 
 
 def q_near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -264,13 +264,14 @@ class MaintainedMinHashIndex:
         probe = sorted({r["bucket"] for r in banded.select("bucket").distinct().collect()})
         n_new = sig_df.count()
 
-        # r8: for normally-sized batches, hint the batch-derived sides of
-        # every join as broadcasts — banded is bounded by n_fresh × bands
-        # by construction, and the candidate set by its band collisions.
-        # The planner otherwise falls back to shuffle joins (cands' size
-        # is unestimable through the union+dedup), shuffling the FULL
-        # signature table by id for a batch-bounded probe. Gated on the
-        # known n_fresh so a pathological giant batch keeps shuffle joins.
+        # r8: for normally-sized batches, hint the truly batch-bounded side
+        # of the candidate joins as a broadcast: banded is ≤ n_fresh × bands
+        # rows BY CONSTRUCTION, so the gate on the known n_fresh is exact.
+        # The candidate set itself is NOT hinted — its size depends on band
+        # collisions against the existing index (a hot near-dup cluster can
+        # explode it), so a forced broadcast there could hard-fail where a
+        # shuffle join survives by spilling; the planner/AQE keeps choosing
+        # for those joins from runtime sizes.
         small_batch = n_fresh * self.bands <= 2_000_000
         bj = F.broadcast if small_batch else (lambda df: df)
 
@@ -315,11 +316,10 @@ class MaintainedMinHashIndex:
                 lambda eq: eq,
             )
         )
-        with_a = bj(cands).join(
-            lookup.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sig_a")), "id_a"
-        )
         pairs = (
-            bj(with_a)
+            cands.join(
+                lookup.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sig_a")), "id_a"
+            )
             .join(lookup.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sig_b")), "id_b")
             .withColumn("n_matches", match_cnt)
             .where(F.col("n_matches") >= min_matches)

@@ -78,9 +78,6 @@ def compare(sdf_pd: pd.DataFrame, ddf_pd: pd.DataFrame, explain: bool = False) -
     for c in a.columns:
         da, db = _dtype_key(a[c]), _dtype_key(b[c])
         if da != db:
-            # object-vs-object is fine; numeric kind/width mismatch is the bug class
-            if da == db == "object":
-                continue
             problems.append(f"dtype mismatch {c!r}: spark={da} duck={db}")
     if problems:
         return problems
