@@ -114,7 +114,7 @@ def q_classify_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix keyed by doc_id % 3."""
     from article_extraction_spark.extract.udfs import classify_payload_col
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     kind = F.col("doc_id") % 3
     payload = (
         F.when(kind == 0, F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")))
@@ -310,7 +310,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: punct + stopword ratios (quality-score components)."""
     from article_extraction_spark.operators.textstats import punct_ratio_col, stopword_ratio_col
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id",
         F.round(punct_ratio_col(F.col("text")), 6).alias("punct_ratio"),
@@ -320,7 +320,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: language-ID marker-hit counts (argmax tested in pytest)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
     def hits(markers: list[str]) -> F.Column:
@@ -680,7 +680,7 @@ def q_char_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: char windowing with stride, fanned out via posexplode."""
     from article_extraction_spark.extraction.windows import explode_windows
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return explode_windows(docs, "text", window=200, stride=100)
 
 
@@ -688,7 +688,7 @@ def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: token windowing (worker-cached tokenizer). Rows-only check."""
     from article_extraction_spark.extraction.windows import explode_windows
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return explode_windows(docs, "text", window=20, stride=10, by_chars=False)
 
 
@@ -1010,7 +1010,7 @@ def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     bullet ratios, stopword presence) — native expressions."""
     from article_extraction_spark.operators.textstats import gopher_flags_col
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     g = gopher_flags_col(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1026,7 +1026,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: unicode-script hint + stopword markers (argmax)."""
     from article_extraction_spark.operators.textstats import lang_id_col
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", lang_id_col(F.col("text")).alias("lang_guess"))
 
 
@@ -1098,7 +1098,7 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check (heuristic scorer)."""
     from article_extraction_spark.extract.readability import readability_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     page = F.concat(
         F.lit("<html><body><nav><a href='/'>home</a> <a href='/x'>other</a></nav>"
               "<article><p>"),
@@ -2814,7 +2814,9 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed relationally (explode -> count -> max/sum -> join back)."""
     from article_extraction_spark.operators.textstats import repetition_stats
 
-    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return repetition_stats(
+        _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")), "doc_id", "text"
+    )
 
 
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2822,7 +2824,7 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg -> one shuffle -> TakeOrderedAndProject)."""
     from article_extraction_spark.operators.textstats import top_terms
 
-    return top_terms(_t(spark, sf_dir, "documents").select("text"), "text", k=20)
+    return top_terms(_spread(_t(spark, sf_dir, "documents").select("text")), "text", k=20)
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
